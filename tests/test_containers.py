@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from tpukk.containers import (
+    CooMatrix,
+    CsrMatrix,
+    bsr2crs,
+    ccs2crs,
+    coo2crs,
+    crs2bsr,
+    crs2ccs,
+    crs2coo,
+    generate_diag_dominant_csr,
+    generate_random_csr,
+    generate_structured_laplacian,
+    is_sorted,
+    load_csr_npz,
+    read_mtx,
+    remove_zeros,
+    save_csr_npz,
+    sort_crs,
+    transpose,
+    write_mtx,
+)
+
+
+def random_scipy(m, n, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sps.random(m, n, density=density, random_state=np.random.RandomState(seed), format="csr")
+    A.sort_indices()
+    return A
+
+
+def test_csr_roundtrip():
+    sp = random_scipy(40, 30)
+    A = CsrMatrix.from_scipy(sp)
+    assert A.shape == (40, 30)
+    assert A.nnz == sp.nnz
+    back = A.to_scipy()
+    assert (back != sp).nnz == 0
+
+
+def test_csr_from_dense():
+    d = np.array([[1.0, 0, 2], [0, 0, 3], [4, 5, 0]])
+    A = CsrMatrix.from_dense(d)
+    np.testing.assert_allclose(np.asarray(A.to_dense()), d)
+
+
+def test_laplacian_structure():
+    A = generate_structured_laplacian(10, 10)
+    sp = A.to_scipy()
+    # 5-point stencil: interior rows have 5 entries, diag == 4
+    assert sp.shape == (100, 100)
+    assert np.allclose(sp.diagonal(), 4.0)
+    assert (sp.sum(axis=1).max()) <= 4.0 + 1e-6  # rows sum <= boundary leakage
+
+
+def test_conversions_roundtrip():
+    sp = random_scipy(50, 50, 0.08)
+    A = CsrMatrix.from_scipy(sp)
+    assert (crs2coo(A).to_scipy().tocsr() != sp).nnz == 0
+    assert (coo2crs(CooMatrix.from_scipy(sp)).to_scipy() != sp).nnz == 0
+    assert (ccs2crs(crs2ccs(A)).to_scipy() != sp).nnz == 0
+
+
+def test_bsr_roundtrip():
+    A = generate_structured_laplacian(64)
+    B = crs2bsr(A, 4)
+    assert B.block_size == 4
+    assert (bsr2crs(B, prune_zeros=True).to_scipy() != A.to_scipy()).nnz == 0
+
+
+def test_transpose():
+    sp = random_scipy(30, 50)
+    At = transpose(CsrMatrix.from_scipy(sp))
+    assert (At.to_scipy() != sp.T.tocsr()).nnz == 0
+
+
+def test_sort_and_zeros():
+    row = np.array([0, 0, 1, 1, 1])
+    col = np.array([2, 0, 1, 0, 2])
+    val = np.array([1.0, 2.0, 0.0, 3.0, 4.0])
+    A = CsrMatrix.from_arrays(np.array([0, 2, 5]), col, val, ncols=3)
+    assert not is_sorted(A)
+    As = sort_crs(A)
+    assert is_sorted(As)
+    Az = remove_zeros(A)
+    assert Az.nnz == 4
+
+
+def test_io_roundtrip(tmp_path):
+    A = generate_random_csr(20, 20, 3, seed=1)
+    write_mtx(tmp_path / "a.mtx", A)
+    B = read_mtx(tmp_path / "a.mtx", value_dtype=np.float32)
+    assert np.abs((B.to_scipy() - A.to_scipy())).max() < 1e-6
+    save_csr_npz(tmp_path / "a.npz", A)
+    C = load_csr_npz(str(tmp_path / "a.npz") + ".npz" if not (tmp_path / "a.npz").exists() else tmp_path / "a.npz")
+    assert (C.to_scipy() != A.to_scipy()).nnz == 0
+
+
+def test_diag_dominant():
+    A = generate_diag_dominant_csr(30, 4).to_scipy()
+    d = np.abs(A.diagonal())
+    off = np.abs(A).sum(axis=1)
+    off = np.asarray(off).ravel() - d
+    assert np.all(d >= off)
+
+
+def test_pytree_flatten():
+    import jax
+
+    A = generate_structured_laplacian(8)
+    leaves, treedef = jax.tree_util.tree_flatten(A)
+    assert len(leaves) == 3
+    B = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert B.shape == A.shape

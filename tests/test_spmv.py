@@ -1,0 +1,101 @@
+"""SpMV oracle tests — analog of sparse/unit_test/Test_Sparse_spmv.hpp:
+sequential host reference (scipy) + scaled-eps tolerance (:76-181), mode
+N/T/C coverage, multivector (:211), alpha/beta sweep."""
+import numpy as np
+import pytest
+
+from tpukk.containers import crs2bsr, generate_random_csr, generate_structured_laplacian
+from tpukk.sparse import SpmvAlgorithm, SpmvHandle, spmm, spmv
+
+from conftest import tol_for
+
+ALGOS = [SpmvAlgorithm.ELL, SpmvAlgorithm.SEGSUM, SpmvAlgorithm.DENSE]
+
+
+def _check(y, y_ref, dtype):
+    scale = max(1.0, np.abs(y_ref).max())
+    assert np.abs(np.asarray(y) - y_ref).max() <= tol_for(dtype, 20) * scale
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_spmv_laplacian(algo, scalar, rng):
+    A = generate_structured_laplacian(30, 20, dtype=scalar)
+    x = rng.standard_normal(A.ncols).astype(scalar)
+    _check(spmv(A, x, algorithm=algo), A.to_scipy() @ x, scalar)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_spmv_random_skewed(algo, rng):
+    # skewed row lengths exercise the bucketed-ELL load balance
+    A = generate_random_csr(200, 150, 6, seed=3, dtype=np.float64)
+    x = rng.standard_normal(A.ncols)
+    _check(spmv(A, x, algorithm=algo), A.to_scipy() @ x, np.float64)
+
+
+@pytest.mark.parametrize("alpha,beta", [(1.0, 0.0), (2.5, 0.0), (1.0, 1.0), (-1.0, 0.5), (0.0, 2.0)])
+def test_spmv_alpha_beta(alpha, beta, rng):
+    A = generate_structured_laplacian(25, 25, dtype=np.float64)
+    x = rng.standard_normal(A.ncols)
+    y = rng.standard_normal(A.nrows)
+    ref = beta * y + alpha * (A.to_scipy() @ x)
+    _check(spmv(A, x, alpha=alpha, beta=beta, y=y, algorithm=SpmvAlgorithm.ELL), ref, np.float64)
+
+
+@pytest.mark.parametrize("mode", ["T", "C"])
+def test_spmv_transpose(mode, rng):
+    A = generate_random_csr(60, 40, 5, seed=7, dtype=np.float64)
+    x = rng.standard_normal(A.nrows)
+    ref = A.to_scipy().T @ x
+    _check(spmv(A, x, mode=mode, algorithm=SpmvAlgorithm.ELL), ref, np.float64)
+
+
+def test_spmm_multivector(rng):
+    A = generate_structured_laplacian(20, 20, dtype=np.float64)
+    X = rng.standard_normal((A.ncols, 8))
+    _check(spmm(A, X, algorithm=SpmvAlgorithm.ELL), A.to_scipy() @ X, np.float64)
+    _check(spmm(A, X, algorithm=SpmvAlgorithm.SEGSUM), A.to_scipy() @ X, np.float64)
+
+
+def test_spmv_bsr(rng):
+    A = generate_structured_laplacian(64, dtype=np.float64)
+    B = crs2bsr(A, 4)
+    x = rng.standard_normal(B.ncols)
+    _check(spmv(B, x), A.to_scipy() @ x, np.float64)
+    X = rng.standard_normal((B.ncols, 4))
+    _check(spmv(B, X), A.to_scipy() @ X, np.float64)
+
+
+def test_handle_reuse(rng):
+    A = generate_structured_laplacian(16, 16, dtype=np.float64)
+    h = SpmvHandle(A, SpmvAlgorithm.ELL)
+    x1 = rng.standard_normal(A.ncols)
+    x2 = rng.standard_normal(A.ncols)
+    _check(h(x1), A.to_scipy() @ x1, np.float64)
+    _check(h(x2), A.to_scipy() @ x2, np.float64)
+    assert "ell" in h._plans  # symbolic result cached
+
+
+def test_spmv_jit(rng):
+    import jax
+
+    A = generate_structured_laplacian(16, 16, dtype=np.float32)
+    h = SpmvHandle(A, SpmvAlgorithm.ELL)
+    f = jax.jit(lambda x: h(x))
+    x = rng.standard_normal(A.ncols).astype(np.float32)
+    _check(f(x), A.to_scipy() @ x, np.float32)
+
+
+def test_empty_rows(rng):
+    # matrix with empty rows: correctness of padding path
+    import scipy.sparse as sps
+
+    from tpukk.containers import CsrMatrix
+
+    d = np.zeros((10, 10))
+    d[0, 0] = 1.0
+    d[5, 3] = 2.0
+    d[9, 9] = 3.0
+    A = CsrMatrix.from_scipy(sps.csr_matrix(d).astype(np.float64))
+    x = rng.standard_normal(10)
+    for algo in ALGOS:
+        _check(spmv(A, x, algorithm=algo), d @ x, np.float64)

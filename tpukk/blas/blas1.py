@@ -1,0 +1,193 @@
+"""BLAS1 — vector and multivector ops.  TPU-native analog of
+blas/src/KokkosBlas1_*.hpp (abs, axpby/axpy, dot, fill, iamax, mult, nrm1,
+nrm2, nrm2_squared, nrm2w, nrminf, reciprocal, rot, rotg, rotm, rotmg, scal,
+set, sum, swap, update — SURVEY.md §2.3).
+
+On TPU these are single fused XLA expressions; there is no separate "team"
+variant axis — batching is `vmap` (the Serial/Team/TeamVector collapse,
+SURVEY.md §3.5).  Multivector (2-D "MV") forms accept per-column coefficient
+vectors exactly like the reference's axpby MV overloads
+(blas/impl/KokkosBlas1_axpby_mv_impl.hpp): scalars broadcast, rank-1
+coefficient arrays apply per column.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..common import arith_traits
+
+__all__ = [
+    "abs", "axpy", "axpby", "dot", "fill", "iamax", "mult", "nrm1", "nrm2",
+    "nrm2_squared", "nrm2w", "nrminf", "reciprocal", "rot", "rotg", "rotm",
+    "rotmg", "scal", "update", "sum", "swap",
+]
+
+
+def _coef(a, x):
+    """Broadcast scalar or per-column coefficient against vector/multivector x."""
+    a = jnp.asarray(a)
+    if a.ndim == 1 and x.ndim == 2:
+        return a[None, :]
+    return a
+
+
+def abs(x):  # noqa: A001 - matches KokkosBlas1_abs
+    return jnp.abs(x)
+
+
+def axpy(alpha, x, y):
+    """y + alpha*x (functional: returns the new y)."""
+    return _coef(alpha, x) * x + y
+
+
+def axpby(alpha, x, beta, y):
+    """alpha*x + beta*y, cf. blas/src/KokkosBlas1_axpby.hpp."""
+    return _coef(alpha, x) * x + _coef(beta, y) * y
+
+
+def dot(x, y):
+    """<x,y> with conjugation on x for complex types
+    (cf. Kokkos_InnerProductSpaceTraits.hpp).  MV form: per-column dots."""
+    tr = arith_traits(x.dtype)
+    xc = tr.conj(x)
+    if x.ndim == 1:
+        return jnp.sum(xc * y)
+    return jnp.sum(xc * y, axis=0)
+
+
+def fill(x, val):
+    return jnp.full_like(x, val)
+
+
+def iamax(x):
+    """Index of max |x_i| (0-based; per column for MV)."""
+    return jnp.argmax(jnp.abs(x), axis=0)
+
+
+def mult(gamma, y, alpha, a, x):
+    """y = gamma*y + alpha*a*x elementwise (cf. KokkosBlas1_mult.hpp)."""
+    if a.ndim == 1 and x.ndim == 2:
+        a = a[:, None]
+    return gamma * y + alpha * a * x
+
+
+def nrm1(x):
+    tr = arith_traits(x.dtype)
+    return jnp.sum(jnp.abs(x), axis=0 if x.ndim == 2 else None).astype(tr.mag_dtype)
+
+
+def nrm2_squared(x):
+    tr = arith_traits(x.dtype)
+    m = jnp.abs(x) if tr.is_complex else x
+    return jnp.sum((m * m).real if tr.is_complex else m * m, axis=0 if x.ndim == 2 else None)
+
+
+def nrm2(x):
+    return jnp.sqrt(nrm2_squared(x))
+
+
+def nrm2w(x, w):
+    """sqrt(sum((x_i/w_i)^2)) — cf. KokkosBlas1_nrm2w.hpp."""
+    if w.ndim == 1 and x.ndim == 2:
+        w = w[:, None]
+    r = x / w
+    return jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0 if x.ndim == 2 else None))
+
+
+def nrminf(x):
+    return jnp.max(jnp.abs(x), axis=0 if x.ndim == 2 else None)
+
+
+def reciprocal(x):
+    return 1.0 / x
+
+
+def scal(alpha, x):
+    return _coef(alpha, x) * x
+
+
+def update(alpha, x, beta, y, gamma, z):
+    """alpha*x + beta*y + gamma*z (cf. KokkosBlas1_update.hpp)."""
+    return _coef(alpha, x) * x + _coef(beta, y) * y + _coef(gamma, z) * z
+
+
+def sum(x):  # noqa: A001
+    return jnp.sum(x, axis=0 if x.ndim == 2 else None)
+
+
+def swap(x, y):
+    """Functional swap (returns (y, x)); cf. KokkosBlas1_swap.hpp."""
+    return y, x
+
+
+def rot(x, y, c, s):
+    """Apply Givens rotation: (c*x + s*y, c*y - s*x)."""
+    return c * x + s * y, c * y - s * x
+
+
+def rotg(a, b):
+    """Construct Givens rotation zeroing b: returns (r, z, c, s) per BLAS."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    sigma = jnp.where(jnp.abs(a) > jnp.abs(b), jnp.sign(a), jnp.sign(b))
+    r = sigma * jnp.sqrt(a * a + b * b)
+    safe = jnp.where(r == 0, 1.0, r)
+    c = jnp.where(r == 0, 1.0, a / safe)
+    s = jnp.where(r == 0, 0.0, b / safe)
+    z = jnp.where(jnp.abs(a) > jnp.abs(b), s, jnp.where(c != 0, 1.0 / c, 1.0))
+    return r, z, c, s
+
+
+def rotm(x, y, param):
+    """Apply modified Givens rotation H (param = [flag, h11, h21, h12, h22])."""
+    flag = param[0]
+    h11, h21, h12, h22 = param[1], param[2], param[3], param[4]
+    one = jnp.ones_like(h11)
+    mone = -one
+    h11 = jnp.where(flag == -2.0, one, jnp.where(flag == 0.0, one, h11))
+    h22 = jnp.where(flag == -2.0, one, jnp.where(flag == 0.0, one, h22))
+    h12 = jnp.where(flag == -2.0, jnp.zeros_like(h12), jnp.where(flag == 1.0, one, h12))
+    h21 = jnp.where(flag == -2.0, jnp.zeros_like(h21), jnp.where(flag == 1.0, mone, h21))
+    return h11 * x + h12 * y, h21 * x + h22 * y
+
+
+def rotmg(d1, d2, x1, y1):
+    """Construct modified Givens rotation (reference LAPACK drotmg semantics,
+    simplified: no rescaling against gamma thresholds)."""
+    d1 = jnp.asarray(d1, jnp.result_type(d1, 1.0))
+    d2 = jnp.asarray(d2, d1.dtype)
+    x1 = jnp.asarray(x1, d1.dtype)
+    y1 = jnp.asarray(y1, d1.dtype)
+    p2 = d2 * y1
+    p1 = d1 * x1
+    q2 = p2 * y1
+    q1 = p1 * x1
+
+    def case_flag0():
+        # |q1| > |q2|: H = [[1, h12],[h21, 1]]
+        h21 = -y1 / x1
+        h12 = p2 / p1
+        u = 1.0 - h12 * h21
+        return (jnp.zeros_like(d1), d1 / u, d2 / u, x1 * u,
+                jnp.ones_like(d1), h21, h12, jnp.ones_like(d1))
+
+    def case_flag1():
+        # |q2| >= |q1|: H = [[h11, 1],[-1, h22]]
+        h11 = p1 / p2
+        h22 = x1 / y1
+        u = 1.0 + h11 * h22
+        return (jnp.ones_like(d1), d2 / u, d1 / u, y1 * u,
+                h11, -jnp.ones_like(d1), jnp.ones_like(d1), h22)
+
+    use0 = jnp.abs(q1) > jnp.abs(q2)
+    f0 = case_flag0()
+    f1 = case_flag1()
+    flag, nd1, nd2, nx1, h11, h21, h12, h22 = [jnp.where(use0, a, b) for a, b in zip(f0, f1)]
+    # degenerate: d1 < 0 or zero inputs → identity-ish flag -2
+    degen = (q2 == 0) & (q1 == 0)
+    flag = jnp.where(degen, -2.0, flag)
+    param = jnp.stack([flag, h11, h21, h12, h22])
+    nd1 = jnp.where(degen, d1, nd1)
+    nd2 = jnp.where(degen, d2, nd2)
+    nx1 = jnp.where(degen, x1, nx1)
+    return nd1, nd2, nx1, param

@@ -1,0 +1,13 @@
+from .arith_traits import ArithTraits, arith_traits, is_complex, mag_dtype
+from .errors import TpuKKError, check, check_rank, check_same_dtype
+from .types import default_offset, default_ordinal, default_scalar, enable_x64, supported_scalars
+from .utils import (
+    cdiv,
+    exclusive_scan,
+    inclusive_scan,
+    inverse_permutation,
+    permute,
+    round_up,
+    segment_offsets_from_sizes,
+    sizes_from_offsets,
+)

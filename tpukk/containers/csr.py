@@ -1,0 +1,163 @@
+"""CSR sparse matrix container — TPU-native analog of
+sparse/src/KokkosSparse_CrsMatrix.hpp:96 (`CrsMatrix`) and
+sparse/src/KokkosSparse_StaticCrsGraph.hpp:61-123 (`StaticCrsGraph`).
+
+Design: an immutable pytree of three jnp arrays (row_map, entries, values) plus
+static (nrows, ncols).  All nnz-dependent shapes are static once constructed,
+so every kernel jit-specializes per sparsity pattern — the functional analog of
+the reference's symbolic/numeric handle-reuse contract.  Host-side numpy
+mirrors of row_map/entries are kept for plan (symbolic) construction, which the
+TPU design deliberately performs on host (SURVEY.md §7.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import check, default_offset, default_ordinal
+
+__all__ = ["StaticCrsGraph", "CsrMatrix"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StaticCrsGraph:
+    """row_map (n+1 offsets) + entries (column ids); cf. StaticCrsGraph.hpp:61."""
+
+    row_map: Any  # (nrows+1,) offset dtype
+    entries: Any  # (nnz,) ordinal dtype
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+    ncols: int = dataclasses.field(metadata=dict(static=True))
+
+    def tree_flatten(self):
+        return (self.row_map, self.entries), (self.nrows, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.entries.shape[0])
+
+    def host_row_map(self) -> np.ndarray:
+        return np.asarray(self.row_map)
+
+    def host_entries(self) -> np.ndarray:
+        return np.asarray(self.entries)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CsrMatrix:
+    """CSR matrix: graph + values (cf. KokkosSparse_CrsMatrix.hpp:96,215).
+
+    ``values`` may be any float dtype; indices are i32 by default.  The object
+    is a pytree, so it flows through jit/vmap/shard_map directly.
+    """
+
+    row_map: Any
+    entries: Any
+    values: Any
+    nrows: int
+    ncols: int
+
+    def tree_flatten(self):
+        return (self.row_map, self.entries, self.values), (self.nrows, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls(children[0], children[1], children[2], aux[0], aux[1])
+        return obj
+
+    # ---- constructors -------------------------------------------------
+    @classmethod
+    def from_arrays(cls, row_map, entries, values, nrows=None, ncols=None):
+        row_map = jnp.asarray(row_map)
+        entries = jnp.asarray(entries)
+        values = jnp.asarray(values)
+        if nrows is None:
+            nrows = int(row_map.shape[0]) - 1
+        check(ncols is not None, "CsrMatrix.from_arrays: ncols is required")
+        check(row_map.shape[0] == nrows + 1, "CsrMatrix: row_map must have nrows+1 entries")
+        check(entries.shape == values.shape[:1], "CsrMatrix: entries/values length mismatch")
+        return cls(row_map, entries, values, int(nrows), int(ncols))
+
+    @classmethod
+    def from_scipy(cls, sp, value_dtype=None, ordinal_dtype=default_ordinal, offset_dtype=default_offset):
+        csr = sp.tocsr()
+        vals = csr.data if value_dtype is None else csr.data.astype(value_dtype)
+        return cls(
+            jnp.asarray(csr.indptr, dtype=offset_dtype),
+            jnp.asarray(csr.indices, dtype=ordinal_dtype),
+            jnp.asarray(vals),
+            int(csr.shape[0]),
+            int(csr.shape[1]),
+        )
+
+    @classmethod
+    def from_dense(cls, dense, ordinal_dtype=default_ordinal, offset_dtype=default_offset):
+        dense = np.asarray(dense)
+        nz = dense != 0
+        counts = nz.sum(axis=1)
+        row_map = np.zeros(dense.shape[0] + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_map[1:])
+        rows, cols = np.nonzero(nz)
+        return cls(
+            jnp.asarray(row_map, dtype=offset_dtype),
+            jnp.asarray(cols, dtype=ordinal_dtype),
+            jnp.asarray(dense[rows, cols]),
+            dense.shape[0],
+            dense.shape[1],
+        )
+
+    # ---- views / exports ---------------------------------------------
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.entries.shape[0])
+
+    @property
+    def graph(self) -> StaticCrsGraph:
+        return StaticCrsGraph(self.row_map, self.entries, self.nrows, self.ncols)
+
+    def to_scipy(self):
+        import scipy.sparse as sps
+
+        # copy: jax buffers surface as read-only numpy views, scipy mutates
+        return sps.csr_matrix(
+            (np.array(self.values), np.array(self.entries), np.array(self.row_map)),
+            shape=self.shape,
+        )
+
+    def to_dense(self):
+        return jnp.asarray(self.to_scipy().toarray())
+
+    def with_values(self, values) -> "CsrMatrix":
+        """Same sparsity, new values (the numeric-phase reuse idiom)."""
+        return CsrMatrix(self.row_map, self.entries, jnp.asarray(values), self.nrows, self.ncols)
+
+    def astype(self, dtype) -> "CsrMatrix":
+        return self.with_values(self.values.astype(dtype))
+
+    # host mirrors for plan construction
+    def host_row_map(self) -> np.ndarray:
+        return np.asarray(self.row_map)
+
+    def host_entries(self) -> np.ndarray:
+        return np.asarray(self.entries)
+
+    def row_lengths(self) -> np.ndarray:
+        rm = self.host_row_map()
+        return rm[1:] - rm[:-1]

@@ -1,0 +1,83 @@
+"""Distributed SpMV over a device mesh — the multi-device layer the reference
+explicitly does not have (SURVEY.md §2.11): rows of A block-partitioned over
+the mesh axis, x row-sharded with the same partition, the needed remote x
+entries obtained with an `all_gather` over ICI inside `shard_map`.
+
+(A halo-exchange plan with interior/boundary overlap — ppermute double
+buffering — is the planned refinement; all_gather is the correct-first
+collective schedule and already rides ICI.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .partition import RowPartition, partition_rows
+
+__all__ = ["shard_partition", "dist_spmv", "dist_dot", "dist_cg_step"]
+
+
+def shard_partition(plan: RowPartition, mesh: Mesh, axis: str = "parts"):
+    """Place the stacked plan + a row-sharded vector layout on the mesh."""
+    spec = NamedSharding(mesh, P(axis))
+    cols = jax.device_put(plan.cols, spec)
+    vals = jax.device_put(plan.vals, spec)
+    valid = jax.device_put(plan.row_valid, spec)
+    return RowPartition(cols, vals, valid, plan.nrows, plan.ncols,
+                        plan.n_parts, plan.rows_per_part)
+
+
+def _local_spmv(cols, vals, valid, x_shard, axis):
+    # gather the full x across the mesh axis (ICI all-gather), then a purely
+    # local padded-row gather+reduce — no scatter, no atomics.
+    x = jax.lax.all_gather(x_shard, axis, tiled=True).reshape(-1)  # (padded_rows,)
+    c = cols[0]                                           # shard leading axis is size 1
+    v = vals[0]
+    y = jnp.sum(v * jnp.take(x, c, axis=0), axis=1)
+    return (y * valid[0].astype(y.dtype))[None]
+
+
+def dist_spmv(plan: RowPartition, x_padded, mesh: Mesh, axis: str = "parts"):
+    """y = A·x with x_padded of shape (n_parts*rows_per_part,) row-sharded.
+
+    Note: the plan's column ids index the *unpadded* global x; callers pass x
+    padded to padded_rows with zeros in the tail (col ids < nrows always).
+    """
+    f = jax.shard_map(
+        partial(_local_spmv, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    y2 = f(plan.cols, plan.vals, plan.row_valid,
+           x_padded.reshape(plan.n_parts, plan.rows_per_part))
+    return y2.reshape(-1)
+
+
+def dist_dot(x, y, mesh: Mesh, axis: str = "parts"):
+    """<x,y> over row-sharded vectors (psum over the mesh axis)."""
+
+    def local(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                      out_specs=P())
+    return f(x, y)
+
+
+def dist_cg_step(plan: RowPartition, state, mesh: Mesh, axis: str = "parts"):
+    """One CG iteration on row-sharded vectors — the flagship multi-chip
+    'training step' (SpMV + dots + axpys with ICI collectives)."""
+    x, r, p, rz = state
+    Ap = dist_spmv(plan, p, mesh, axis)
+    pAp = dist_dot(p, Ap, mesh, axis)
+    alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    rz_new = dist_dot(r, r, mesh, axis)
+    beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+    p = r + beta * p
+    return (x, r, p, rz_new)

@@ -1,0 +1,169 @@
+"""Public SpMV API — analog of sparse/src/KokkosSparse_spmv.hpp:77 and the
+handle in sparse/src/KokkosSparse_spmv_handle.hpp.
+
+    y = spmv(A, x)                      # A·x
+    y = spmv(A, x, alpha, beta, y)      # beta*y + alpha*op(A)·x
+    h = SpmvHandle(A, algorithm=...)    # reusable plan (symbolic phase)
+    y = h(x)                            # numeric phase, jit-friendly
+
+Modes 'N'/'T'/'C' follow the reference; transpose modes materialize Aᵀ at plan
+time instead of scatter+atomics (SURVEY.md §2.10: TPUs have no fast global
+atomics; the reference also recommends materialization for repeated use,
+KokkosSparse_spmv_impl.hpp:381-511 being the atomics path we reject).
+"""
+from __future__ import annotations
+
+import weakref
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import check
+from ..containers import BsrMatrix, CsrMatrix
+from ..containers.sort_crs import transpose as _transpose
+from . import spmv_impl
+from .spmv_impl import SpmvAlgorithm
+
+__all__ = ["SpmvAlgorithm", "SpmvHandle", "spmv", "spmm"]
+
+
+def _choose_algorithm(A: CsrMatrix) -> SpmvAlgorithm:
+    """Auto heuristic (the DEFAULT algorithm gate, KokkosSparse_spmv.hpp:222):
+    tiny → DENSE; banded/stencil → DIA shifted streaming; otherwise bucketed
+    ELL (static load balance)."""
+    if A.nrows * A.ncols <= 256 * 256:
+        return SpmvAlgorithm.DENSE
+    offs = spmv_impl.detect_dia_offsets(A, max_diags=32)
+    if offs is not None and len(offs) * A.nrows <= 4 * max(A.nnz, 1):
+        # dense-diagonal storage is within 4x of CSR nnz → streaming wins
+        return SpmvAlgorithm.DIA
+    return SpmvAlgorithm.ELL
+
+
+class SpmvHandle:
+    """Reusable SpMV plan — functional analog of SPMVHandle
+    (KokkosSparse_spmv_handle.hpp:91-135, setup caching across calls)."""
+
+    def __init__(self, A, algorithm: SpmvAlgorithm = SpmvAlgorithm.AUTO):
+        self.A = A
+        if isinstance(A, BsrMatrix):
+            algorithm = SpmvAlgorithm.BSR
+        elif algorithm == SpmvAlgorithm.AUTO:
+            algorithm = _choose_algorithm(A)
+        self.algorithm = algorithm
+        self._plans = {}
+        self._transposed: Optional["SpmvHandle"] = None
+
+    # -- plan construction (symbolic phase, host-side, cached) ----------
+    def _plan(self, key):
+        if key in self._plans:
+            return self._plans[key]
+        A = self.A
+        if key == "ell":
+            p = spmv_impl.build_ell_plan(A)
+        elif key == "dia":
+            p = spmv_impl.build_dia_plan(A)
+        elif key == "segsum":
+            p = spmv_impl.build_segsum_plan(A)
+        elif key == "dense":
+            p = jnp.asarray(A.to_dense())
+        elif key == "bsr_rows":
+            p = spmv_impl.build_bsr_rows(A)
+        else:  # pragma: no cover
+            raise KeyError(key)
+        self._plans[key] = p
+        return p
+
+    def transposed(self) -> "SpmvHandle":
+        if self._transposed is None:
+            check(isinstance(self.A, CsrMatrix), "transpose mode: CSR only for now")
+            self._transposed = SpmvHandle(_transpose(self.A), self.algorithm)
+        return self._transposed
+
+    # -- numeric phase --------------------------------------------------
+    def matvec(self, x):
+        """op-free A·x (or A·X for multivector)."""
+        alg = self.algorithm
+        if alg == SpmvAlgorithm.ELL:
+            return spmv_impl.apply_ell(self._plan("ell"), x)
+        if alg == SpmvAlgorithm.DIA:
+            return spmv_impl.apply_dia(self._plan("dia"), x)
+        if alg == SpmvAlgorithm.SEGSUM:
+            return spmv_impl.apply_segsum(self._plan("segsum"), self.A, x)
+        if alg == SpmvAlgorithm.DENSE:
+            return spmv_impl.apply_dense(self._plan("dense"), x)
+        if alg == SpmvAlgorithm.BSR:
+            return spmv_impl.apply_bsr(self.A, self._plan("bsr_rows"), x)
+        if alg == SpmvAlgorithm.PALLAS:
+            from . import spmv_pallas
+
+            return spmv_pallas.apply(self, x)
+        raise NotImplementedError(alg)
+
+    def __call__(self, x, alpha=1.0, beta=0.0, y=None, mode: str = "N"):
+        m = mode.upper()
+        check(m in ("N", "T", "C"), f"spmv: invalid mode '{mode}'")
+        h = self
+        if m in ("T", "C"):
+            h = self.transposed()
+            if m == "C" and jnp.iscomplexobj(self.A.values):
+                # conj(A)ᵀ x = conj(Aᵀ conj(x)) for real alpha — materialize
+                # conjugated values instead to keep one code path.
+                h = SpmvHandle(h.A.with_values(jnp.conj(h.A.values)), h.algorithm)
+        _check_dims(h.A, x, y, m)
+        ax = h.matvec(x)
+        if y is None or _is_zero(beta):
+            out = ax if _is_one(alpha) else alpha * ax
+        else:
+            out = beta * y + alpha * ax
+        return out.astype(x.dtype)
+
+
+def _is_zero(c):
+    return isinstance(c, (int, float)) and c == 0
+
+
+def _is_one(c):
+    return isinstance(c, (int, float)) and c == 1
+
+
+def _check_dims(A, x, y, mode):
+    nr, nc = A.shape
+    check(x.shape[0] == nc, f"spmv: x has {x.shape[0]} rows, expected {nc}")
+    if y is not None:
+        check(y.shape[0] == nr, f"spmv: y has {y.shape[0]} rows, expected {nr}")
+        check(x.ndim == y.ndim, "spmv: x/y rank mismatch")
+
+
+_handle_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_handle(A) -> SpmvHandle:
+    try:
+        h = _handle_cache.get(A)
+    except TypeError:  # unhashable / not weakref-able
+        return SpmvHandle(A)
+    if h is None:
+        h = SpmvHandle(A)
+        _handle_cache[A] = h
+    return h
+
+
+def spmv(A, x, alpha=1.0, beta=0.0, y=None, mode: str = "N",
+         algorithm: SpmvAlgorithm = SpmvAlgorithm.AUTO):
+    """Convenience overload building (and caching) a handle — the analog of
+    the handle-less spmv overload (KokkosSparse_spmv.hpp:77)."""
+    if algorithm == SpmvAlgorithm.AUTO:
+        h = _cached_handle(A)
+    else:
+        h = SpmvHandle(A, algorithm)
+    return h(x, alpha=alpha, beta=beta, y=y, mode=mode)
+
+
+def spmm(A, X, alpha=1.0, beta=0.0, Y=None, mode: str = "N",
+         algorithm: SpmvAlgorithm = SpmvAlgorithm.AUTO):
+    """Multivector SpMM (rank-2 X) — the reference folds this into spmv's MV
+    overloads; we expose an explicit alias."""
+    check(X.ndim == 2, "spmm: X must be rank-2")
+    return spmv(A, X, alpha=alpha, beta=beta, y=Y, mode=mode, algorithm=algorithm)
