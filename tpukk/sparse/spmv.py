@@ -64,6 +64,10 @@ class SpmvHandle:
             p = spmv_impl.build_ell_plan(A)
         elif key == "dia":
             p = spmv_impl.build_dia_plan(A)
+        elif key == "dia_pallas":
+            from . import spmv_pallas
+
+            p = spmv_pallas.build_dia_pallas_plan(self._plan("dia"))
         elif key == "segsum":
             p = spmv_impl.build_segsum_plan(A)
         elif key == "dense":
@@ -88,6 +92,10 @@ class SpmvHandle:
         if alg == SpmvAlgorithm.ELL:
             return spmv_impl.apply_ell(self._plan("ell"), x)
         if alg == SpmvAlgorithm.DIA:
+            from . import spmv_pallas
+
+            if spmv_pallas.supports_pallas() and x.ndim == 1:
+                return spmv_pallas.apply(self, x)
             return spmv_impl.apply_dia(self._plan("dia"), x)
         if alg == SpmvAlgorithm.SEGSUM:
             return spmv_impl.apply_segsum(self._plan("segsum"), self.A, x)
