@@ -1,0 +1,139 @@
+"""Graph kernel tests — validity oracles (zero conflicts for coloring, cf.
+kk_is_d1_coloring_valid usage in Test_Graph_graph_color.hpp:135-167;
+exact triangle counts on known graphs)."""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from tpukk.containers import CsrMatrix, generate_random_csr, generate_structured_laplacian
+from tpukk.graph import (
+    ColoringAlgorithm,
+    color_sets,
+    coarsen,
+    graph_color,
+    graph_color_d2,
+    graph_mis2,
+    graph_mis2_aggregate,
+    graph_mis2_coarsen,
+    permute_matrix,
+    rcb,
+    rcm,
+    triangle_count,
+    triangle_count_per_row,
+    verify_coloring,
+)
+
+
+def _sym(A):
+    sp = A.to_scipy()
+    sp = ((sp + sp.T) * 0.5).tocsr()
+    sp.sort_indices()
+    return CsrMatrix.from_scipy(sp.astype(np.float64))
+
+
+@pytest.mark.parametrize("algo", [ColoringAlgorithm.SERIAL, ColoringAlgorithm.VB])
+def test_d1_coloring_valid(algo):
+    A = generate_structured_laplacian(20, 20)
+    colors = graph_color(A, algo)
+    assert verify_coloring(A, colors)
+    # 2D Laplacian (bipartite 5-pt stencil) should need few colors
+    assert colors.max() <= 8
+
+
+@pytest.mark.parametrize("algo", [ColoringAlgorithm.SERIAL, ColoringAlgorithm.VB])
+def test_d1_coloring_random(algo):
+    A = _sym(generate_random_csr(120, 120, 5, seed=2))
+    colors = graph_color(A, algo)
+    assert verify_coloring(A, colors)
+
+
+def test_d2_coloring():
+    A = _sym(generate_random_csr(60, 60, 4, seed=3))
+    colors = graph_color_d2(A)
+    # distance-2 validity: no two vertices sharing a neighbor have same color
+    sp = A.to_scipy()
+    pat = sp.copy()
+    pat.data[:] = 1.0
+    sq = (pat @ pat.T + pat).tocsr()
+    assert verify_coloring(CsrMatrix.from_scipy(sq.astype(np.float64)), colors)
+
+
+def test_color_sets_partition():
+    A = generate_structured_laplacian(10, 10)
+    colors = graph_color(A)
+    offsets, order = color_sets(colors)
+    assert offsets[-1] == A.nrows
+    assert len(np.unique(order)) == A.nrows
+    for c in range(len(offsets) - 1):
+        assert np.all(colors[order[offsets[c]:offsets[c + 1]]] == c + 1)
+
+
+def test_mis2():
+    A = generate_structured_laplacian(15, 15)
+    roots = graph_mis2(A)
+    sp = A.to_scipy()
+    pat = sp.copy()
+    pat.data[:] = 1.0
+    A2 = (pat @ pat + pat).tocsr()
+    sub = A2[roots][:, roots]
+    off_diag = sub - sps.diags(sub.diagonal())
+    assert np.abs(off_diag).sum() == 0  # pairwise distance > 2
+
+
+def test_mis2_aggregate_and_coarsen():
+    A = generate_structured_laplacian(12, 12)
+    labels = graph_mis2_aggregate(A)
+    assert labels.min() >= 0
+    coarse, labels2 = graph_mis2_coarsen(A)
+    assert coarse.nrows == int(labels2.max()) + 1
+    assert coarse.nrows < A.nrows
+
+
+def test_coarsen_heuristics():
+    A = _sym(generate_random_csr(80, 80, 4, seed=4))
+    for heur in ["mis2", "heavy_edge"]:
+        from tpukk.graph import CoarsenHeuristic
+
+        coarse, labels = coarsen(A, CoarsenHeuristic(heur))
+        assert coarse.nrows == int(labels.max()) + 1
+        assert coarse.nrows < A.nrows
+
+
+def test_rcm_reduces_bandwidth():
+    A = _sym(generate_random_csr(100, 100, 3, seed=5))
+    perm = rcm(A)
+    B = permute_matrix(A, perm)
+
+    def bandwidth(sp):
+        coo = sp.to_scipy().tocoo()
+        return int(np.abs(coo.row - coo.col).max(initial=0))
+
+    assert bandwidth(B) <= bandwidth(A)
+
+
+def test_rcb_balanced():
+    rng = np.random.default_rng(0)
+    pts = rng.random((1000, 2))
+    parts = rcb(pts, 4)
+    counts = np.bincount(parts, minlength=4)
+    assert counts.min() >= 200  # roughly balanced quarters
+
+
+def test_triangle_count_known():
+    # complete graph K4 has 4 triangles
+    d = np.ones((4, 4)) - np.eye(4)
+    A = CsrMatrix.from_scipy(sps.csr_matrix(d))
+    assert triangle_count(A) == 4
+    # 2D Laplacian 5-pt grid has no triangles
+    L = generate_structured_laplacian(10, 10)
+    assert triangle_count(L) == 0
+
+
+def test_triangle_count_random_vs_dense():
+    A = _sym(generate_random_csr(40, 40, 5, seed=6))
+    d = (np.asarray(A.to_dense()) != 0).astype(np.int64)
+    np.fill_diagonal(d, 0)
+    d = ((d + d.T) > 0).astype(np.int64)
+    expected = int(np.trace(d @ d @ d) // 6)
+    assert triangle_count(A) == expected
+    assert triangle_count_per_row(A).sum() == expected

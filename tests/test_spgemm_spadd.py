@@ -1,0 +1,79 @@
+"""SpGEMM/SpADD tests — sorted-CRS matrix-equality oracle
+(Test_Sparse_spgemm.hpp:22,98-110 `is_same_matrix` + handle state flags)."""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from tpukk.containers import CsrMatrix, generate_random_csr, generate_structured_laplacian
+from tpukk.sparse.spadd import SpaddHandle, spadd, spadd_numeric, spadd_symbolic
+from tpukk.sparse.spgemm import SpgemmAlgorithm, SpgemmHandle, spgemm, spgemm_numeric, spgemm_symbolic
+
+
+def is_same_matrix(C, ref, tol=1e-10):
+    Cs = C.to_scipy()
+    Cs.sort_indices()
+    ref = ref.tocsr()
+    ref.sort_indices()
+    ref.eliminate_zeros()
+    Cs2 = Cs.copy()
+    Cs2.data = np.where(np.abs(Cs2.data) < tol, 0, Cs2.data)
+    Cs2.eliminate_zeros()
+    if Cs2.shape != ref.shape:
+        return False
+    d = (Cs2 - ref)
+    return np.abs(d.data).max(initial=0.0) < tol * max(1.0, np.abs(ref.data).max(initial=1.0))
+
+
+@pytest.mark.parametrize("algo", [SpgemmAlgorithm.KK, SpgemmAlgorithm.DENSE_ACC, SpgemmAlgorithm.DEBUG])
+def test_spgemm_aa(algo):
+    A = generate_structured_laplacian(15, 12, dtype=np.float64)
+    h = SpgemmHandle(algo)
+    spgemm_symbolic(h, A, A)
+    assert h.is_symbolic_called
+    C = spgemm_numeric(h, A, A)
+    assert is_same_matrix(C, A.to_scipy() @ A.to_scipy())
+
+
+def test_spgemm_rect():
+    A = generate_random_csr(40, 60, 5, seed=1, dtype=np.float64)
+    B = generate_random_csr(60, 30, 4, seed=2, dtype=np.float64)
+    C = spgemm(A, B)
+    assert is_same_matrix(C, A.to_scipy() @ B.to_scipy())
+
+
+def test_spgemm_numeric_reuse():
+    A = generate_random_csr(30, 30, 4, seed=3, dtype=np.float64)
+    h = SpgemmHandle()
+    spgemm_symbolic(h, A, A)
+    C1 = spgemm_numeric(h, A, A)
+    A2 = A.with_values(np.asarray(A.values) * 2.0)
+    C2 = spgemm_numeric(h, A2, A2)
+    np.testing.assert_allclose(np.asarray(C2.values), 4 * np.asarray(C1.values), rtol=1e-12)
+
+
+def test_spgemm_empty_rows():
+    d = np.zeros((8, 8))
+    d[1, 2] = 1.0
+    d[5, 5] = 2.0
+    A = CsrMatrix.from_scipy(sps.csr_matrix(d).astype(np.float64))
+    C = spgemm(A, A)
+    assert is_same_matrix(C, sps.csr_matrix(d @ d))
+
+
+@pytest.mark.parametrize("sorted_input", [True, False])
+def test_spadd(sorted_input):
+    A = generate_random_csr(50, 40, 4, seed=5, dtype=np.float64)
+    B = generate_random_csr(50, 40, 6, seed=6, dtype=np.float64)
+    C = spadd(2.0, A, -0.5, B, sorted_input=sorted_input)
+    assert is_same_matrix(C, 2.0 * A.to_scipy() - 0.5 * B.to_scipy())
+
+
+def test_spadd_numeric_reuse():
+    A = generate_random_csr(20, 20, 3, seed=7, dtype=np.float64)
+    B = generate_random_csr(20, 20, 3, seed=8, dtype=np.float64)
+    h = SpaddHandle()
+    spadd_symbolic(h, A, B)
+    C1 = spadd_numeric(h, 1.0, A, 1.0, B)
+    C2 = spadd_numeric(h, 0.0, A, 1.0, B)
+    assert is_same_matrix(C2, B.to_scipy())
+    assert is_same_matrix(C1, A.to_scipy() + B.to_scipy())

@@ -1,0 +1,155 @@
+"""Distance-1 and distance-2 graph coloring — analog of
+graph/src/KokkosGraph_Distance1Color.hpp:28 (graph_color_symbolic) with the
+algorithm taxonomy of Distance1ColorHandle.hpp:28-41 ({SERIAL, VB, VBD, ...})
+and graph/src/KokkosGraph_Distance2Color.hpp.
+
+TPU translation (SURVEY.md §2.10): the VB speculative-color + conflict-resolve
+loop (Distance1Color_impl.hpp:170-493) becomes a data-parallel JAX iteration
+over an ELL-padded adjacency — each round every uncolored vertex picks the
+smallest color absent among neighbors (forbidden-mask via one-hot reduce),
+then conflicts (equal-colored adjacent vertices) are demoted by index order
+(deterministic, = the VBD determinism guarantee).  SERIAL is the host greedy
+oracle.
+"""
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import round_up
+from ..containers import CsrMatrix, StaticCrsGraph
+
+__all__ = ["ColoringAlgorithm", "graph_color", "graph_color_d2", "verify_coloring",
+           "color_sets"]
+
+
+class ColoringAlgorithm(enum.Enum):
+    SERIAL = "serial"
+    VB = "vb"        # speculative parallel, deterministic conflict resolution
+
+
+def _adjacency(graph) -> tuple:
+    if isinstance(graph, CsrMatrix):
+        graph = graph.graph
+    rm = np.asarray(graph.row_map)
+    ent = np.asarray(graph.entries)
+    return rm, ent, graph.nrows
+
+
+def _ell_pad(rm, ent, nrows):
+    deg = rm[1:] - rm[:-1]
+    w = max(1, int(deg.max(initial=1)))
+    cols = np.full((nrows, w), -1, np.int32)
+    for i in range(nrows):
+        s, e = rm[i], rm[i + 1]
+        cols[i, : e - s] = ent[s:e]
+    return cols
+
+
+def _serial_greedy(rm, ent, nrows) -> np.ndarray:
+    colors = np.zeros(nrows, np.int32)  # 0 = uncolored; colors 1-based
+    for v in range(nrows):
+        nbr = ent[rm[v]:rm[v + 1]]
+        used = set(colors[nbr[nbr != v]].tolist())
+        c = 1
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors
+
+
+def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
+              max_rounds: int = 64) -> np.ndarray:
+    """Speculative parallel coloring on device."""
+    cols = jnp.asarray(cols_ell)
+    idx = jnp.arange(nrows, dtype=jnp.int32)
+
+    @jax.jit
+    def one_round(colors):
+        # forbidden[v, c] = any neighbor of v has color c+1
+        nbr_colors = jnp.where(cols >= 0,
+                               jnp.take(colors, jnp.maximum(cols, 0)), 0)
+        # drop self-loops
+        nbr_colors = jnp.where(cols == idx[:, None], 0, nbr_colors)
+        forb = jax.nn.one_hot(nbr_colors, max_colors + 1, dtype=jnp.bool_)
+        forb = jnp.any(forb, axis=1)                      # (n, max_colors+1)
+        forb = forb.at[:, 0].set(True)                    # color 0 unusable
+        first_free = jnp.argmin(forb, axis=1).astype(jnp.int32)
+        colors = jnp.where(colors == 0, first_free, colors)
+        # conflict detection: adjacent equal colors -> higher index recolors
+        nbr_colors2 = jnp.where(cols >= 0,
+                                jnp.take(colors, jnp.maximum(cols, 0)), -1)
+        nbr_colors2 = jnp.where(cols == idx[:, None], -1, nbr_colors2)
+        conflict = jnp.any(
+            (nbr_colors2 == colors[:, None]) & (cols < idx[:, None]) & (cols >= 0),
+            axis=1)
+        colors = jnp.where(conflict, 0, colors)
+        return colors
+
+    colors = jnp.zeros(nrows, jnp.int32)
+    for _ in range(max_rounds):
+        colors = one_round(colors)
+        if int(jnp.sum(colors == 0)) == 0:
+            break
+    return np.asarray(colors)
+
+
+def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:
+    """1-based colors per vertex (0 never returned on success)."""
+    rm, ent, nrows = _adjacency(graph)
+    if algorithm == ColoringAlgorithm.SERIAL:
+        return _serial_greedy(rm, ent, nrows)
+    cols_ell = _ell_pad(rm, ent, nrows)
+    colors = _vb_color(cols_ell, nrows)
+    if (colors == 0).any():  # pathological fallback
+        return _serial_greedy(rm, ent, nrows)
+    return colors
+
+
+def graph_color_d2(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:
+    """Distance-2 coloring via the square-graph reduction (the D2 conflict set
+    is exactly distance-1 adjacency of G²) — cf. Distance2Color_impl.hpp."""
+    if isinstance(graph, CsrMatrix):
+        sp = graph.to_scipy()
+    else:
+        import scipy.sparse as sps
+
+        n = graph.nrows
+        rm = np.asarray(graph.row_map)
+        ent = np.asarray(graph.entries)
+        sp = sps.csr_matrix((np.ones(len(ent)), ent, rm), shape=(n, graph.ncols))
+    pat = sp.copy()
+    pat.data[:] = 1.0
+    sq = (pat @ pat.T).tocsr()
+    sq = ((sq + pat + pat.T) if sp.shape[0] == sp.shape[1] else sq).tocsr()
+    sq.sort_indices()
+    A2 = CsrMatrix.from_scipy(sq.astype(np.float32))
+    return graph_color(A2, algorithm)
+
+
+def verify_coloring(graph, colors: np.ndarray) -> bool:
+    """cf. kk_is_d1_coloring_valid (Test_Graph_graph_color.hpp:135-167)."""
+    rm, ent, nrows = _adjacency(graph)
+    if (colors <= 0).any():
+        return False
+    for v in range(nrows):
+        nbr = ent[rm[v]:rm[v + 1]]
+        nbr = nbr[nbr != v]
+        if (colors[nbr] == colors[v]).any():
+            return False
+    return True
+
+
+def color_sets(colors: np.ndarray):
+    """Group vertices by color: returns (color_offsets, vertex_order) — the
+    color_adj permutation used by colored Gauss-Seidel
+    (gauss_seidel_impl.hpp color_adj build)."""
+    order = np.argsort(colors, kind="stable")
+    ncolors = int(colors.max())
+    counts = np.bincount(colors, minlength=ncolors + 1)[1:]
+    offsets = np.zeros(ncolors + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets, order.astype(np.int32)

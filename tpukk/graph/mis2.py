@@ -1,0 +1,107 @@
+"""Distance-2 maximal independent set + MIS2-based coarsening — analog of
+graph/src/KokkosGraph_MIS2.hpp:53-68 (graph_mis2, graph_mis2_coarsen,
+graph_mis2_aggregate) and graph/impl/KokkosGraph_Distance2MIS_impl.hpp.
+
+Luby-style random-priority rounds (the reference's worklist algorithm is the
+same fixpoint): host orchestration, vectorized numpy per round — symbolic
+(plan-time) work in the TPU design.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sps
+
+from ..containers import CsrMatrix
+
+__all__ = ["graph_mis2", "graph_mis2_aggregate", "graph_mis2_coarsen"]
+
+
+def _pattern(graph) -> sps.csr_matrix:
+    if isinstance(graph, CsrMatrix):
+        sp = graph.to_scipy().copy()
+    else:
+        rm = np.asarray(graph.row_map)
+        ent = np.asarray(graph.entries)
+        sp = sps.csr_matrix((np.ones(len(ent)), ent, rm), shape=(graph.nrows, graph.ncols))
+    sp.data[:] = 1.0
+    return sp.tocsr()
+
+
+def graph_mis2(graph, seed: int = 0) -> np.ndarray:
+    """Indices of a maximal set with pairwise distance > 2."""
+    A = _pattern(graph)
+    n = A.shape[0]
+    A2 = (A @ A).tocsr()
+    A2 = (A2 + A).tocsr()  # distance-1 or distance-2 adjacency
+    rng = np.random.default_rng(seed)
+    prio = rng.permutation(n).astype(np.int64)
+    state = np.zeros(n, np.int8)  # 0 undecided, 1 in set, -1 out
+    while (state == 0).any():
+        undecided = state == 0
+        # v joins if its priority beats all undecided distance<=2 neighbors
+        cand_prio = np.where(undecided, prio, -1)
+        rm, ent = A2.indptr, A2.indices
+        rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])
+        vals = np.where(undecided[ent] & (ent != rows), prio[ent], -1)
+        nbr_best = np.full(n, -1, np.int64)
+        np.maximum.at(nbr_best, rows, vals)
+        win = undecided & (cand_prio > nbr_best)
+        state[win] = 1
+        # neighbors (distance<=2) of winners are out
+        out = np.zeros(n, bool)
+        winners = np.nonzero(win)[0]
+        if winners.size:
+            reach = A2[winners].sum(axis=0)
+            out = np.asarray(reach).ravel() > 0
+        out &= state == 0
+        state[out] = -1
+        if not win.any() and (state == 0).any():
+            # tie-break stall (shouldn't happen with a permutation) — pick min index
+            state[np.nonzero(state == 0)[0][0]] = 1
+    return np.nonzero(state == 1)[0].astype(np.int32)
+
+
+def graph_mis2_aggregate(graph, seed: int = 0) -> np.ndarray:
+    """Label each vertex with the nearest MIS-2 root (aggregation/clustering)
+    — cf. graph_mis2_aggregate."""
+    A = _pattern(graph)
+    n = A.shape[0]
+    roots = graph_mis2(graph, seed)
+    labels = np.full(n, -1, np.int64)
+    labels[roots] = np.arange(len(roots))
+    frontier = roots
+    # BFS from all roots simultaneously (2 hops suffice for MIS-2 maximality,
+    # but iterate until fully labeled for safety)
+    while (labels == -1).any():
+        progressed = False
+        unl = labels == -1
+        rm, ent = A.indptr, A.indices
+        rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])
+        # propagate: unlabeled vertex adopts min labeled neighbor's label
+        lab_n = np.where(labels[ent] >= 0, labels[ent], np.iinfo(np.int64).max)
+        best = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(best, rows, lab_n)
+        adopt = unl & (best != np.iinfo(np.int64).max)
+        if adopt.any():
+            labels[adopt] = best[adopt]
+            progressed = True
+        if not progressed:
+            # disconnected unlabeled vertex becomes its own aggregate
+            v = np.nonzero(unl)[0][0]
+            labels[v] = labels.max() + 1
+    return labels.astype(np.int32)
+
+
+def graph_mis2_coarsen(graph, seed: int = 0):
+    """Coarse graph = Pᵀ·A·P with P the aggregation matrix —
+    cf. build_coarse_graph_spgemm (CoarsenConstruct.hpp:230-258)."""
+    A = _pattern(graph)
+    labels = graph_mis2_aggregate(graph, seed)
+    nc = int(labels.max()) + 1
+    n = A.shape[0]
+    P = sps.csr_matrix((np.ones(n), (np.arange(n), labels)), shape=(n, nc))
+    coarse = (P.T @ A @ P).tocsr()
+    coarse.setdiag(0)
+    coarse.eliminate_zeros()
+    coarse.sort_indices()
+    return CsrMatrix.from_scipy(coarse.astype(np.float32)), labels
