@@ -1,0 +1,89 @@
+"""GS tests — error must decrease per sweep (the reference's oracle,
+Test_Sparse_gauss_seidel.hpp) and POINT must match a sequential GS sweep
+ordering-equivalence (colored GS = exact GS in the permuted order)."""
+import numpy as np
+import pytest
+
+from tpukk.containers import generate_diag_dominant_csr, generate_structured_laplacian
+from tpukk.sparse.gauss_seidel import (
+    GsAlgorithm,
+    GsHandle,
+    gauss_seidel_apply,
+    gauss_seidel_numeric,
+    gauss_seidel_symbolic,
+)
+
+
+def _setup(A, algo, omega=1.0):
+    h = GsHandle(algo)
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, omega=omega)
+    return h
+
+
+@pytest.mark.parametrize("algo", [GsAlgorithm.POINT, GsAlgorithm.TWOSTAGE])
+def test_error_decreases(algo, rng):
+    A = generate_structured_laplacian(20, 20, dtype=np.float64)
+    # make strictly diagonally dominant so GS converges fast
+    sp = A.to_scipy()
+    sp.setdiag(sp.diagonal() + 1.0)
+    from tpukk.containers import CsrMatrix
+
+    A = CsrMatrix.from_scipy(sp.tocsr())
+    x_true = rng.standard_normal(A.nrows)
+    b = sp @ x_true
+    h = _setup(A, algo)
+    x = None
+    errs = []
+    for _ in range(6):
+        x = gauss_seidel_apply(h, A, x, b, num_sweeps=1, direction="symmetric")
+        errs.append(np.linalg.norm(np.asarray(x) - x_true))
+    errs = np.array(errs)
+    assert np.all(errs[1:] < errs[:-1])
+    assert errs[-1] < errs[0] * 0.1
+
+
+def test_point_exact_on_diag_dominant(rng):
+    """Colored GS equals sequential GS in the color-permuted row order —
+    verify a forward sweep against an explicit sequential sweep in that order."""
+    A = generate_diag_dominant_csr(50, 4, dtype=np.float64, seed=9)
+    h = _setup(A, GsAlgorithm.POINT)
+    b = rng.standard_normal(A.nrows)
+    x0 = rng.standard_normal(A.nrows)
+    got = np.asarray(gauss_seidel_apply(h, A, x0.copy(), b, 1, "forward"))
+    # sequential reference in permuted order
+    sp = A.to_scipy()
+    order = h.order
+    x = x0.copy()
+    for r in order:
+        diag = float(sp[r, r])
+        off = float(sp.getrow(r) @ x) - diag * x[r]
+        x[r] = (b[r] - off) / diag
+    np.testing.assert_allclose(got, x, rtol=1e-12, atol=1e-12)
+
+
+def test_directions(rng):
+    A = generate_diag_dominant_csr(40, 4, dtype=np.float64, seed=3)
+    h = _setup(A, GsAlgorithm.POINT)
+    b = rng.standard_normal(A.nrows)
+    for d in ["forward", "backward", "symmetric"]:
+        x = gauss_seidel_apply(h, A, None, b, 3, d)
+        r = np.linalg.norm(A.to_scipy() @ np.asarray(x) - b)
+        assert r < np.linalg.norm(b)
+
+
+def test_sor_omega(rng):
+    A = generate_structured_laplacian(15, 15, dtype=np.float64)
+    sp = A.to_scipy()
+    sp.setdiag(sp.diagonal() + 0.5)
+    from tpukk.containers import CsrMatrix
+
+    A = CsrMatrix.from_scipy(sp.tocsr())
+    b = rng.standard_normal(A.nrows)
+    h1 = _setup(A, GsAlgorithm.POINT, omega=1.0)
+    x1 = gauss_seidel_apply(h1, A, None, b, 5)
+    h2 = _setup(A, GsAlgorithm.POINT, omega=1.2)
+    x2 = gauss_seidel_apply(h2, A, None, b, 5)
+    # both reduce residual; omega path exercised
+    for x in (x1, x2):
+        assert np.linalg.norm(sp @ np.asarray(x) - b) < 0.5 * np.linalg.norm(b)

@@ -1,0 +1,157 @@
+"""SpTRSV / SpILUK / GMRES / PCG / trsv tests — residual/invariant oracles
+(the reference checks ||A-LU|| on the pattern and convergence flags:
+Test_Sparse_spiluk.hpp, Test_Sparse_gmres.hpp; gmres example parity:
+example/gmres/ex_real_A.cpp)."""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from tpukk.containers import CsrMatrix, generate_diag_dominant_csr, generate_structured_laplacian
+from tpukk.sparse.gmres import GmresHandle, Ortho, gmres
+from tpukk.sparse.pcg import pcg
+from tpukk.sparse.preconditioner import GsPrec, JacobiPrec, LUPrec
+from tpukk.sparse.spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
+from tpukk.sparse.sptrsv import SptrsvHandle, sptrsv_solve, sptrsv_symbolic
+from tpukk.sparse.trsv import trsv
+
+
+def _tri(A, lower, unit=False):
+    sp = A.to_scipy()
+    T = sps.tril(sp) if lower else sps.triu(sp)
+    T = T.tocsr()
+    T.setdiag(np.abs(T.diagonal()) + 2.0)
+    if unit:
+        T.setdiag(1.0)
+    T.sort_indices()
+    return CsrMatrix.from_scipy(T.astype(np.float64))
+
+
+class TestSptrsv:
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_solve(self, lower, rng):
+        A = generate_diag_dominant_csr(80, 4, dtype=np.float64, seed=2)
+        T = _tri(A, lower)
+        h = SptrsvHandle(lower=lower)
+        sptrsv_symbolic(h, T)
+        assert h.num_levels >= 1
+        b = rng.standard_normal(T.nrows)
+        x = np.asarray(sptrsv_solve(h, T, b))
+        np.testing.assert_allclose(T.to_scipy() @ x, b, rtol=1e-10, atol=1e-10)
+
+    def test_laplacian_lower(self, rng):
+        A = generate_structured_laplacian(12, 12, dtype=np.float64)
+        T = _tri(A, True)
+        h = SptrsvHandle(True)
+        sptrsv_symbolic(h, T)
+        b = rng.standard_normal(T.nrows)
+        x = np.asarray(sptrsv_solve(h, T, b))
+        np.testing.assert_allclose(T.to_scipy() @ x, b, rtol=1e-10, atol=1e-10)
+
+
+class TestSpiluk:
+    @pytest.mark.parametrize("k", [0, 1, 2])
+    def test_factorization_residual_shrinks_with_k(self, k):
+        A = generate_diag_dominant_csr(60, 5, dtype=np.float64, seed=4)
+        h = SpilukHandle(fill_level=k)
+        nnz = spiluk_symbolic(h, A)
+        assert nnz >= A.nnz
+        L, U = spiluk_numeric(h, A)
+        # L unit-lower, U upper
+        assert np.allclose(L.to_scipy().diagonal(), 1.0)
+        prod = (L.to_scipy() @ U.to_scipy()).tocsr()
+        # on the A pattern, L·U must reproduce A for ILU(0)-style consistency
+        diff = (prod - A.to_scipy()).multiply(A.to_scipy() != 0)
+        assert np.abs(diff.data).max(initial=0.0) < 1e-10
+
+    def test_ilu0_exact_on_pattern(self):
+        A = generate_diag_dominant_csr(40, 4, dtype=np.float64, seed=5)
+        h = SpilukHandle(0)
+        spiluk_symbolic(h, A)
+        L, U = spiluk_numeric(h, A)
+        # ILU(0): pattern of L+U equals pattern of A (with diag)
+        patA = A.to_scipy().copy()
+        patA.setdiag(patA.diagonal())
+        lu_pat = (L.to_scipy() + U.to_scipy()).tocsr()
+        assert lu_pat.nnz <= patA.nnz + A.nrows
+
+
+class TestGmres:
+    @pytest.mark.parametrize("ortho", [Ortho.CGS2, Ortho.MGS])
+    def test_unpreconditioned(self, ortho, rng):
+        A = generate_diag_dominant_csr(100, 5, dtype=np.float64, seed=6)
+        x_true = rng.standard_normal(A.nrows)
+        b = A.to_scipy() @ x_true
+        h = GmresHandle(m=40, tol=1e-10, max_restarts=10, ortho=ortho)
+        x, stats = gmres(h, A, b)
+        assert stats.converged
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-6)
+
+    def test_ilu_preconditioned_fewer_iters(self, rng):
+        # example/gmres parity: ILU(0)-preconditioned GMRES converges faster
+        A = generate_diag_dominant_csr(120, 6, dtype=np.float64, seed=7)
+        b = rng.standard_normal(A.nrows)
+        h0 = GmresHandle(m=10, tol=1e-9, max_restarts=40)
+        _, s0 = gmres(h0, A, b)
+        hk = SpilukHandle(0)
+        spiluk_symbolic(hk, A)
+        L, U = spiluk_numeric(hk, A)
+        h1 = GmresHandle(m=10, tol=1e-9, max_restarts=40)
+        _, s1 = gmres(h1, A, b, prec=LUPrec(L, U))
+        assert s1.converged
+        assert s1.num_iters <= s0.num_iters
+
+    def test_singular_rhs_zero(self):
+        A = generate_diag_dominant_csr(30, 3, dtype=np.float64, seed=8)
+        b = np.zeros(A.nrows)
+        h = GmresHandle(m=10, tol=1e-10, max_restarts=3)
+        x, stats = gmres(h, A, b)
+        assert np.allclose(np.asarray(x), 0.0)
+
+
+class TestPcg:
+    def _spd(self, n=20):
+        A = generate_structured_laplacian(n, n, dtype=np.float64)
+        sp = A.to_scipy()
+        sp.setdiag(sp.diagonal() + 0.1)
+        return CsrMatrix.from_scipy(sp.tocsr())
+
+    def test_jacobi_prec(self, rng):
+        A = self._spd()
+        b = rng.standard_normal(A.nrows)
+        x, stats = pcg(A, b, tol=1e-10, max_iters=2000, prec=JacobiPrec(A))
+        assert stats.converged
+        np.testing.assert_allclose(A.to_scipy() @ np.asarray(x), b, rtol=1e-7, atol=1e-7)
+
+    def test_gs_prec_accelerates(self, rng):
+        from tpukk.sparse.gauss_seidel import GsAlgorithm, GsHandle, gauss_seidel_numeric, gauss_seidel_symbolic
+
+        A = self._spd(16)
+        b = rng.standard_normal(A.nrows)
+        _, s_plain = pcg(A, b, tol=1e-9, max_iters=2000, check_every=5)
+        gh = GsHandle(GsAlgorithm.POINT)
+        gauss_seidel_symbolic(gh, A)
+        gauss_seidel_numeric(gh, A)
+        _, s_gs = pcg(A, b, tol=1e-9, max_iters=2000, prec=GsPrec(gh, A), check_every=5)
+        assert s_gs.converged
+        assert s_gs.num_iters <= s_plain.num_iters
+
+
+class TestTrsv:
+    def test_modes(self, rng):
+        A = generate_diag_dominant_csr(50, 4, dtype=np.float64, seed=9)
+        b = rng.standard_normal(A.nrows)
+        for uplo in ["L", "U"]:
+            T = _tri(A, uplo == "L")
+            x = np.asarray(trsv(uplo, "N", "N", T, b))
+            ref = (sps.tril(T.to_scipy()) if uplo == "L" else sps.triu(T.to_scipy()))
+            np.testing.assert_allclose(ref @ x, b, rtol=1e-10, atol=1e-10)
+            xt = np.asarray(trsv(uplo, "T", "N", T, b))
+            np.testing.assert_allclose(ref.T @ xt, b, rtol=1e-10, atol=1e-10)
+
+    def test_unit_diag_and_mv(self, rng):
+        A = generate_diag_dominant_csr(30, 3, dtype=np.float64, seed=10)
+        T = _tri(A, True, unit=False)
+        B = rng.standard_normal((T.nrows, 3))
+        X = np.asarray(trsv("L", "N", "U", T, B))
+        Tu = sps.tril(T.to_scipy(), k=-1) + sps.identity(T.nrows)
+        np.testing.assert_allclose(Tu @ X, B, rtol=1e-10, atol=1e-10)

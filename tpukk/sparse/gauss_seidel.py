@@ -1,0 +1,216 @@
+"""Gauss-Seidel / SOR smoothers — analog of
+sparse/src/KokkosSparse_gauss_seidel.hpp (symbolic :46, numeric :175, apply
+:465/707/952) with the GSAlgorithm taxonomy of gauss_seidel_handle.hpp:30
+({DEFAULT, PERMUTED/POINT, TEAM, CLUSTER, TWOSTAGE}).
+
+TPU design:
+
+* POINT (color-permuted, the reference's PSGS,
+  KokkosSparse_gauss_seidel_impl.hpp:128,199): symbolic colors the graph and
+  *permutes the matrix into color-block ELL form*; apply iterates color
+  blocks with contiguous static-slice updates of the permuted x — no
+  scatters, the color-set parallelism of SURVEY.md §2.10 with the update
+  as one fused gather+reduce per color.
+* TWOSTAGE (KokkosSparse_twostage_gauss_seidel_impl.hpp:120-256): classical
+  GS sweeps approximated by inner Jacobi-Richardson iterations on the
+  triangular parts, built entirely from SpMV — no sequential dependency at
+  all (the most TPU-friendly variant).
+* omega (SOR relaxation) supported on both.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import check
+from ..containers import CsrMatrix
+from ..graph.coloring import ColoringAlgorithm, color_sets, graph_color
+from .spmv import SpmvAlgorithm, SpmvHandle
+
+__all__ = ["GsAlgorithm", "GsHandle", "gauss_seidel_symbolic", "gauss_seidel_numeric",
+           "forward_sweep", "backward_sweep", "symmetric_sweep", "gauss_seidel_apply"]
+
+
+class GsAlgorithm(enum.Enum):
+    POINT = "point"        # color-permuted PSGS
+    TWOSTAGE = "twostage"  # inner-Jacobi classical GS
+
+
+@dataclasses.dataclass
+class _ColorBlock:
+    cols: Any       # (rows_c, w) permuted-space column ids (pads -> 0)
+    vals: Any       # (rows_c, w) off-diagonal values (pads and diag -> 0)
+    inv_diag: Any   # (rows_c,)
+    start: int      # offset of this block in permuted order
+
+
+class GsHandle:
+    """cf. KokkosKernels_Handle::create_gs_handle (:581-627)."""
+
+    def __init__(self, algorithm: GsAlgorithm = GsAlgorithm.POINT,
+                 coloring: ColoringAlgorithm = ColoringAlgorithm.VB,
+                 inner_sweeps: int = 2):
+        self.algorithm = algorithm
+        self.coloring_algorithm = coloring
+        self.inner_sweeps = inner_sweeps  # twostage inner Jacobi count
+        self.is_symbolic_called = False
+        self.is_numeric_called = False
+        # point
+        self.colors = None
+        self.order = None           # permuted order (old index per position)
+        self.inv_order = None
+        self.blocks: Optional[List[_ColorBlock]] = None
+        # twostage
+        self._tw = None
+
+
+def gauss_seidel_symbolic(handle: GsHandle, A: CsrMatrix):
+    """Coloring + permutation plan (cf. gauss_seidel.hpp:46 →
+    graph_color_symbolic)."""
+    check(A.nrows == A.ncols, "gauss_seidel: square matrix required")
+    if handle.algorithm == GsAlgorithm.POINT:
+        colors = graph_color(A, handle.coloring_algorithm)
+        offsets, order = color_sets(colors)
+        handle.colors = colors
+        handle.color_offsets = offsets
+        handle.order = order
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order), dtype=order.dtype)
+        handle.inv_order = inv
+    handle.is_symbolic_called = True
+
+
+def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
+    """Extract permuted color-block ELL + inverse diagonal
+    (cf. gauss_seidel.hpp:175)."""
+    check(handle.is_symbolic_called, "gauss_seidel_numeric: symbolic first")
+    handle.omega = float(omega)
+    if handle.algorithm == GsAlgorithm.TWOSTAGE:
+        _twostage_numeric(handle, A)
+        handle.is_numeric_called = True
+        return
+    rm = A.host_row_map()
+    ent = A.host_entries()
+    vals = np.asarray(A.values)
+    order = handle.order
+    inv = handle.inv_order
+    offsets = handle.color_offsets
+    blocks = []
+    for c in range(len(offsets) - 1):
+        rows = order[offsets[c]:offsets[c + 1]]
+        if rows.size == 0:
+            continue
+        lens = rm[rows + 1] - rm[rows]
+        w = max(1, int(lens.max(initial=1)))
+        cols2d = np.zeros((rows.size, w), np.int32)
+        vals2d = np.zeros((rows.size, w), vals.dtype)
+        diag = np.zeros(rows.size, vals.dtype)
+        for j, r in enumerate(rows):
+            s, e = rm[r], rm[r + 1]
+            cseg, vseg = ent[s:e], vals[s:e]
+            dmask = cseg == r
+            if dmask.any():
+                diag[j] = vseg[dmask][0]
+            off = ~dmask
+            k = int(off.sum())
+            cols2d[j, :k] = inv[cseg[off]]      # permuted-space ids
+            vals2d[j, :k] = vseg[off]
+        with np.errstate(divide="ignore"):
+            inv_diag = np.where(diag != 0, 1.0 / diag, 0.0)
+        blocks.append(_ColorBlock(
+            jnp.asarray(cols2d), jnp.asarray(vals2d), jnp.asarray(inv_diag),
+            int(offsets[c])))
+    handle.blocks = blocks
+    handle.is_numeric_called = True
+
+
+def _twostage_numeric(handle, A: CsrMatrix):
+    import scipy.sparse as sps
+
+    sp = A.to_scipy()
+    D = sp.diagonal()
+    L = sps.tril(sp, k=-1).tocsr()
+    U = sps.triu(sp, k=1).tocsr()
+    L.sort_indices()
+    U.sort_indices()
+    handle._tw = dict(
+        inv_diag=jnp.asarray(np.where(D != 0, 1.0 / D, 0.0).astype(np.asarray(A.values).dtype)),
+        L=SpmvHandle(CsrMatrix.from_scipy(L, value_dtype=A.dtype), SpmvAlgorithm.AUTO),
+        U=SpmvHandle(CsrMatrix.from_scipy(U, value_dtype=A.dtype), SpmvAlgorithm.AUTO),
+        A=SpmvHandle(A, SpmvAlgorithm.AUTO),
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _point_half_sweep(handle, xp, bp, forward: bool):
+    """One forward or backward colored sweep in permuted space."""
+    omega = handle.omega
+    blocks = handle.blocks if forward else list(reversed(handle.blocks))
+    for blk in blocks:
+        nrc = blk.inv_diag.shape[0]
+        xb = jax.lax.dynamic_slice_in_dim(xp, blk.start, nrc)
+        bb = jax.lax.dynamic_slice_in_dim(bp, blk.start, nrc)
+        ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
+        xnew = (1.0 - omega) * xb + omega * blk.inv_diag * (bb - ax)
+        xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew.astype(xp.dtype), blk.start, 0)
+    return xp
+
+
+def _twostage_half_sweep(handle, x, b, forward: bool):
+    """(D + L) z = r (forward) or (D + U) z = r (backward) approximated by
+    inner Jacobi-Richardson sweeps (twostage_gauss_seidel_impl.hpp:120-256)."""
+    tw = handle._tw
+    omega = handle.omega
+    r = b - tw["A"](x)
+    invD = tw["inv_diag"]
+    T = tw["L"] if forward else tw["U"]
+    z = invD * r
+    for _ in range(handle.inner_sweeps):
+        z = invD * (r - T(z))
+    return x + omega * z
+
+
+def forward_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
+    return gauss_seidel_apply(handle, A, x, b, num_sweeps, "forward")
+
+
+def backward_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
+    return gauss_seidel_apply(handle, A, x, b, num_sweeps, "backward")
+
+
+def symmetric_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
+    return gauss_seidel_apply(handle, A, x, b, num_sweeps, "symmetric")
+
+
+def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
+                       num_sweeps: int = 1, direction: str = "symmetric"):
+    """x may be None (zero initial guess, the init_zero_x_vector flag)."""
+    check(handle.is_numeric_called, "gauss_seidel_apply: numeric first")
+    if x is None:
+        x = jnp.zeros_like(b)
+    if handle.algorithm == GsAlgorithm.TWOSTAGE:
+        for _ in range(num_sweeps):
+            if direction in ("forward", "symmetric"):
+                x = _twostage_half_sweep(handle, x, b, True)
+            if direction in ("backward", "symmetric"):
+                x = _twostage_half_sweep(handle, x, b, False)
+        return x
+    # POINT: work in permuted space
+    order = jnp.asarray(handle.order)
+    inv_order = jnp.asarray(handle.inv_order)
+    xp = jnp.take(x, order)
+    bp = jnp.take(b, order)
+    for _ in range(num_sweeps):
+        if direction in ("forward", "symmetric"):
+            xp = _point_half_sweep(handle, xp, bp, True)
+        if direction in ("backward", "symmetric"):
+            xp = _point_half_sweep(handle, xp, bp, False)
+    return jnp.take(xp, inv_order)

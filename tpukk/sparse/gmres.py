@@ -1,0 +1,125 @@
+"""GMRES — restarted, CGS2/MGS orthogonalization, preconditionable.
+Analog of sparse/src/KokkosSparse_gmres.hpp:59 + gmres_handle.hpp:76-78
+(Ortho enum, subspace m, tol, restarts) and the Arnoldi/Givens loop of
+sparse/impl/KokkosSparse_gmres_impl.hpp (:64-244).
+
+TPU design: the Arnoldi loop runs under jit with static subspace size m;
+the (m+1)×m Hessenberg least-squares uses a batched-free QR on device (the
+reference keeps H on host with Givens rotations — an explicit sync point per
+iteration it accepts; we avoid it entirely).  Restart loop on host reads one
+scalar (residual) per cycle.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import check
+from ..containers import CsrMatrix
+from .preconditioner import IdentityPrec, Preconditioner
+from .spmv import SpmvHandle
+
+__all__ = ["Ortho", "GmresHandle", "GmresStats", "gmres"]
+
+
+class Ortho(enum.Enum):
+    MGS = "mgs"
+    CGS2 = "cgs2"
+
+
+class GmresHandle:
+    """cf. gmres_handle.hpp: m (subspace), tol, max_restarts, ortho."""
+
+    def __init__(self, m: int = 50, tol: float = 1e-8, max_restarts: int = 50,
+                 ortho: Ortho = Ortho.CGS2):
+        self.m = int(m)
+        self.tol = float(tol)
+        self.max_restarts = int(max_restarts)
+        self.ortho = ortho
+        # stats (filled by gmres)
+        self.num_iters = 0
+        self.end_rel_res = float("nan")
+        self.converged = False
+
+
+@dataclasses.dataclass
+class GmresStats:
+    num_iters: int
+    end_rel_res: float
+    converged: bool
+
+
+def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
+    """One restart cycle; returns (x_new, rel_residual_estimate)."""
+    r = b - Ah(x0)
+    z = prec.apply(r)
+    beta = jnp.sqrt(jnp.sum(z * z))
+    n = b.shape[0]
+    V = jnp.zeros((m + 1, n), b.dtype)
+    V = V.at[0].set(z / jnp.where(beta == 0, 1.0, beta))
+    H = jnp.zeros((m + 1, m), b.dtype)
+
+    def arnoldi_step(j, VH):
+        V, H = VH
+        w = prec.apply(Ah(V[j]))
+        if ortho == Ortho.CGS2:
+            # classical GS twice (CGS2): h = Vᵀw; w -= Vh; correction pass
+            mask = (jnp.arange(m + 1) <= j)[:, None]
+            Vm = V * mask
+            h1 = Vm @ w
+            w = w - Vm.T @ h1
+            h2 = Vm @ w
+            w = w - Vm.T @ h2
+            h = h1 + h2
+        else:
+            def mgs(i, wh):
+                w, h = wh
+                hi = jnp.where(i <= j, jnp.sum(V[i] * w), 0.0)
+                return (w - hi * V[i], h.at[i].set(hi))
+
+            w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype)))
+        hn = jnp.sqrt(jnp.sum(w * w))
+        H = H.at[:, j].set(h.at[j + 1].set(hn))
+        V = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
+        return (V, H)
+
+    V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
+    e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+    # rank-robust small least-squares (handles beta==0 and happy breakdown,
+    # where H is singular — the reference's Givens loop exits early instead)
+    y = jnp.linalg.lstsq(H, e1)[0]
+    x_new = x0 + V[:m].T @ y
+    res_est = jnp.sqrt(jnp.maximum(jnp.sum((H @ y - e1) ** 2), 0.0))
+    return x_new, res_est
+
+
+def gmres(handle: GmresHandle, A, b, x0=None, prec: Optional[Preconditioner] = None):
+    """Solve A·x = b; returns (x, GmresStats).  A may be a CsrMatrix or an
+    SpmvHandle."""
+    Ah = A if isinstance(A, SpmvHandle) else SpmvHandle(A)
+    prec = prec or IdentityPrec()
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    m = min(handle.m, b.shape[0])
+    bnorm = float(np.sqrt(np.asarray(jnp.sum(b * b))))
+    if bnorm == 0:
+        bnorm = 1.0
+    cycle = jax.jit(lambda x: _arnoldi_cycle(Ah, prec, b, x, m, handle.ortho))
+    iters = 0
+    rel = float("inf")
+    for _ in range(handle.max_restarts):
+        x, res_est = cycle(x)
+        iters += m
+        # true residual check at restart boundary (cheap, robust)
+        r = b - Ah(x)
+        rel = float(np.sqrt(np.asarray(jnp.sum(r * r)))) / bnorm
+        if rel <= handle.tol:
+            break
+    handle.num_iters = iters
+    handle.end_rel_res = rel
+    handle.converged = rel <= handle.tol
+    return x, GmresStats(iters, rel, handle.converged)

@@ -59,6 +59,14 @@ class SpmvHandle:
     def _plan(self, key):
         if key in self._plans:
             return self._plans[key]
+        # plans are compile-time constants even when the first call happens
+        # inside a jit trace (lazily-built handles must not cache tracers)
+        import jax
+
+        with jax.ensure_compile_time_eval():
+            return self._build_plan(key)
+
+    def _build_plan(self, key):
         A = self.A
         if key == "ell":
             p = spmv_impl.build_ell_plan(A)

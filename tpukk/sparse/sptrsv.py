@@ -1,0 +1,144 @@
+"""Sparse triangular solve — analog of sparse/src/KokkosSparse_sptrsv.hpp
+(symbolic :55,119; solve :270,407) with level-set scheduling
+(SPTRSVAlgorithm SEQLVLSCHD_*, sptrsv_handle.hpp:42-51; symbolic impl
+KokkosSparse_sptrsv_symbolic_impl.hpp, per-level solve _solve_impl.hpp).
+
+TPU design (SURVEY.md §2.10 "dependency-graph parallelism"): symbolic computes
+the level of every row host-side and permutes rows into level-blocked ELL
+form (columns remapped to permuted positions); solve executes one fused
+gather+reduce per level with contiguous static-slice updates — a sequence of
+O(#levels) data-parallel steps inside one jit, no scatters, no atomics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import check
+from ..containers import CsrMatrix
+
+__all__ = ["SptrsvHandle", "sptrsv_symbolic", "sptrsv_solve"]
+
+
+@dataclasses.dataclass
+class _LevelBlock:
+    cols: Any      # (rows_l, w) permuted-space ids (pads -> 0)
+    vals: Any      # (rows_l, w) off-diagonal values (pads -> 0)
+    inv_diag: Any  # (rows_l,)
+    start: int
+
+
+class SptrsvHandle:
+    """cf. sptrsv_handle.hpp; one handle per (matrix, uplo)."""
+
+    def __init__(self, lower: bool = True):
+        self.lower = lower
+        self.is_symbolic_called = False
+        self.blocks: List[_LevelBlock] = []
+        self.order = None
+        self.inv_order = None
+        self.num_levels = 0
+
+
+def _compute_levels(rm, ent, n, lower: bool) -> np.ndarray:
+    """level[r] = 1 + max(level of dependencies) via Kahn wavefronts —
+    O(nnz) total (the level_sched of spiluk_symbolic_impl.hpp:37-88)."""
+    rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])
+    dep_mask = ent < rows if lower else ent > rows
+    dep_rows = rows[dep_mask].astype(np.int64)   # edge: dep_cols -> dep_rows
+    dep_cols = ent[dep_mask].astype(np.int64)
+    indeg = np.bincount(dep_rows, minlength=n)
+    # reverse adjacency (dependents grouped by producer column)
+    order = np.argsort(dep_cols, kind="stable")
+    out_rows = dep_rows[order]
+    out_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(dep_cols, minlength=n), out=out_ptr[1:])
+    levels = np.zeros(n, np.int64)
+    frontier = np.nonzero(indeg == 0)[0]
+    lv = 1
+    while frontier.size:
+        levels[frontier] = lv
+        # all out-edges of frontier producers
+        starts = out_ptr[frontier]
+        lens = out_ptr[frontier + 1] - starts
+        total = int(lens.sum())
+        if total:
+            # contiguous ranges concat: base + within-offset
+            base = np.repeat(starts, lens)
+            within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            targets = out_rows[base + within]
+            dec = np.bincount(targets, minlength=n)
+            indeg = indeg - dec
+            cand = np.unique(targets)
+            frontier = cand[indeg[cand] == 0]
+        else:
+            frontier = np.empty(0, np.int64)
+        lv += 1
+    return levels
+
+
+def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
+    check(A.nrows == A.ncols, "sptrsv: square matrix required")
+    rm = A.host_row_map()
+    ent = A.host_entries()
+    vals = np.asarray(A.values)
+    n = A.nrows
+    levels = _compute_levels(rm, ent, n, handle.lower)
+    order = np.argsort(levels, kind="stable").astype(np.int32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n, dtype=np.int32)
+    handle.order, handle.inv_order = order, inv
+    nlev = int(levels.max())
+    handle.num_levels = nlev
+    counts = np.bincount(levels, minlength=nlev + 1)[1:]
+    offsets = np.zeros(nlev + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    blocks = []
+    for lv in range(nlev):
+        rows = order[offsets[lv]:offsets[lv + 1]]
+        lens = rm[rows + 1] - rm[rows]
+        w = max(1, int(lens.max(initial=1)))
+        cols2d = np.zeros((rows.size, w), np.int32)
+        vals2d = np.zeros((rows.size, w), vals.dtype)
+        diag = np.zeros(rows.size, vals.dtype)
+        for j, r in enumerate(rows):
+            s, e = rm[r], rm[r + 1]
+            cseg, vseg = ent[s:e], vals[s:e]
+            if handle.lower:
+                off = cseg < r
+            else:
+                off = cseg > r
+            dm = cseg == r
+            if dm.any():
+                diag[j] = vseg[dm][0]
+            k = int(off.sum())
+            cols2d[j, :k] = inv[cseg[off]]
+            vals2d[j, :k] = vseg[off]
+        check((diag != 0).all(), f"sptrsv: zero diagonal in level {lv}")
+        blocks.append(_LevelBlock(
+            jnp.asarray(cols2d), jnp.asarray(vals2d),
+            jnp.asarray(1.0 / diag), int(offsets[lv])))
+    handle.blocks = blocks
+    handle.is_symbolic_called = True
+
+
+def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
+    """x with tri(A)·x = b (values read from the handle's plan — rebuild the
+    handle for new values; a values-only refresh is the planned split)."""
+    check(handle.is_symbolic_called, "sptrsv_solve: symbolic first")
+    order = jnp.asarray(handle.order)
+    inv_order = jnp.asarray(handle.inv_order)
+    bp = jnp.take(b, order)
+    xp = jnp.zeros_like(bp)
+    for blk in handle.blocks:
+        nrl = blk.inv_diag.shape[0]
+        bb = jax.lax.dynamic_slice_in_dim(bp, blk.start, nrl)
+        ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
+        xnew = (blk.inv_diag * (bb - ax)).astype(xp.dtype)
+        xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew, blk.start, 0)
+    return jnp.take(xp, inv_order)
