@@ -1,0 +1,92 @@
+"""ODE tests against analytic solutions — analog of
+ode/unit_test/Test_ODE_{RK,BDF,Newton}.hpp + Test_ODE_TestProblems.hpp."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpukk.ode import RKType, bdf_solve, newton_solve, rk_solve
+
+
+def exp_decay(t, y):
+    return -y
+
+
+def harmonic(t, y):
+    return jnp.stack([y[1], -y[0]])
+
+
+def stiff(t, y):
+    return -50.0 * (y - jnp.cos(t))
+
+
+ALL_RK = list(RKType)
+
+
+@pytest.mark.parametrize("kind", ALL_RK)
+def test_rk_exp_decay(kind):
+    y0 = jnp.array([1.0])
+    res = rk_solve(exp_decay, y0, 0.0, 1.0, kind=kind, num_steps=200)
+    err = abs(float(res.y[0]) - np.exp(-1.0))
+    tol = 1e-2 if kind in (RKType.RKFE, RKType.RKEH, RKType.RKF12) else 1e-6
+    assert err < tol
+
+
+@pytest.mark.parametrize("kind", [RKType.RKBS, RKType.RKF45, RKType.RKCK, RKType.RKDP, RKType.VER56])
+def test_rk_adaptive_harmonic(kind):
+    y0 = jnp.array([1.0, 0.0])
+    res = rk_solve(harmonic, y0, 0.0, 2 * np.pi, kind=kind, rel_tol=1e-8, abs_tol=1e-10)
+    assert int(res.status) == 0
+    np.testing.assert_allclose(np.asarray(res.y), [1.0, 0.0], atol=1e-5)
+
+
+def test_rk_counts_adaptive_fewer_steps_when_loose():
+    y0 = jnp.array([1.0])
+    tight = rk_solve(exp_decay, y0, 0.0, 1.0, kind=RKType.RKDP, rel_tol=1e-10, abs_tol=1e-12)
+    loose = rk_solve(exp_decay, y0, 0.0, 1.0, kind=RKType.RKDP, rel_tol=1e-3, abs_tol=1e-5)
+    assert int(loose.num_steps) <= int(tight.num_steps)
+
+
+def test_rk_vmapped_batch():
+    y0s = jnp.linspace(0.5, 2.0, 8)[:, None]
+    f = jax.vmap(lambda y0: rk_solve(exp_decay, y0, 0.0, 1.0, kind=RKType.RK4, num_steps=100).y)
+    ys = f(y0s)
+    np.testing.assert_allclose(np.asarray(ys[:, 0]), np.asarray(y0s[:, 0]) * np.exp(-1.0), rtol=1e-6)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5, 6])
+def test_bdf_exp_decay(order):
+    y0 = jnp.array([1.0])
+    res = bdf_solve(exp_decay, y0, 0.0, 1.0, num_steps=200, order=order)
+    assert bool(res.converged)
+    tol = 5e-3 if order == 1 else 1e-4
+    assert abs(float(res.y[0]) - np.exp(-1.0)) < tol
+
+
+def test_bdf_stiff():
+    y0 = jnp.array([0.0])
+    res = bdf_solve(stiff, y0, 0.0, 2.0, num_steps=100, order=2)
+    assert bool(res.converged)
+    # solution tracks cos(t) closely after transient
+    assert abs(float(res.y[0]) - np.cos(2.0)) < 0.05
+
+
+def test_newton_scalar_system():
+    def f(x):
+        return jnp.stack([x[0] ** 2 + x[1] ** 2 - 4.0, x[0] - x[1]])
+
+    res = newton_solve(f, jnp.array([1.0, 0.5]))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), [np.sqrt(2), np.sqrt(2)], rtol=1e-8)
+
+
+def test_newton_with_explicit_jacobian():
+    def f(x, a):
+        return jnp.array([x[0] ** 3 - a])
+
+    def jac(x, a):
+        return jnp.array([[3 * x[0] ** 2]])
+
+    res = newton_solve(f, jnp.array([1.0]), jac=jac, args=(8.0,))
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.x[0]), 2.0, rtol=1e-10)

@@ -12,6 +12,6 @@ that the single-process reference delegates to its callers.
 
 __version__ = "0.1.0"
 
-from . import blas, common, containers, sparse
+from . import batched, blas, common, containers, dist, graph, lapack, ode, sparse
 from .containers import BsrMatrix, CcsMatrix, CooMatrix, CsrMatrix
 from .sparse import SpmvAlgorithm, SpmvHandle, spmm, spmv
