@@ -62,17 +62,17 @@ def partition_rows(A: CsrMatrix, n_parts: int, row_block: int = 8) -> RowPartiti
     width = max(1, int(lengths.max(initial=1)))
     rpp = round_up(-(-A.nrows // n_parts), row_block)
 
-    cols = np.zeros((n_parts, rpp, width), dtype=np.int32)
-    v = np.zeros((n_parts, rpp, width), dtype=vals.dtype)
-    valid = np.zeros((n_parts, rpp), dtype=bool)
-    for p in range(n_parts):
-        lo = p * rpp
-        hi = min(A.nrows, lo + rpp)
-        for j, r in enumerate(range(lo, hi)):
-            s, e = rm[r], rm[r + 1]
-            cols[p, j, : e - s] = ent[s:e]
-            v[p, j, : e - s] = vals[s:e]
-            valid[p, j] = True
+    total = n_parts * rpp
+    rows = np.arange(total)
+    in_range = rows < A.nrows
+    rsafe = np.minimum(rows, A.nrows - 1)
+    lens = np.where(in_range, (rm[rsafe + 1] - rm[rsafe]).astype(np.int64), 0)
+    pos = rm[rsafe][:, None] + np.arange(width)[None, :]
+    mask = np.arange(width)[None, :] < lens[:, None]
+    pos = np.minimum(pos, max(len(ent) - 1, 0))
+    cols = np.where(mask, ent[pos], 0).astype(np.int32).reshape(n_parts, rpp, width)
+    v = np.where(mask, vals[pos], 0).reshape(n_parts, rpp, width)
+    valid = in_range.reshape(n_parts, rpp)
     return RowPartition(
         jnp.asarray(cols), jnp.asarray(v), jnp.asarray(valid),
         A.nrows, A.ncols, n_parts, rpp,

@@ -50,6 +50,10 @@ def _ell_pad(rm, ent, nrows):
 
 
 def _serial_greedy(rm, ent, nrows) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        return native.d1_greedy_color(rm, ent, nrows)
     colors = np.zeros(nrows, np.int32)  # 0 = uncolored; colors 1-based
     for v in range(nrows):
         nbr = ent[rm[v]:rm[v + 1]]

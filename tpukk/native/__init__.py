@@ -1,0 +1,118 @@
+"""Native host runtime — C++ plan builders behind the Python symbolic phases.
+
+Compiled lazily with g++ on first use (cached next to the source, keyed by
+source mtime); every entry point has a pure-Python fallback in its caller, so
+absence of a toolchain degrades performance, not capability.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["available", "d1_greedy_color", "iluk_symbolic", "ilu_numeric", "csr_transpose"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "tpukk_native.cpp")
+_SO = os.path.join(_HERE, "libtpukk_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", _SO, _SRC],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.tpukk_d1_greedy_color.restype = ctypes.c_int32
+            lib.tpukk_d1_greedy_color.argtypes = [ctypes.c_int64, i32p, i32p, i32p]
+            lib.tpukk_iluk_symbolic.restype = ctypes.c_int64
+            lib.tpukk_iluk_symbolic.argtypes = [
+                ctypes.c_int64, ctypes.c_int32, i32p, i32p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.tpukk_ilu_numeric.restype = ctypes.c_int32
+            lib.tpukk_ilu_numeric.argtypes = [
+                ctypes.c_int64, i32p, i32p, i32p, i32p, f64p, f64p]
+            lib.tpukk_csr_transpose.restype = None
+            lib.tpukk_csr_transpose.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, i32p, i32p, f64p]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32(x):
+    return np.ascontiguousarray(x, dtype=np.int32)
+
+
+def d1_greedy_color(row_map, entries, n) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    colors = np.zeros(n, np.int32)
+    lib.tpukk_d1_greedy_color(n, _i32(row_map), _i32(entries), colors)
+    return colors
+
+
+def iluk_symbolic(indptr, indices, n, k):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    nnz = lib.tpukk_iluk_symbolic(n, k, indptr, indices, None, None)
+    out_indptr = np.zeros(n + 1, np.int32)
+    out_indices = np.zeros(max(nnz, 1), np.int32)
+    lib.tpukk_iluk_symbolic(
+        n, k, indptr, indices,
+        out_indptr.ctypes.data_as(ctypes.c_void_p),
+        out_indices.ctypes.data_as(ctypes.c_void_p))
+    return out_indptr, out_indices[:nnz]
+
+
+def ilu_numeric(p_indptr, p_indices, a_indptr, a_indices, a_values, n):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lu_vals = np.zeros(len(p_indices), np.float64)
+    rc = lib.tpukk_ilu_numeric(
+        n, _i32(p_indptr), _i32(p_indices), _i32(a_indptr), _i32(a_indices),
+        np.ascontiguousarray(a_values, np.float64), lu_vals)
+    if rc != 0:
+        raise RuntimeError(f"ilu_numeric failed (rc={rc}: "
+                           f"{'missing diagonal' if rc == -1 else 'zero pivot'})")
+    return lu_vals
+
+
+def csr_transpose(indptr, indices, values, nrows, ncols):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    nnz = len(indices)
+    t_indptr = np.zeros(ncols + 1, np.int32)
+    t_indices = np.zeros(nnz, np.int32)
+    t_values = np.zeros(nnz, np.float64)
+    lib.tpukk_csr_transpose(
+        nrows, ncols, _i32(indptr), _i32(indices),
+        np.ascontiguousarray(values, np.float64), t_indptr, t_indices, t_values)
+    return t_indptr, t_indices, t_values

@@ -1,0 +1,172 @@
+// tpukk native host runtime — C++ implementations of the loop-bound
+// plan-construction (symbolic) phases that back the Python API:
+//   * distance-1 greedy coloring      (graph/coloring.py SERIAL algorithm;
+//     role of GraphColor base, graph/impl/KokkosGraph_Distance1Color_impl.hpp:40)
+//   * ILU(k) level-of-fill symbolic   (sparse/spiluk.py; role of
+//     sparse/impl/KokkosSparse_spiluk_symbolic_impl.hpp:37-88)
+//   * ILU numeric on a fixed pattern  (sparse/spiluk.py; role of
+//     _spiluk_numeric_impl.hpp)
+//   * CSR transpose                   (containers/sort_crs.py; role of
+//     KokkosSparse_Utils.hpp:338-392)
+// The TPU compute path stays in XLA/Pallas; this library is the host-side
+// "runtime around it" (plan builders are latency-critical at setup time).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libtpukk_native.so tpukk_native.cpp
+// ABI: plain C, int32 indices, int64 sizes, double values.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Distance-1 greedy coloring. colors are 1-based; returns max color used.
+int32_t tpukk_d1_greedy_color(int64_t n, const int32_t* row_map,
+                              const int32_t* entries, int32_t* colors) {
+  std::vector<int32_t> mark(n + 2, -1);
+  int32_t max_color = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    for (int32_t e = row_map[v]; e < row_map[v + 1]; ++e) {
+      int32_t u = entries[e];
+      if (u == v) continue;
+      int32_t cu = colors[u];
+      if (cu > 0) mark[cu] = (int32_t)v;
+    }
+    int32_t c = 1;
+    while (mark[c] == (int32_t)v) ++c;
+    colors[v] = c;
+    if (c > max_color) max_color = c;
+  }
+  return max_color;
+}
+
+// ---------------------------------------------------------------------------
+// ILU(k) level-of-fill symbolic.
+// Two-phase ABI: call with out_indices == nullptr to get the required nnz;
+// call again with buffers to fill.  out_indptr has n+1 entries always.
+int64_t tpukk_iluk_symbolic(int64_t n, int32_t fill_k,
+                            const int32_t* a_indptr, const int32_t* a_indices,
+                            int32_t* out_indptr, int32_t* out_indices) {
+  // per-row sorted (col, level); rows kept for later rows' updates
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> rows(n);
+  int64_t total = 0;
+  // stamped workspace: level[c] valid only when stamp[c] == current row
+  std::vector<int32_t> level(n, INT32_MAX);
+  std::vector<int64_t> stamp(n, -1);
+  auto get = [&](int64_t i, int32_t c) {
+    return stamp[c] == i ? level[c] : INT32_MAX;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    std::vector<int32_t> work;
+    work.reserve(64);
+    for (int32_t e = a_indptr[i]; e < a_indptr[i + 1]; ++e) {
+      int32_t c = a_indices[e];
+      if (get(i, c) == INT32_MAX) work.push_back(c);
+      level[c] = 0; stamp[c] = i;
+    }
+    if (get(i, (int32_t)i) == INT32_MAX) { work.push_back((int32_t)i); }
+    level[i] = 0; stamp[i] = i;
+    std::sort(work.begin(), work.end());
+    // IKJ merge: traverse work in ascending order; may grow
+    for (size_t wi = 0; wi < work.size(); ++wi) {
+      int32_t kk = work[wi];
+      if (kk >= (int32_t)i) break;
+      int32_t lik = get(i, kk);
+      if (lik > fill_k) continue;
+      const auto& rk = rows[kk];
+      for (const auto& [jj, lkj] : rk) {
+        if (jj <= kk) continue;
+        int32_t f = lik + lkj + 1;
+        if (f <= fill_k && f < get(i, jj)) {
+          if (get(i, jj) == INT32_MAX) {
+            // insert keeping work sorted beyond current position
+            auto it = std::lower_bound(work.begin() + wi + 1, work.end(), jj);
+            work.insert(it, jj);
+          }
+          level[jj] = f; stamp[jj] = i;
+        }
+      }
+    }
+    auto& out = rows[i];
+    out.reserve(work.size());
+    for (int32_t c : work) out.emplace_back(c, get(i, c));
+    if (out_indices) {
+      out_indptr[i] = (int32_t)total;
+      for (size_t j = 0; j < out.size(); ++j)
+        out_indices[total + j] = out[j].first;
+    }
+    total += (int64_t)out.size();
+  }
+  if (out_indices) out_indptr[n] = (int32_t)total;
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// ILU numeric (IKJ, pattern-restricted).  pattern rows must be sorted and
+// include the diagonal.  Writes LU packed values aligned with the pattern.
+int32_t tpukk_ilu_numeric(int64_t n,
+                          const int32_t* p_indptr, const int32_t* p_indices,
+                          const int32_t* a_indptr, const int32_t* a_indices,
+                          const double* a_values, double* lu_values) {
+  // stamped value workspace: w[c] valid only when wstamp[c] == current row
+  // (touched positions can lie outside row i's pattern; stamping makes
+  // discarded fill vanish without O(n) clears)
+  std::vector<double> w(n, 0.0);
+  std::vector<int64_t> wstamp(n, -1);
+  std::vector<int64_t> diag_pos(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    auto wget = [&](int32_t c) { return wstamp[c] == i ? w[c] : 0.0; };
+    auto wset = [&](int32_t c, double v) { w[c] = v; wstamp[c] = i; };
+    int32_t s = p_indptr[i], e = p_indptr[i + 1];
+    for (int32_t ea = a_indptr[i]; ea < a_indptr[i + 1]; ++ea)
+      wset(a_indices[ea], a_values[ea]);
+    for (int32_t idx = s; idx < e; ++idx) {
+      int32_t kk = p_indices[idx];
+      if (kk >= (int32_t)i) break;
+      int64_t dp = diag_pos[kk];
+      if (dp < 0) return -1;  // missing diagonal
+      double ukk = lu_values[dp];
+      if (ukk == 0.0) return -2;  // zero pivot
+      double lik = wget(kk) / ukk;
+      wset(kk, lik);
+      // update with row kk's U part
+      for (int32_t kidx = (int32_t)dp + 1; kidx < p_indptr[kk + 1]; ++kidx) {
+        int32_t c = p_indices[kidx];
+        wset(c, wget(c) - lik * lu_values[kidx]);
+      }
+    }
+    for (int32_t idx = s; idx < e; ++idx) {
+      int32_t c = p_indices[idx];
+      lu_values[idx] = wget(c);
+      if (c == (int32_t)i) diag_pos[i] = idx;
+    }
+    if (diag_pos[i] < 0) return -1;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// CSR transpose (role of KokkosSparse_Utils transpose_matrix).
+void tpukk_csr_transpose(int64_t nrows, int64_t ncols,
+                         const int32_t* indptr, const int32_t* indices,
+                         const double* values,
+                         int32_t* t_indptr, int32_t* t_indices, double* t_values) {
+  int64_t nnz = indptr[nrows];
+  std::vector<int32_t> count(ncols + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) count[indices[e] + 1]++;
+  for (int64_t c = 0; c < ncols; ++c) count[c + 1] += count[c];
+  std::memcpy(t_indptr, count.data(), (ncols + 1) * sizeof(int32_t));
+  std::vector<int32_t> cur(count.begin(), count.end() - 1);
+  for (int64_t r = 0; r < nrows; ++r) {
+    for (int32_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+      int32_t c = indices[e];
+      int32_t dst = cur[c]++;
+      t_indices[dst] = (int32_t)r;
+      t_values[dst] = values[e];
+    }
+  }
+}
+
+}  // extern "C"

@@ -101,25 +101,25 @@ def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
     inv = handle.inv_order
     offsets = handle.color_offsets
     blocks = []
+    nnz = len(ent)
     for c in range(len(offsets) - 1):
         rows = order[offsets[c]:offsets[c + 1]]
         if rows.size == 0:
             continue
-        lens = rm[rows + 1] - rm[rows]
+        lens = (rm[rows + 1] - rm[rows]).astype(np.int64)
         w = max(1, int(lens.max(initial=1)))
-        cols2d = np.zeros((rows.size, w), np.int32)
-        vals2d = np.zeros((rows.size, w), vals.dtype)
-        diag = np.zeros(rows.size, vals.dtype)
-        for j, r in enumerate(rows):
-            s, e = rm[r], rm[r + 1]
-            cseg, vseg = ent[s:e], vals[s:e]
-            dmask = cseg == r
-            if dmask.any():
-                diag[j] = vseg[dmask][0]
-            off = ~dmask
-            k = int(off.sum())
-            cols2d[j, :k] = inv[cseg[off]]      # permuted-space ids
-            vals2d[j, :k] = vseg[off]
+        # vectorized full-row ELL gather; diagonal entries masked to 0 in
+        # vals (no compaction needed — pads/diag contribute 0 to the dot)
+        pos = rm[rows][:, None] + np.arange(w)[None, :]
+        valid = np.arange(w)[None, :] < lens[:, None]
+        pos = np.minimum(pos, max(nnz - 1, 0))
+        cseg = ent[pos]
+        vseg = vals[pos]
+        is_diag = valid & (cseg == rows[:, None])
+        diag = np.where(is_diag, vseg, 0).sum(axis=1)
+        keep = valid & ~is_diag
+        cols2d = np.where(keep, inv[np.minimum(cseg, len(inv) - 1)], 0).astype(np.int32)
+        vals2d = np.where(keep, vseg, 0)
         with np.errstate(divide="ignore"):
             inv_diag = np.where(diag != 0, 1.0 / diag, 0.0)
         blocks.append(_ColorBlock(

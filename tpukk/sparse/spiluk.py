@@ -88,7 +88,15 @@ def _iluk_pattern(A: sps.csr_matrix, k: int) -> sps.csr_matrix:
 def spiluk_symbolic(handle: SpilukHandle, A: CsrMatrix):
     check(A.nrows == A.ncols, "spiluk: square matrix required")
     sp = A.to_scipy()
-    pat = _iluk_pattern(sp, handle.fill_level)
+    from .. import native
+
+    if native.available():
+        indptr, indices = native.iluk_symbolic(
+            sp.indptr, sp.indices, A.nrows, handle.fill_level)
+        pat = sps.csr_matrix(
+            (np.ones(len(indices)), indices, indptr), shape=sp.shape)
+    else:
+        pat = _iluk_pattern(sp, handle.fill_level)
     handle.pattern = pat
     handle.is_symbolic_called = True
     return pat.nnz
@@ -100,8 +108,15 @@ def spiluk_numeric(handle: SpilukHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMa
     sp = A.to_scipy().tocsr()
     pat = handle.pattern
     n = sp.shape[0]
-    # dense-row workspace IKJ factorization restricted to pattern
     indptr, indices = pat.indptr, pat.indices
+    from .. import native
+
+    if native.available():
+        vals = native.ilu_numeric(
+            indptr, indices, sp.indptr, sp.indices,
+            sp.data.astype(np.float64), n)
+        return _split_lu(sp, indptr, indices, vals, A.dtype)
+    # dense-row workspace IKJ factorization restricted to pattern
     vals = np.zeros(pat.nnz)
     # initialize with A values on the pattern
     w = np.zeros(n)
@@ -126,12 +141,16 @@ def spiluk_numeric(handle: SpilukHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMa
             upd = kcols > kk
             w[kcols[upd]] -= lik * kvals[upd]
         vals[s:e] = w[cols]
+    return _split_lu(sp, indptr, indices, vals, A.dtype)
+
+
+def _split_lu(sp, indptr, indices, vals, dtype):
+    n = sp.shape[0]
     LU = sps.csr_matrix((vals, indices.copy(), indptr.copy()), shape=sp.shape)
     L = sps.tril(LU, k=-1).tocsr()
     L = (L + sps.identity(n, format="csr")).tocsr()
     U = sps.triu(LU, k=0).tocsr()
     L.sort_indices()
     U.sort_indices()
-    dt = A.dtype
-    return (CsrMatrix.from_scipy(L, value_dtype=dt),
-            CsrMatrix.from_scipy(U, value_dtype=dt))
+    return (CsrMatrix.from_scipy(L, value_dtype=dtype),
+            CsrMatrix.from_scipy(U, value_dtype=dtype))

@@ -143,13 +143,16 @@ def build_ell_plan(A: CsrMatrix, max_buckets: int = 4, row_block: int = 8) -> El
         nrows_b = max(1, round_up(rows.size, row_block)) if rows.size else row_block
         cols2d = np.zeros((nrows_b, w), dtype=np.int32)
         vals2d = np.zeros((nrows_b, w), dtype=vdtype)
-        for j, r in enumerate(rows):
-            s, e = rm[r], rm[r + 1]
-            k = e - s
-            if k > w:
+        if rows.size:
+            # vectorized ELL fill: slot j of row r reads csr position rm[r]+j
+            lens = (rm[rows + 1] - rm[rows]).astype(np.int64)
+            if int(lens.max(initial=0)) > w:
                 raise AssertionError("bucket width underflow")
-            cols2d[j, :k] = ent[s:e]
-            vals2d[j, :k] = vals[s:e]
+            pos = rm[rows][:, None] + np.arange(w)[None, :]
+            mask = np.arange(w)[None, :] < lens[:, None]
+            pos = np.minimum(pos, len(ent) - 1 if len(ent) else 0)
+            cols2d[: rows.size] = np.where(mask, ent[pos], 0)
+            vals2d[: rows.size] = np.where(mask, vals[pos], 0)
         rows_padded = np.zeros(nrows_b, dtype=np.int32)
         rows_padded[: rows.size] = rows
         # padded rows point at row 0 but contribute val 0; they are dropped by

@@ -99,26 +99,22 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     offsets = np.zeros(nlev + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     blocks = []
+    nnz = len(ent)
     for lv in range(nlev):
         rows = order[offsets[lv]:offsets[lv + 1]]
-        lens = rm[rows + 1] - rm[rows]
+        lens = (rm[rows + 1] - rm[rows]).astype(np.int64)
         w = max(1, int(lens.max(initial=1)))
-        cols2d = np.zeros((rows.size, w), np.int32)
-        vals2d = np.zeros((rows.size, w), vals.dtype)
-        diag = np.zeros(rows.size, vals.dtype)
-        for j, r in enumerate(rows):
-            s, e = rm[r], rm[r + 1]
-            cseg, vseg = ent[s:e], vals[s:e]
-            if handle.lower:
-                off = cseg < r
-            else:
-                off = cseg > r
-            dm = cseg == r
-            if dm.any():
-                diag[j] = vseg[dm][0]
-            k = int(off.sum())
-            cols2d[j, :k] = inv[cseg[off]]
-            vals2d[j, :k] = vseg[off]
+        # vectorized full-row ELL gather; only the wanted triangle kept
+        pos = rm[rows][:, None] + np.arange(w)[None, :]
+        valid = np.arange(w)[None, :] < lens[:, None]
+        pos = np.minimum(pos, max(nnz - 1, 0))
+        cseg = ent[pos]
+        vseg = vals[pos]
+        is_diag = valid & (cseg == rows[:, None])
+        keep = valid & (cseg < rows[:, None] if handle.lower else cseg > rows[:, None])
+        diag = np.where(is_diag, vseg, 0).sum(axis=1)
+        cols2d = np.where(keep, inv[np.minimum(cseg, len(inv) - 1)], 0).astype(np.int32)
+        vals2d = np.where(keep, vseg, 0)
         check((diag != 0).all(), f"sptrsv: zero diagonal in level {lv}")
         blocks.append(_LevelBlock(
             jnp.asarray(cols2d), jnp.asarray(vals2d),
