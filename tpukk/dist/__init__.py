@@ -1,2 +1,17 @@
+from .gauss_seidel import DistGsPlan, build_dist_gs_plan, dist_gs_sweep, shard_dist_gs_plan
+from .halo import HaloPlan, build_halo_plan, import_lists
 from .partition import RowPartition, partition_rows
-from .spmv import dist_cg_step, dist_dot, dist_spmv, shard_partition
+from .spgemm import (
+    RingSpgemmPlan,
+    build_ring_spgemm_plan,
+    ring_spgemm_numeric,
+    shard_ring_spgemm_plan,
+)
+from .spmv import (
+    dist_cg_step,
+    dist_dot,
+    dist_spmv,
+    dist_spmv_halo,
+    shard_halo_plan,
+    shard_partition,
+)

@@ -15,9 +15,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .halo import HaloPlan
 from .partition import RowPartition, partition_rows
 
-__all__ = ["shard_partition", "dist_spmv", "dist_dot", "dist_cg_step"]
+__all__ = ["shard_partition", "dist_spmv", "dist_dot", "dist_cg_step",
+           "shard_halo_plan", "dist_spmv_halo"]
 
 
 def shard_partition(plan: RowPartition, mesh: Mesh, axis: str = "parts"):
@@ -53,6 +55,43 @@ def dist_spmv(plan: RowPartition, x_padded, mesh: Mesh, axis: str = "parts"):
         out_specs=P(axis),
     )
     y2 = f(plan.cols, plan.vals, plan.row_valid,
+           x_padded.reshape(plan.n_parts, plan.rows_per_part))
+    return y2.reshape(-1)
+
+
+def shard_halo_plan(plan: HaloPlan, mesh: Mesh, axis: str = "parts") -> HaloPlan:
+    spec = NamedSharding(mesh, P(axis))
+    arrays = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), plan)
+    return arrays
+
+
+def _halo_local_spmv(send_idx, ic, iv, ir, bc, bv, br, x_shard, *, axis, rpp, H):
+    """Per-part body: exchange halo with all_to_all while the interior block
+    computes (no data dependency — XLA may overlap), then boundary block."""
+    x = x_shard[0]                                   # (rpp,)
+    sends = jnp.take(x, send_idx[0], axis=0)         # (P, H)
+    recv = jax.lax.all_to_all(sends, axis, split_axis=0, concat_axis=0)
+    # interior uses only local x (its cols are < rpp by construction)
+    yi = jnp.sum(iv[0] * jnp.take(x, jnp.minimum(ic[0], rpp - 1), axis=0), axis=1)
+    x_ext = jnp.concatenate([x, recv.reshape(-1)])
+    yb = jnp.sum(bv[0] * jnp.take(x_ext, bc[0], axis=0), axis=1)
+    y = jnp.zeros(rpp + 1, x.dtype)
+    y = y.at[ir[0]].set(yi.astype(x.dtype))
+    y = y.at[br[0]].set(yb.astype(x.dtype))
+    return y[:rpp][None]
+
+
+def dist_spmv_halo(plan: HaloPlan, x_padded, mesh: Mesh, axis: str = "parts"):
+    """y = A·x with import-list halo exchange (all_to_all over ICI) and
+    interior/boundary overlap — the BASELINE config-5 SpMV."""
+    f = jax.shard_map(
+        partial(_halo_local_spmv, axis=axis, rpp=plan.rows_per_part, H=plan.halo),
+        mesh=mesh,
+        in_specs=(P(axis),) * 8,
+        out_specs=P(axis),
+    )
+    y2 = f(plan.send_idx, plan.int_cols, plan.int_vals, plan.int_rows,
+           plan.bnd_cols, plan.bnd_vals, plan.bnd_rows,
            x_padded.reshape(plan.n_parts, plan.rows_per_part))
     return y2.reshape(-1)
 
