@@ -87,3 +87,27 @@ def test_sor_omega(rng):
     # both reduce residual; omega path exercised
     for x in (x1, x2):
         assert np.linalg.norm(sp @ np.asarray(x) - b) < 0.5 * np.linalg.norm(b)
+
+
+def test_cluster_gs_error_decreases(rng):
+    from tpukk.sparse.gauss_seidel import ClusteringAlgorithm
+
+    A = generate_structured_laplacian(16, 16, dtype=np.float64)
+    sp = A.to_scipy()
+    sp.setdiag(sp.diagonal() + 1.0)
+    from tpukk.containers import CsrMatrix
+
+    A = CsrMatrix.from_scipy(sp.tocsr())
+    x_true = rng.standard_normal(A.nrows)
+    b = sp @ x_true
+    for clustering in [ClusteringAlgorithm.MIS2, ClusteringAlgorithm.BALLOON]:
+        h = GsHandle(GsAlgorithm.CLUSTER, clustering=clustering)
+        gauss_seidel_symbolic(h, A)
+        gauss_seidel_numeric(h, A)
+        x = None
+        errs = []
+        for _ in range(5):
+            x = gauss_seidel_apply(h, A, x, b, 1, "symmetric")
+            errs.append(np.linalg.norm(np.asarray(x) - x_true))
+        assert all(bb < aa for aa, bb in zip(errs, errs[1:])), clustering
+        assert errs[-1] < 0.2 * errs[0]

@@ -77,3 +77,19 @@ def test_spadd_numeric_reuse():
     C2 = spadd_numeric(h, 0.0, A, 1.0, B)
     assert is_same_matrix(C2, B.to_scipy())
     assert is_same_matrix(C1, A.to_scipy() + B.to_scipy())
+
+
+def test_spgemm_jacobi():
+    from tpukk.sparse.spgemm import spgemm_jacobi
+
+    A = generate_structured_laplacian(12, 10, dtype=np.float64)
+    B = generate_random_csr(120, 40, 3, seed=9, dtype=np.float64)
+    h = SpgemmHandle()
+    spgemm_symbolic(h, A, B)
+    dinv = 1.0 / A.to_scipy().diagonal()
+    omega = 0.7
+    C = spgemm_jacobi(h, A, B, omega, dinv)
+    import scipy.sparse as _sps
+
+    ref = (B.to_scipy() - omega * _sps.diags(dinv) @ A.to_scipy() @ B.to_scipy()).tocsr()
+    assert is_same_matrix(C, ref)

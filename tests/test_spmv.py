@@ -99,3 +99,37 @@ def test_empty_rows(rng):
     x = rng.standard_normal(10)
     for algo in ALGOS:
         _check(spmv(A, x, algorithm=algo), d @ x, np.float64)
+
+
+def test_spmv_struct_api(rng):
+    from tpukk.sparse.spmv_struct import spmv_struct, structured_stencil_offsets
+
+    A = generate_structured_laplacian(25, 20, dtype=np.float64)
+    x = rng.standard_normal(A.ncols)
+    y = spmv_struct(A, (25, 20), x)
+    _check(y, A.to_scipy() @ x, np.float64)
+    offs = structured_stencil_offsets((25, 20))
+    assert list(offs) == [-25, -1, 0, 1, 25]
+    # 3D 7-point
+    A3 = generate_structured_laplacian(8, 8, 8, dtype=np.float64)
+    x3 = rng.standard_normal(A3.ncols)
+    _check(spmv_struct(A3, (8, 8, 8), x3), A3.to_scipy() @ x3, np.float64)
+    # wrong grid declaration must raise
+    import pytest as _pytest
+    from tpukk.common import TpuKKError
+
+    with _pytest.raises(TpuKKError):
+        spmv_struct(A, (7, 11), x)
+
+
+def test_spmv_bf16():
+    """bf16 scalar axis (the reference's bhalf ETI axis)."""
+    import jax.numpy as jnp
+
+    A = generate_structured_laplacian(20, 20, dtype=np.float32)
+    Ab = A.with_values(A.values.astype(jnp.bfloat16))
+    x = np.linspace(-1, 1, Ab.ncols).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    y = np.asarray(spmv(Ab, xb, algorithm=SpmvAlgorithm.ELL)).astype(np.float32)
+    ref = A.to_scipy() @ x
+    assert np.abs(y - ref).max() <= 0.05 * max(1.0, np.abs(ref).max())

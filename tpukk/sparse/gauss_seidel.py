@@ -32,13 +32,22 @@ from ..containers import CsrMatrix
 from ..graph.coloring import ColoringAlgorithm, color_sets, graph_color
 from .spmv import SpmvAlgorithm, SpmvHandle
 
-__all__ = ["GsAlgorithm", "GsHandle", "gauss_seidel_symbolic", "gauss_seidel_numeric",
-           "forward_sweep", "backward_sweep", "symmetric_sweep", "gauss_seidel_apply"]
+__all__ = ["GsAlgorithm", "ClusteringAlgorithm", "GsHandle", "gauss_seidel_symbolic",
+           "gauss_seidel_numeric", "forward_sweep", "backward_sweep",
+           "symmetric_sweep", "gauss_seidel_apply"]
 
 
 class GsAlgorithm(enum.Enum):
     POINT = "point"        # color-permuted PSGS
     TWOSTAGE = "twostage"  # inner-Jacobi classical GS
+    CLUSTER = "cluster"    # MIS2-clustered GS (cluster_gauss_seidel_impl.hpp)
+
+
+class ClusteringAlgorithm(enum.Enum):
+    """cf. gauss_seidel_handle.hpp:32 {CLUSTER_MIS2, BALLOON}."""
+
+    MIS2 = "mis2"
+    BALLOON = "balloon"
 
 
 @dataclasses.dataclass
@@ -54,10 +63,14 @@ class GsHandle:
 
     def __init__(self, algorithm: GsAlgorithm = GsAlgorithm.POINT,
                  coloring: ColoringAlgorithm = ColoringAlgorithm.VB,
-                 inner_sweeps: int = 2):
+                 inner_sweeps: int = 2,
+                 clustering: "ClusteringAlgorithm" = None,
+                 cluster_inner_sweeps: int = 3):
         self.algorithm = algorithm
         self.coloring_algorithm = coloring
         self.inner_sweeps = inner_sweeps  # twostage inner Jacobi count
+        self.clustering = clustering or ClusteringAlgorithm.MIS2
+        self.cluster_inner_sweeps = cluster_inner_sweeps
         self.is_symbolic_called = False
         self.is_numeric_called = False
         # point
@@ -82,7 +95,70 @@ def gauss_seidel_symbolic(handle: GsHandle, A: CsrMatrix):
         inv = np.empty_like(order)
         inv[order] = np.arange(len(order), dtype=order.dtype)
         handle.inv_order = inv
+    elif handle.algorithm == GsAlgorithm.CLUSTER:
+        _cluster_symbolic(handle, A)
     handle.is_symbolic_called = True
+
+
+def _balloon_clustering(A: CsrMatrix, target_size: int = 8) -> np.ndarray:
+    """Balloon clustering (sparse/impl/KokkosSparse_partitioning_impl.hpp:42-91
+    role): seed every ceil(n/target)-th vertex, grow balloons by BFS rounds
+    until all vertices claimed."""
+    rm = A.host_row_map()
+    ent = A.host_entries()
+    n = A.nrows
+    n_clusters = max(1, -(-n // target_size))
+    labels = np.full(n, -1, np.int64)
+    seeds = np.linspace(0, n - 1, n_clusters).astype(np.int64)
+    labels[seeds] = np.arange(n_clusters)
+    while (labels == -1).any():
+        progressed = False
+        rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])
+        lab_n = np.where(labels[ent] >= 0, labels[ent], np.iinfo(np.int64).max)
+        best = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(best, rows, lab_n)
+        adopt = (labels == -1) & (best != np.iinfo(np.int64).max)
+        if adopt.any():
+            labels[adopt] = best[adopt]
+            progressed = True
+        if not progressed:
+            v = np.nonzero(labels == -1)[0][0]
+            labels[v] = labels.max() + 1
+    return labels.astype(np.int32)
+
+
+def _cluster_symbolic(handle, A: CsrMatrix):
+    """Cluster GS symbolic: cluster vertices (MIS2 aggregation or Balloon),
+    color the cluster graph, order vertices color-major then cluster-major —
+    cf. cluster_gauss_seidel_impl.hpp:114-164."""
+    import scipy.sparse as sps
+
+    from ..graph.mis2 import graph_mis2_aggregate
+
+    if handle.clustering == ClusteringAlgorithm.MIS2:
+        labels = graph_mis2_aggregate(A)
+    else:
+        labels = _balloon_clustering(A)
+    nc = int(labels.max()) + 1
+    n = A.nrows
+    P = sps.csr_matrix((np.ones(n), (np.arange(n), labels)), shape=(n, nc))
+    cg = (P.T @ A.to_scipy() @ P).tocsr()
+    cg.setdiag(1.0)
+    cg.sort_indices()
+    ccolors = graph_color(CsrMatrix.from_scipy(cg.astype(np.float64)),
+                          handle.coloring_algorithm)
+    # vertex order: (cluster color, cluster id, vertex id)
+    vc = ccolors[labels]
+    order = np.lexsort((np.arange(n), labels, vc)).astype(np.int32)
+    colors = vc  # per-vertex color = its cluster's color
+    offsets, _ = color_sets(colors.astype(np.int32))
+    handle.colors = colors.astype(np.int32)
+    handle.color_offsets = offsets
+    handle.order = order
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order), dtype=order.dtype)
+    handle.inv_order = inv
+    handle.cluster_labels = labels
 
 
 def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
@@ -151,16 +227,21 @@ def _twostage_numeric(handle, A: CsrMatrix):
 # ---------------------------------------------------------------------------
 
 def _point_half_sweep(handle, xp, bp, forward: bool):
-    """One forward or backward colored sweep in permuted space."""
+    """One forward or backward colored sweep in permuted space.  CLUSTER
+    mode repeats each color-block update (inner relaxation of intra-cluster
+    coupling, cf. the sequential within-cluster solve of
+    cluster_gauss_seidel_impl.hpp)."""
     omega = handle.omega
+    reps = handle.cluster_inner_sweeps if handle.algorithm == GsAlgorithm.CLUSTER else 1
     blocks = handle.blocks if forward else list(reversed(handle.blocks))
     for blk in blocks:
         nrc = blk.inv_diag.shape[0]
-        xb = jax.lax.dynamic_slice_in_dim(xp, blk.start, nrc)
         bb = jax.lax.dynamic_slice_in_dim(bp, blk.start, nrc)
-        ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
-        xnew = (1.0 - omega) * xb + omega * blk.inv_diag * (bb - ax)
-        xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew.astype(xp.dtype), blk.start, 0)
+        for _ in range(reps):
+            xb = jax.lax.dynamic_slice_in_dim(xp, blk.start, nrc)
+            ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
+            xnew = (1.0 - omega) * xb + omega * blk.inv_diag * (bb - ax)
+            xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew.astype(xp.dtype), blk.start, 0)
     return xp
 
 

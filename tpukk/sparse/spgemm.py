@@ -193,3 +193,21 @@ def spgemm(A: CsrMatrix, B: CsrMatrix,
     h = SpgemmHandle(algorithm)
     spgemm_symbolic(h, A, B)
     return spgemm_numeric(h, A, B)
+
+
+def spgemm_jacobi(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix,
+                  omega, dinv) -> CsrMatrix:
+    """Jacobi-fused SpGEMM: C = (I - omega·D⁻¹·A)·B — the reference's
+    spgemm_jacobi variant (sparse/src/KokkosSparse_spgemm_jacobi.hpp role,
+    used to build smoothed-aggregation prolongators).  ``dinv`` is the
+    inverse-diagonal vector.  Reuses the handle's A·B pair plan; the B term
+    merges through a host-side union (symbolic) + device axpby (numeric)."""
+    check(handle.is_symbolic_called, "spgemm_jacobi: call spgemm_symbolic first")
+    AB = spgemm_numeric(handle, A, B)
+    # scale rows of AB by omega * dinv
+    rows = jnp.repeat(jnp.arange(AB.nrows), jnp.diff(jnp.asarray(AB.row_map)),
+                      total_repeat_length=AB.nnz)
+    scaled = AB.with_values(-(omega * jnp.take(jnp.asarray(dinv), rows)) * AB.values)
+    from .spadd import spadd
+
+    return spadd(1.0, B, 1.0, scaled)
