@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Perf-test suite — the analog of perf_test/sparse CLIs (GB/s + GFlop/s
+tables, perf_test/sparse/KokkosSparse_spmv.cpp:94-106 methodology) plus the
+machine-keyed regression archive (test_common/Kokkos_Performance.hpp role).
+
+Usage:
+  python bench_suite.py [--size N] [--reps K] [--archive perf_archive.json]
+
+All timings use the chained-in-jit methodology (see bench.py) to amortize
+relay dispatch latency.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def chain_time(f, args, K, warm=1, reps=4):
+    import jax
+
+    y = f(*args)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best
+
+
+def bench_spmv(n_side, K):
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import SpmvAlgorithm, SpmvHandle
+    from tpukk.sparse import spmv_impl, spmv_pallas
+
+    A = generate_structured_laplacian(n_side, n_side, dtype=np.float32)
+    h = SpmvHandle(A, SpmvAlgorithm.DIA)
+    rng = np.random.default_rng(0)
+    useful = A.nnz * 8 + (A.nrows + 1) * 4 + 2 * A.nrows * 4
+    rows = {}
+
+    if spmv_pallas.supports_pallas():
+        plan = h._plan("dia_pallas")
+        x0 = jax.device_put((rng.standard_normal(plan.n_pad + plan.W) * 0.01).astype(np.float32))
+
+        def body(p, c):
+            y = spmv_pallas._dia_call(c, *p.dlist, offsets=p.offsets, chunk=p.chunk,
+                                      interpret=False)
+            return jnp.pad(y * 0.125, (0, p.W))
+
+        f = jax.jit(lambda p, x: jax.lax.scan(lambda c, _: (body(p, c), None),
+                                              x, None, length=K)[0])
+        t = chain_time(f, (plan, x0), K)
+        rows["spmv_dia_pallas"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                       gflops=2 * A.nnz / t / 1e9)
+
+    dplan = h._plan("dia")
+    xn = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(np.float32))
+    f2 = jax.jit(lambda p, x: jax.lax.scan(
+        lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None, length=K)[0])
+    t = chain_time(f2, (dplan, xn), K)
+    rows["spmv_dia_xla"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                gflops=2 * A.nnz / t / 1e9)
+
+    eplan = h._plan("ell")
+    f3 = jax.jit(lambda p, x: jax.lax.scan(
+        lambda c, _: (spmv_impl.apply_ell(p, c) * 0.125, None), x, None, length=K)[0])
+    t = chain_time(f3, (eplan, xn), K)
+    rows["spmv_ell_xla"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                gflops=2 * A.nnz / t / 1e9)
+    return rows, A
+
+
+def bench_spmm(A, K, nrhs=8):
+    import jax
+
+    from tpukk.sparse import SpmvHandle, SpmvAlgorithm
+    from tpukk.sparse import spmv_impl
+
+    h = SpmvHandle(A, SpmvAlgorithm.DIA)
+    plan = h._plan("dia")
+    rng = np.random.default_rng(1)
+    X = jax.device_put((rng.standard_normal((A.ncols, nrhs)) * 0.01).astype(np.float32))
+    f = jax.jit(lambda p, x: jax.lax.scan(
+        lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None, length=K)[0])
+    t = chain_time(f, (plan, X), K)
+    useful = A.nnz * 8 + (A.nrows + 1) * 4 + 2 * A.nrows * 4 * nrhs
+    return {"spmm_8rhs_dia": dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                  gflops=2 * A.nnz * nrhs / t / 1e9)}
+
+
+def bench_blas(n, K):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    rows = {}
+    x = jax.device_put(rng.standard_normal(n).astype(np.float32))
+    f = jax.jit(lambda x: jax.lax.scan(lambda c, _: (c * 0.999 + 0.001, None),
+                                       x, None, length=K)[0])
+    t = chain_time(f, (x,), K)
+    rows["axpby_stream"] = dict(time_us=t * 1e6, gbps=2 * n * 4 / t / 1e9)
+
+    m = 2048
+    Am = jax.device_put(rng.standard_normal((m, m)).astype(np.float32) / m)
+    f2 = jax.jit(lambda a: jax.lax.scan(
+        lambda c, _: (jnp.dot(c, a, preferred_element_type=jnp.float32), None),
+        jnp.eye(m, dtype=np.float32), None, length=32)[0])
+    t2 = chain_time(f2, (Am,), 32)
+    rows["gemm_2048"] = dict(time_us=t2 * 1e6, tflops=2 * m ** 3 / t2 / 1e12)
+    return rows
+
+
+def bench_spgemm(n_side):
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import SpgemmHandle, spgemm_numeric, spgemm_symbolic
+    import jax
+
+    A = generate_structured_laplacian(n_side, n_side, dtype=np.float32)
+    h = SpgemmHandle()
+    t0 = time.perf_counter()
+    spgemm_symbolic(h, A, A)
+    t_sym = time.perf_counter() - t0
+    C = spgemm_numeric(h, A, A)
+    jax.block_until_ready(C.values)
+    t1 = time.perf_counter()
+    C = spgemm_numeric(h, A, A)
+    jax.block_until_ready(C.values)
+    t_num = time.perf_counter() - t1
+    flops = 2 * int(np.asarray(h.pair_plan.a_idx).shape[0])
+    return {"spgemm_aa": dict(symbolic_s=t_sym, numeric_s=t_num,
+                              gflops=flops / t_num / 1e9, nnz_c=h.nnz_c)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1000)
+    ap.add_argument("--chain", type=int, default=300)
+    ap.add_argument("--archive", default=None)
+    ap.add_argument("--spgemm-size", type=int, default=200)
+    args = ap.parse_args()
+
+    results = {}
+    rows, A = bench_spmv(args.size, args.chain)
+    results.update(rows)
+    results.update(bench_spmm(A, args.chain))
+    results.update(bench_blas(4 * 1024 * 1024, args.chain))
+    results.update(bench_spgemm(args.spgemm_size))
+
+    print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in ["time_us", "gbps", "gflops", "tflops"]))
+    for name, m in results.items():
+        cells = [f"{m.get(k, float('nan')):12.2f}" for k in ["time_us", "gbps", "gflops", "tflops"]]
+        print(f"{name:24s} " + "  ".join(cells))
+
+    if args.archive:
+        from tpukk.common import PerfArchive
+
+        arch = PerfArchive(args.archive)
+        flat = {f"{k}.time_us": v["time_us"] for k, v in results.items() if "time_us" in v}
+        res = arch.run_and_compare("bench_suite", flat)
+        print("archive:", {k: r.status for k, r in res.items()})
+    print(json.dumps({k: {kk: round(float(vv), 3) for kk, vv in v.items()}
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
