@@ -57,7 +57,7 @@ def test_point_exact_on_diag_dominant(rng):
     x = x0.copy()
     for r in order:
         diag = float(sp[r, r])
-        off = float(sp.getrow(r) @ x) - diag * x[r]
+        off = float((sp.getrow(r) @ x).item()) - diag * x[r]
         x[r] = (b[r] - off) / diag
     np.testing.assert_allclose(got, x, rtol=1e-12, atol=1e-12)
 

@@ -133,3 +133,29 @@ def test_spmv_bf16():
     y = np.asarray(spmv(Ab, xb, algorithm=SpmvAlgorithm.ELL)).astype(np.float32)
     ref = A.to_scipy() @ x
     assert np.abs(y - ref).max() <= 0.05 * max(1.0, np.abs(ref).max())
+
+
+def test_onehot_pallas_interpret(rng):
+    """Tiled one-hot MXU kernel (interpret mode on CPU) vs scipy — covers
+    multi-tile dst/src, chunk padding, empty dst tiles, rectangular shapes."""
+    from tpukk.sparse.spmv_pallas import build_onehot_spmv_plan, onehot_spmv
+    import jax.numpy as jnp
+
+    cases = [
+        generate_random_csr(2500, 2000, 5, seed=7, dtype=np.float32),
+        generate_random_csr(100, 9000, 3, seed=8, dtype=np.float32),  # >1 src tile
+        generate_structured_laplacian(40, 40, dtype=np.float32),
+    ]
+    # empty rows / empty dst tile: rows 1100.. have no entries
+    import scipy.sparse as sp
+    from tpukk.containers import CsrMatrix
+
+    M = sp.random(1100, 1100, density=0.002, random_state=5, format="csr", dtype=np.float32)
+    M.resize(2100, 1100)
+    cases.append(CsrMatrix.from_scipy(M))
+    for A in cases:
+        plan = build_onehot_spmv_plan(A)
+        x = rng.standard_normal(A.ncols).astype(np.float32)
+        y = np.asarray(onehot_spmv(plan, jnp.asarray(x), interpret=True))
+        ref = A.to_scipy() @ x
+        _check(y, ref, np.float32)

@@ -45,10 +45,27 @@ class StaticCrsGraph:
         return int(self.entries.shape[0])
 
     def host_row_map(self) -> np.ndarray:
-        return np.asarray(self.row_map)
+        return _host_mirror(self, "row_map")
 
     def host_entries(self) -> np.ndarray:
-        return np.asarray(self.entries)
+        return _host_mirror(self, "entries")
+
+
+def _host_mirror(obj, field: str) -> np.ndarray:
+    """Device->host copies dominate plan-build time on tunneled TPUs, so host
+    mirrors are fetched once and cached (outside the pytree leaves)."""
+    cache = obj.__dict__.setdefault("_hcache", {})
+    if field not in cache:
+        cache[field] = np.asarray(getattr(obj, field))
+    return cache[field]
+
+
+def _prefill_host(obj, **arrays) -> None:
+    cache = obj.__dict__.setdefault("_hcache", {})
+    for field, arr in arrays.items():
+        if isinstance(arr, np.ndarray):
+            # match the device dtype (jnp.asarray may have narrowed int64/f64)
+            cache[field] = arr.astype(getattr(obj, field).dtype, copy=False)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -77,6 +94,7 @@ class CsrMatrix:
     # ---- constructors -------------------------------------------------
     @classmethod
     def from_arrays(cls, row_map, entries, values, nrows=None, ncols=None):
+        rm0, en0, va0 = row_map, entries, values
         row_map = jnp.asarray(row_map)
         entries = jnp.asarray(entries)
         values = jnp.asarray(values)
@@ -85,19 +103,23 @@ class CsrMatrix:
         check(ncols is not None, "CsrMatrix.from_arrays: ncols is required")
         check(row_map.shape[0] == nrows + 1, "CsrMatrix: row_map must have nrows+1 entries")
         check(entries.shape == values.shape[:1], "CsrMatrix: entries/values length mismatch")
-        return cls(row_map, entries, values, int(nrows), int(ncols))
+        obj = cls(row_map, entries, values, int(nrows), int(ncols))
+        _prefill_host(obj, row_map=rm0, entries=en0, values=va0)
+        return obj
 
     @classmethod
     def from_scipy(cls, sp, value_dtype=None, ordinal_dtype=default_ordinal, offset_dtype=default_offset):
         csr = sp.tocsr()
         vals = csr.data if value_dtype is None else csr.data.astype(value_dtype)
-        return cls(
+        obj = cls(
             jnp.asarray(csr.indptr, dtype=offset_dtype),
             jnp.asarray(csr.indices, dtype=ordinal_dtype),
             jnp.asarray(vals),
             int(csr.shape[0]),
             int(csr.shape[1]),
         )
+        _prefill_host(obj, row_map=csr.indptr, entries=csr.indices, values=vals)
+        return obj
 
     @classmethod
     def from_dense(cls, dense, ordinal_dtype=default_ordinal, offset_dtype=default_offset):
@@ -107,13 +129,15 @@ class CsrMatrix:
         row_map = np.zeros(dense.shape[0] + 1, dtype=np.int64)
         np.cumsum(counts, out=row_map[1:])
         rows, cols = np.nonzero(nz)
-        return cls(
+        obj = cls(
             jnp.asarray(row_map, dtype=offset_dtype),
             jnp.asarray(cols, dtype=ordinal_dtype),
             jnp.asarray(dense[rows, cols]),
             dense.shape[0],
             dense.shape[1],
         )
+        _prefill_host(obj, row_map=row_map, entries=cols, values=dense[rows, cols])
+        return obj
 
     # ---- views / exports ---------------------------------------------
     @property
@@ -146,17 +170,24 @@ class CsrMatrix:
 
     def with_values(self, values) -> "CsrMatrix":
         """Same sparsity, new values (the numeric-phase reuse idiom)."""
-        return CsrMatrix(self.row_map, self.entries, jnp.asarray(values), self.nrows, self.ncols)
+        obj = CsrMatrix(self.row_map, self.entries, jnp.asarray(values), self.nrows, self.ncols)
+        cache = self.__dict__.get("_hcache", {})
+        _prefill_host(obj, row_map=cache.get("row_map"), entries=cache.get("entries"),
+                      values=values if isinstance(values, np.ndarray) else None)
+        return obj
 
     def astype(self, dtype) -> "CsrMatrix":
         return self.with_values(self.values.astype(dtype))
 
     # host mirrors for plan construction
     def host_row_map(self) -> np.ndarray:
-        return np.asarray(self.row_map)
+        return _host_mirror(self, "row_map")
 
     def host_entries(self) -> np.ndarray:
-        return np.asarray(self.entries)
+        return _host_mirror(self, "entries")
+
+    def host_values(self) -> np.ndarray:
+        return _host_mirror(self, "values")
 
     def row_lengths(self) -> np.ndarray:
         rm = self.host_row_map()

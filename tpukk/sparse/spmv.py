@@ -38,6 +38,12 @@ def _choose_algorithm(A: CsrMatrix) -> SpmvAlgorithm:
     if offs is not None and len(offs) * A.nrows <= 4 * max(A.nnz, 1):
         # dense-diagonal storage is within 4x of CSR nnz → streaming wins
         return SpmvAlgorithm.DIA
+    from . import spmv_pallas
+
+    if spmv_pallas.supports_pallas() and A.values.dtype == jnp.float32:
+        # unstructured on TPU: one-hot MXU kernel beats the XLA gather paths
+        # ~4-5x (docs/PERF_NOTES.md)
+        return SpmvAlgorithm.ONEHOT
     return SpmvAlgorithm.ELL
 
 
@@ -76,6 +82,10 @@ class SpmvHandle:
             from . import spmv_pallas
 
             p = spmv_pallas.build_dia_pallas_plan(self._plan("dia"))
+        elif key == "onehot":
+            from . import spmv_pallas
+
+            p = spmv_pallas.build_onehot_spmv_plan(A)
         elif key == "segsum":
             p = spmv_impl.build_segsum_plan(A)
         elif key == "dense":
@@ -105,6 +115,12 @@ class SpmvHandle:
             if spmv_pallas.supports_pallas() and x.ndim == 1:
                 return spmv_pallas.apply(self, x)
             return spmv_impl.apply_dia(self._plan("dia"), x)
+        if alg == SpmvAlgorithm.ONEHOT:
+            from . import spmv_pallas
+
+            if x.ndim == 1 and spmv_pallas.supports_pallas():
+                return spmv_pallas.onehot_spmv(self._plan("onehot"), x)
+            return spmv_impl.apply_ell(self._plan("ell"), x)  # SpMM amortizes gathers
         if alg == SpmvAlgorithm.SEGSUM:
             return spmv_impl.apply_segsum(self._plan("segsum"), self.A, x)
         if alg == SpmvAlgorithm.DENSE:

@@ -57,6 +57,7 @@ class SpmvAlgorithm(enum.Enum):
     DIA = "dia"            # diagonal-offset shifted streaming (struct/banded,
                            # the analog of spmv_struct: _spmv_struct_impl.hpp:92-97)
     PALLAS = "pallas"      # hand-written Pallas kernel path
+    ONEHOT = "onehot"      # tiled one-hot MXU kernel (unstructured, gather-free)
 
 
 # ----------------------------------------------------------------------

@@ -46,7 +46,7 @@ def _dia_call(x_full, *diags, offsets, chunk, interpret):
     span = max(offsets) - off_min
     C = chunk
     num_chunks = n_pad // C
-    W = round_up(max(span, 1), 128)
+    W = round_up(max(span, 1), 1024)  # DMA slices must be 1024-aligned (1-D HBM tiling)
     win = C + W
     assert x_full.shape[0] == n_pad + W, (x_full.shape, n_pad, W)
     dtype = diags[0].dtype
@@ -107,7 +107,7 @@ class DiaPallasPlan:
         self.ncols = dia_plan.ncols
         self.n_pad = n_pad
         self.chunk = chunk
-        self.W = round_up(max(span, 1), 128)
+        self.W = round_up(max(span, 1), 1024)  # DMA slices must be 1024-aligned (1-D HBM tiling)
 
     def tree_flatten(self):
         aux = (self.offsets, self.nrows, self.ncols, self.n_pad, self.chunk, self.W)
@@ -147,3 +147,203 @@ def apply(handle, x):
         cols = [dia_spmv(plan, x[:, j]) for j in range(x.shape[1])]
         return jnp.stack(cols, axis=1)
     return dia_spmv(plan, x)
+
+
+# ===========================================================================
+# Tiled one-hot SpMV — the unstructured-matrix kernel.
+#
+# XLA's gather runs at ~120 M elem/s on v5e (docs/PERF_NOTES.md), which makes
+# every index-based CSR formulation (ELL, segment-sum; cf. the row-per-thread
+# / merge-path taxonomy of sparse/impl/KokkosSparse_spmv_impl.hpp:221-377)
+# gather-bound.  This kernel replaces gather/scatter with one-hot
+# contractions built in VMEM — never touching HBM — and decomposes each
+# one-hot by RADIX so the VPU compare cost per nonzero is ~(64+3*128)/1024
+# element-ops instead of the tile size:
+#
+#   per (dst_tile, src_tile) nnz chunk of CH:
+#     hi = col // 128, lo = col % 128           (x tile stored as (64,128))
+#     T(128,CH)  = x2(64,128)^T-contract OH_hi(64,CH)        [MXU, K=64]
+#     xg(1,CH)   = sum_sublane(T * OH_lo(128,CH))            [VPU]
+#     pv(1,CH)   = vals * xg
+#     y2(8,128) += OH_rhi(8,CH) @ (pv * OH_rlo(128,CH))^T    [MXU, K=CH]
+#
+# Steps are ordered dst-major so the y block stays VMEM-resident and
+# accumulates across steps; the x tile (8192 entries) is fetched
+# data-dependently via a scalar-prefetched src-tile id.  Selection is exact
+# in f32 (each dot row has exactly one nonzero).  Locality helps (fewer
+# (dst,src) pairs → less chunk padding); pre-order scattered patterns with
+# graph.rcm.
+# ===========================================================================
+
+_OH_DST = 1024    # dst tile (8 x 128 radix)
+_OH_SRC = 8192    # src tile (64 x 128 radix)
+_OH_CH = 1024     # nnz chunk per grid step
+
+
+class OneHotSpmvPlan:
+    """Host symbolic phase (vectorized): tile the CSR into
+    (dst 1024) x (src 8192) tiles, order nonzero tile pairs dst-major, chunk
+    each pair's nnz to CH with zero-padding (padded vals are 0 => no-ops).
+    Every dst tile gets at least one step so the output block is always
+    initialized."""
+
+    def __init__(self, A, *, _fields=None):
+        if _fields is not None:
+            (self.locr, self.locc, self.vals, self.dst_ids, self.src_ids,
+             self.first, self.nrows, self.ncols, self.n_dst_tiles,
+             self.n_src_tiles, self.num_steps, self.pad_ratio) = _fields
+            return
+        TD, TS, CH = _OH_DST, _OH_SRC, _OH_CH
+        rm = np.asarray(A.host_row_map(), dtype=np.int64)
+        ent = np.asarray(A.host_entries(), dtype=np.int64)
+        vals = A.host_values()
+        n, m = A.nrows, A.ncols
+        nd = max(1, -(-n // TD))
+        ns = max(1, -(-m // TS))
+        nnz = len(ent)
+        rows = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
+        dt = rows // TD
+        st = ent // TS
+        order = np.lexsort((st, dt))
+        rows_s, cols_s, vals_s = rows[order], ent[order], vals[order]
+        dt_s, st_s = dt[order], st[order]
+        # runs of equal (dst,src)
+        key = dt_s * ns + st_s
+        change = np.nonzero(np.diff(key))[0] + 1
+        run_starts = np.concatenate(([0], change)) if nnz else np.empty(0, np.int64)
+        run_ends = np.concatenate((change, [nnz])) if nnz else np.empty(0, np.int64)
+        nchunks = -(-(run_ends - run_starts) // CH)
+        # one chunk per step; vectorized step table
+        step_run = np.repeat(np.arange(len(run_starts)), nchunks)
+        cum = np.concatenate(([0], np.cumsum(nchunks)))[:-1]
+        S0 = int(nchunks.sum())
+        within = np.arange(S0, dtype=np.int64) - cum[step_run]
+        c0 = run_starts[step_run] + within * CH
+        c1 = np.minimum(run_ends[step_run], c0 + CH)
+        sdst = dt_s[c0] if S0 else np.empty(0, np.int64)
+        ssrc = st_s[c0] if S0 else np.empty(0, np.int64)
+        # dummy steps for dst tiles with no nonzeros (forces y-block init)
+        missing = np.setdiff1d(np.arange(nd, dtype=np.int64),
+                               np.unique(sdst), assume_unique=True)
+        if len(missing):
+            sdst = np.concatenate([sdst, missing])
+            ssrc = np.concatenate([ssrc, np.zeros(len(missing), np.int64)])
+            c0 = np.concatenate([c0, np.zeros(len(missing), np.int64)])
+            c1 = np.concatenate([c1, np.zeros(len(missing), np.int64)])
+            reorder = np.argsort(sdst, kind="stable")
+            sdst, ssrc, c0, c1 = sdst[reorder], ssrc[reorder], c0[reorder], c1[reorder]
+        S = len(sdst)
+        idx = c0[:, None] + np.arange(CH, dtype=np.int64)[None, :]
+        mask = idx < c1[:, None]
+        idxc = np.minimum(idx, max(0, nnz - 1))
+        if nnz:
+            locr = np.where(mask, rows_s[idxc] - sdst[:, None] * TD, 0).astype(np.int32)
+            locc = np.where(mask, cols_s[idxc] - ssrc[:, None] * TS, 0).astype(np.int32)
+            v = np.where(mask, vals_s[idxc], 0).astype(np.float32)
+        else:
+            locr = np.zeros((S, CH), np.int32)
+            locc = np.zeros((S, CH), np.int32)
+            v = np.zeros((S, CH), np.float32)
+        first = np.ones(S, np.int32)
+        first[1:] = (sdst[1:] != sdst[:-1]).astype(np.int32)
+        self.locr = jnp.asarray(locr.reshape(-1))
+        self.locc = jnp.asarray(locc.reshape(-1))
+        self.vals = jnp.asarray(v.reshape(-1))
+        self.dst_ids = jnp.asarray(sdst.astype(np.int32))
+        self.src_ids = jnp.asarray(ssrc.astype(np.int32))
+        self.first = jnp.asarray(first)
+        self.nrows, self.ncols = n, m
+        self.n_dst_tiles = nd
+        self.n_src_tiles = ns
+        self.num_steps = S
+        self.pad_ratio = S * CH / max(1, nnz)
+
+    def tree_flatten(self):
+        aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
+               self.num_steps, self.pad_ratio)
+        return (self.locr, self.locc, self.vals, self.dst_ids, self.src_ids,
+                self.first), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(OneHotSpmvPlan)
+
+
+def build_onehot_spmv_plan(A) -> OneHotSpmvPlan:
+    return OneHotSpmvPlan(A)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "num_steps", "nrows", "interpret"))
+def _onehot_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
+                 nd, ns, num_steps, nrows, interpret):
+    TD, TS, CH = _OH_DST, _OH_SRC, _OH_CH
+    m_pad = ns * TS
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * 64, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, locr_ref, locc_ref, v_ref, x_ref, y_ref):
+        g = pl.program_id(0)
+        hp = jax.lax.Precision.HIGHEST
+        locc2 = locc_ref[:].reshape(1, CH)
+        hi = locc2 // 128                                            # (1,CH)
+        lo = locc2 % 128
+        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (64, CH), 0) == hi
+                 ).astype(jnp.float32)                               # (64,CH)
+        t = jax.lax.dot_general(x_ref[:], oh_hi, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=hp)                        # (128,CH)
+        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == lo
+                 ).astype(jnp.float32)
+        xg = jnp.sum(t * oh_lo, axis=0, keepdims=True)               # (1,CH)
+        pv = v_ref[:].reshape(1, CH) * xg
+        locr2 = locr_ref[:].reshape(1, CH)
+        rhi = locr2 // 128
+        rlo = locr2 % 128
+        oh_rlo = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == rlo
+                  ).astype(jnp.float32)
+        p = pv * oh_rlo                                              # (128,CH)
+        oh_rhi = (jax.lax.broadcasted_iota(jnp.int32, (8, CH), 0) == rhi
+                  ).astype(jnp.float32)
+        contrib = jax.lax.dot_general(oh_rhi, p, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=hp)                  # (8,128)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = contrib
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = y_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((CH,), lambda g, d, s, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda g, d, s, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda g, d, s, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda g, d, s, f: (d[0] * 0 + s[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ids, src_ids, first, locr, locc, vals, x2)
+    return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
+
+
+def onehot_spmv(plan: OneHotSpmvPlan, x, interpret: bool = False):
+    """y = A·x via the tiled one-hot kernel (vector x, f32)."""
+    return _onehot_call(plan.dst_ids, plan.src_ids, plan.first,
+                        plan.locr, plan.locc, plan.vals, x,
+                        nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                        num_steps=plan.num_steps, nrows=plan.nrows,
+                        interpret=interpret)
