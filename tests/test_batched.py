@@ -174,3 +174,55 @@ class TestBatchedSparse:
         Brhs = rng.standard_normal((Ab.n_batch, A0.nrows))
         Xg, res = batched_gmres(Ab, Brhs, restart=30, max_restarts=3, tol=1e-10)
         assert np.all(np.asarray(res) < 1e-6 * np.linalg.norm(Brhs, axis=-1).max())
+
+
+def test_qr_with_column_pivoting(rng):
+    """A[:,perm]=QR, orthonormal Q, non-increasing |diag R|
+    (cf. KokkosBatched_QR_WithColumnPivoting_Decl.hpp)."""
+    from tpukk.batched.dense import qr_with_column_pivoting
+
+    A = rng.standard_normal((3, 8, 6)).astype(np.float32)
+    Q, R, perm = qr_with_column_pivoting(A)
+    for i in range(3):
+        ap = A[i][:, np.asarray(perm[i])]
+        assert np.abs(np.asarray(Q[i]) @ np.asarray(R[i]) - ap).max() < 1e-4
+        assert np.abs(np.asarray(Q[i]).T @ np.asarray(Q[i]) - np.eye(6)).max() < 1e-5
+        d = np.abs(np.diagonal(np.asarray(R[i])))
+        assert np.all(np.diff(d) <= 1e-5)
+    # wide case
+    Aw = rng.standard_normal((2, 4, 7)).astype(np.float32)
+    Qw, Rw, pw = qr_with_column_pivoting(Aw)
+    for i in range(2):
+        ap = Aw[i][:, np.asarray(pw[i])]
+        assert np.abs(np.asarray(Qw[i]) @ np.asarray(Rw[i]) - ap).max() < 1e-4
+
+
+def test_utv_solve_rank_deficient(rng):
+    """UTV rank detection + min-norm LS solve on a rank-3 8x6 batch
+    (cf. KokkosBatched_UTV_Decl.hpp / KokkosBatched_SolveUTV_Decl.hpp)."""
+    from tpukk.batched.dense import solve_utv, utv
+
+    B = (rng.standard_normal((2, 8, 3)) @ rng.standard_normal((2, 3, 6))).astype(np.float32)
+    U, T, V, perm, rank = utv(B)
+    assert np.all(np.asarray(rank) == 3)
+    for i in range(2):
+        bp = B[i][:, np.asarray(perm[i])]
+        rec = np.asarray(U[i]) @ np.asarray(T[i]) @ np.asarray(V[i]).T
+        assert np.abs(rec - bp).max() < 1e-4 * np.abs(B[i]).max()
+    b = rng.standard_normal((2, 8)).astype(np.float32)
+    x = solve_utv(U, T, V, perm, rank, b)
+    for i in range(2):
+        xr, *_ = np.linalg.lstsq(B[i], b[i], rcond=1e-5)
+        # same residual as the rank-aware numpy solution
+        r_mine = np.linalg.norm(B[i] @ np.asarray(x[i]) - b[i])
+        r_ref = np.linalg.norm(B[i] @ xr - b[i])
+        assert r_mine <= r_ref * (1 + 1e-4)
+        # min-norm: not larger than the reference norm
+        assert np.linalg.norm(np.asarray(x[i])) <= np.linalg.norm(xr) * (1 + 1e-4)
+    # full-rank square sanity
+    C = rng.standard_normal((1, 5, 5)).astype(np.float32) + 3 * np.eye(5, dtype=np.float32)
+    U, T, V, perm, rank = utv(C)
+    assert int(np.asarray(rank)[0]) == 5
+    bc = rng.standard_normal((1, 5)).astype(np.float32)
+    xc = solve_utv(U, T, V, perm, rank, bc)
+    assert np.abs(C[0] @ np.asarray(xc[0]) - bc[0]).max() < 1e-3

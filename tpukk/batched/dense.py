@@ -24,6 +24,7 @@ __all__ = [
     "qr", "apply_q", "svd", "eigh", "gesv", "getrf", "getrs",
     "pttrf", "pttrs", "pbtrf", "pbtrs", "gbtrf", "gbtrs",
     "tbsv", "laswp", "iamax",
+    "qr_with_column_pivoting", "utv", "solve_utv",
 ]
 
 
@@ -335,3 +336,102 @@ def laswp(piv, B):
 
 def iamax(x):
     return jnp.argmax(jnp.abs(x), axis=-1)
+
+
+# ---- rank-revealing factorizations ---------------------------------------
+
+def _batch_apply(fn, A, extra=()):
+    """vmap fn over all leading batch dims of A (and matching extras)."""
+    f = fn
+    for _ in range(A.ndim - 2):
+        f = jax.vmap(f)
+    return f(A, *extra)
+
+
+def qr_with_column_pivoting(A):
+    """Householder QR with greedy column pivoting:  A[..., :, perm] = Q @ R
+    (cf. batched/dense/src/KokkosBatched_QR_WithColumnPivoting_Decl.hpp).
+    Returns (Q (m,k), R (k,n), perm (n,)) with k = min(m, n); |diag R| is
+    non-increasing.  Real dtypes (the reference's tested axis)."""
+
+    def one(a):
+        m, n = a.shape
+        k = min(m, n)
+        dtype = a.dtype
+        rows = jnp.arange(m)
+        cols = jnp.arange(n)
+
+        def step(j, carry):
+            q, r, perm = carry
+            live = (rows >= j)[:, None]
+            norms = jnp.sum(jnp.where(live, r, 0) ** 2, axis=0)
+            norms = jnp.where(cols >= j, norms, -jnp.inf)
+            p = jnp.argmax(norms)
+            jp = jnp.stack([j, p])
+            pj = jnp.stack([p, j])
+            r = r.at[:, jp].set(r[:, pj])
+            perm = perm.at[jp].set(perm[pj])
+            # Householder for column j on rows >= j
+            x = jnp.where(rows >= j, r[:, j], 0)
+            alpha = jnp.sqrt(jnp.sum(x * x))
+            sgn = jnp.where(r[j, j] >= 0, 1.0, -1.0).astype(dtype)
+            v = x.at[j].add(sgn * alpha)
+            vn2 = jnp.sum(v * v)
+            v = jnp.where(vn2 > 0, v * jax.lax.rsqrt(jnp.maximum(vn2, 1e-37)), 0)
+            r = r - 2.0 * jnp.outer(v, v @ r)
+            q = q - 2.0 * jnp.outer(q @ v, v)
+            return q, r, perm
+
+        q, r, perm = jax.lax.fori_loop(
+            0, k, step, (jnp.eye(m, dtype=dtype), a, jnp.arange(n)))
+        r = jnp.where(rows[:, None] <= cols[None, :], r, 0)
+        return q[:, :k], r[:k], perm
+
+    return _batch_apply(one, A)
+
+
+def utv(A, rel_tol: float = 1e-6):
+    """Rank-revealing UTV factorization (cf. KokkosBatched_UTV_Decl.hpp):
+    A[..., :, perm] = U @ T @ Vᵀ with U (m,k), T (k,k) lower-triangular with
+    its trailing (k-rank) block zero, V (n,k) orthonormal columns.  Returns
+    (U, T, V, perm, rank).  rank is detected as |R_jj| > rel_tol*|R_00| after
+    the pivoted QR; shapes stay static (the rank-deficient tail is zeroed),
+    matching the reference's matrix_rank output contract."""
+
+    def one(a):
+        q, r, perm = qr_with_column_pivoting(a)
+        k = r.shape[0]
+        d = jnp.abs(jnp.diagonal(r))
+        rank = jnp.sum((d > rel_tol * jnp.maximum(d[0], 1e-37)).astype(jnp.int32))
+        # LQ of the leading `rank` rows of R via QR of maskedᵀ:
+        #   R(rank,n)ᵀ = V(n,k) R2(k,k)  =>  R = R2ᵀ Vᵀ,  T = R2ᵀ lower-tri
+        rmask = jnp.where((jnp.arange(k) < rank)[:, None], r, 0)
+        v, r2 = jnp.linalg.qr(rmask.T, mode="reduced")
+        return q, r2.T, v, perm, rank
+
+    return _batch_apply(one, A)
+
+
+def solve_utv(U, T, V, perm, rank, b):
+    """Min-norm least-squares solve from utv() factors (cf.
+    KokkosBatched_SolveUTV_Decl.hpp):  x = argmin |x| s.t. x minimizes
+    |A x - b|.  Handles the dynamic rank by solving the rank-padded lower
+    system with a unit-padded diagonal and masking the tail."""
+
+    def one(u, t, v, p, rk, rhs):
+        k = t.shape[0]
+        c = u.T @ rhs                                   # (k,) or (k,nrhs)
+        live = jnp.arange(k) < rk
+        # pad the dead diagonal so the triangular solve stays nonsingular
+        tpad = t + jnp.diag(jnp.where(live, 0.0, 1.0).astype(t.dtype))
+        z = jax.lax.linalg.triangular_solve(
+            tpad, c[:, None] if c.ndim == 1 else c, left_side=True, lower=True)
+        z = jnp.where(live[:, None], z, 0)
+        x = v @ z                                        # (n, nrhs)
+        xp = jnp.zeros_like(x).at[p].set(x)              # undo column pivoting
+        return xp[:, 0] if rhs.ndim == 1 else xp
+
+    f = one
+    for _ in range(U.ndim - 2):
+        f = jax.vmap(f)
+    return f(U, T, V, perm, rank, b)
