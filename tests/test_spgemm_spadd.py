@@ -93,3 +93,44 @@ def test_spgemm_jacobi():
 
     ref = (B.to_scipy() - omega * _sps.diags(dinv) @ A.to_scipy() @ B.to_scipy()).tocsr()
     assert is_same_matrix(C, ref)
+
+
+def test_bspgemm_vs_scipy(rng):
+    """Block SpGEMM (sparse/impl/KokkosSparse_bspgemm_impl*.hpp analog):
+    BSR block pair plan + batched MXU block products vs scipy."""
+    import scipy.sparse as sp
+    from tpukk.containers import BsrMatrix, crs2bsr, generate_random_csr
+    from tpukk.sparse import bspgemm
+
+    b = 4
+    nb = 30
+    S = sp.random(nb, nb, density=0.15, random_state=11, format="csr")
+    S.data[:] = 1.0
+    dense = np.kron(S.toarray(), np.ones((b, b))) * rng.standard_normal((nb * b, nb * b))
+    Absr = crs2bsr(_dense_to_csr(dense.astype(np.float32)), b)
+    Bbsr = crs2bsr(_dense_to_csr(dense.T.copy().astype(np.float32)), b)
+    C = bspgemm(Absr, Bbsr)
+    ref = dense.astype(np.float32) @ dense.T.astype(np.float32)
+    got = np.asarray(_bsr_to_dense(C))
+    assert np.abs(got - ref).max() <= 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def _dense_to_csr(d):
+    from tpukk.containers import CsrMatrix
+
+    return CsrMatrix.from_dense(d)
+
+
+def _bsr_to_dense(C):
+    import numpy as _np
+
+    b = C.block_size
+    out = _np.zeros((C.nrows, C.ncols), _np.float32)
+    rm = _np.asarray(C.row_map)
+    ent = _np.asarray(C.entries)
+    vals = _np.asarray(C.values)
+    for i in range(C.n_block_rows):
+        for p in range(rm[i], rm[i + 1]):
+            j = ent[p]
+            out[i * b:(i + 1) * b, j * b:(j + 1) * b] = vals[p]
+    return out

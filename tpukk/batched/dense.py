@@ -42,12 +42,14 @@ def _op(A, trans):
 def gemm(transA, transB, alpha, A, B, beta, C):
     """(B,m,k)x(B,k,n): batched MXU matmul (cf. KokkosBatched_Gemm_Decl.hpp)."""
     pet = jnp.promote_types(A.dtype, jnp.float32)
-    return (beta * C + alpha * jnp.matmul(_op(A, transA), _op(B, transB))
+    return (beta * C + alpha * jnp.matmul(_op(A, transA), _op(B, transB),
+                                          precision=jax.lax.Precision.HIGHEST)
             .astype(pet)).astype(C.dtype)
 
 
 def gemv(trans, alpha, A, x, beta, y):
-    return beta * y + alpha * jnp.einsum("bij,bj->bi", _op(A, trans), x)
+    return beta * y + alpha * jnp.einsum("bij,bj->bi", _op(A, trans), x,
+                                         precision=jax.lax.Precision.HIGHEST)
 
 
 def ger(alpha, x, y, A):
@@ -177,7 +179,9 @@ def trmm(side, uplo, trans, diag, alpha, A, B):
         d = jnp.diagonal(T, axis1=-2, axis2=-1)
         T = T - d[..., None] * jnp.eye(n, dtype=A.dtype) + jnp.eye(n, dtype=A.dtype)
     T = _op(T, trans)
-    return alpha * (jnp.matmul(T, B) if side.upper() == "L" else jnp.matmul(B, T))
+    hp = jax.lax.Precision.HIGHEST
+    return alpha * (jnp.matmul(T, B, precision=hp) if side.upper() == "L"
+                    else jnp.matmul(B, T, precision=hp))
 
 
 def trtri(uplo, diag, A):
@@ -194,7 +198,7 @@ def qr(A):
 
 def apply_q(Q, B, trans: str = "N"):
     """Apply Q (from qr) to B (cf. KokkosBatched_ApplyQ_Decl.hpp)."""
-    return jnp.matmul(_op(Q, trans), B)
+    return jnp.matmul(_op(Q, trans), B, precision=jax.lax.Precision.HIGHEST)
 
 
 def svd(A, full_matrices: bool = False):
@@ -378,8 +382,9 @@ def qr_with_column_pivoting(A):
             v = x.at[j].add(sgn * alpha)
             vn2 = jnp.sum(v * v)
             v = jnp.where(vn2 > 0, v * jax.lax.rsqrt(jnp.maximum(vn2, 1e-37)), 0)
-            r = r - 2.0 * jnp.outer(v, v @ r)
-            q = q - 2.0 * jnp.outer(q @ v, v)
+            hp = jax.lax.Precision.HIGHEST
+            r = r - 2.0 * jnp.outer(v, jnp.matmul(v, r, precision=hp))
+            q = q - 2.0 * jnp.outer(jnp.matmul(q, v, precision=hp), v)
             return q, r, perm
 
         q, r, perm = jax.lax.fori_loop(

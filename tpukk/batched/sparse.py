@@ -172,9 +172,11 @@ def batched_gmres(A: BatchedCrsMatrix, B, restart: int = 30, max_restarts: int =
         # solve the (m+1, m) least squares per batch via batched QR
         e1 = jnp.zeros((nb, m + 1), B.dtype).at[:, 0].set(beta)
         Q, Rm = jnp.linalg.qr(H, mode="reduced")          # (nb,m+1,m),(nb,m,m)
-        rhs = jnp.einsum("bij,bi->bj", Q, e1)[..., None]
+        rhs = jnp.einsum("bij,bi->bj", Q, e1,
+                         precision=jax.lax.Precision.HIGHEST)[..., None]
         y = jax.lax.linalg.triangular_solve(Rm, rhs, left_side=True, lower=False)
-        dX = jnp.einsum("bmn,bm->bn", V[:, :m], y[..., 0])
+        dX = jnp.einsum("bmn,bm->bn", V[:, :m], y[..., 0],
+                        precision=jax.lax.Precision.HIGHEST)
         return X + dX
 
     X = jnp.zeros_like(B) if X0 is None else X0

@@ -3,6 +3,7 @@ XLA's dot/outer fusions are the "TPL" here; transpose modes are explicit
 arguments like the reference's mode chars ('N','T','C')."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..common import arith_traits, check
@@ -23,7 +24,7 @@ def _apply_trans(A, trans: str):
 def gemv(trans, alpha, A, x, beta, y):
     """y = beta*y + alpha*op(A)·x — cf. blas/src/KokkosBlas2_gemv.hpp."""
     op = _apply_trans(A, trans)
-    return beta * y + alpha * (op @ x)
+    return beta * y + alpha * jnp.matmul(op, x, precision=jax.lax.Precision.HIGHEST)
 
 
 def ger(alpha, x, y, A, conj_y: bool = True):

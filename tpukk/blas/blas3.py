@@ -30,7 +30,8 @@ def _op(A, trans: str):
 def gemm(transA, transB, alpha, A, B, beta, C, preferred_element_type=None):
     """C = beta*C + alpha*op(A)·op(B) — cf. blas/src/KokkosBlas3_gemm.hpp:96."""
     pet = preferred_element_type or jnp.promote_types(A.dtype, jnp.float32)
-    prod = jnp.dot(_op(A, transA), _op(B, transB), preferred_element_type=pet)
+    prod = jnp.dot(_op(A, transA), _op(B, transB), preferred_element_type=pet,
+                   precision=jax.lax.Precision.HIGHEST)
     return (beta * C + alpha * prod).astype(C.dtype)
 
 
@@ -43,9 +44,10 @@ def _tri_mask(A, uplo: str, diag: str):
 def trmm(side, uplo, trans, diag, alpha, A, B):
     """B = alpha*op(tri(A))·B (side='L') or alpha*B·op(tri(A)) (side='R')."""
     T = _op(_tri_mask(A, uplo, diag), trans)
+    hp = jax.lax.Precision.HIGHEST
     if side.upper() == "L":
-        return alpha * (T @ B)
-    return alpha * (B @ T)
+        return alpha * jnp.matmul(T, B, precision=hp)
+    return alpha * jnp.matmul(B, T, precision=hp)
 
 
 def trsm(side, uplo, trans, diag, alpha, A, B):

@@ -14,7 +14,8 @@ from .par_ilut import ParIlutHandle, par_ilut, par_ilut_numeric, par_ilut_symbol
 from .pcg import PcgStats, pcg
 from .preconditioner import GsPrec, IdentityPrec, JacobiPrec, LUPrec, MatrixPrec, Preconditioner
 from .spadd import SpaddHandle, spadd, spadd_numeric, spadd_symbolic
-from .spgemm import SpgemmAlgorithm, SpgemmHandle, spgemm, spgemm_numeric, spgemm_symbolic
+from .spgemm import (SpgemmAlgorithm, SpgemmHandle, bspgemm, bspgemm_numeric,
+                     bspgemm_symbolic, spgemm, spgemm_numeric, spgemm_symbolic)
 from .spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
 from .spmv import SpmvAlgorithm, SpmvHandle, spmm, spmv
 from .sptrsv import SptrsvHandle, sptrsv_solve, sptrsv_symbolic

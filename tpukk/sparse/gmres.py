@@ -71,10 +71,11 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
             # classical GS twice (CGS2): h = Vᵀw; w -= Vh; correction pass
             mask = (jnp.arange(m + 1) <= j)[:, None]
             Vm = V * mask
-            h1 = Vm @ w
-            w = w - Vm.T @ h1
-            h2 = Vm @ w
-            w = w - Vm.T @ h2
+            hp = jax.lax.Precision.HIGHEST
+            h1 = jnp.matmul(Vm, w, precision=hp)
+            w = w - jnp.matmul(Vm.T, h1, precision=hp)
+            h2 = jnp.matmul(Vm, w, precision=hp)
+            w = w - jnp.matmul(Vm.T, h2, precision=hp)
             h = h1 + h2
         else:
             def mgs(i, wh):
@@ -93,7 +94,7 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
     # rank-robust small least-squares (handles beta==0 and happy breakdown,
     # where H is singular — the reference's Givens loop exits early instead)
     y = jnp.linalg.lstsq(H, e1)[0]
-    x_new = x0 + V[:m].T @ y
+    x_new = x0 + jnp.matmul(V[:m].T, y, precision=jax.lax.Precision.HIGHEST)
     res_est = jnp.sqrt(jnp.maximum(jnp.sum((H @ y - e1) ** 2), 0.0))
     return x_new, res_est
 

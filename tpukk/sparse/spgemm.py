@@ -32,7 +32,8 @@ import numpy as np
 from ..common import check
 from ..containers import CsrMatrix
 
-__all__ = ["SpgemmAlgorithm", "SpgemmHandle", "spgemm_symbolic", "spgemm_numeric", "spgemm"]
+__all__ = ["SpgemmAlgorithm", "SpgemmHandle", "spgemm_symbolic", "spgemm_numeric",
+           "spgemm", "bspgemm_symbolic", "bspgemm_numeric", "bspgemm"]
 
 
 class SpgemmAlgorithm(enum.Enum):
@@ -70,6 +71,7 @@ class SpgemmHandle:
         self.entries_c = None
         self.pair_plan: Optional[PairPlan] = None
         self.nrows_c = self.ncols_c = None
+        self.block_size = None  # set by bspgemm_symbolic for BSR operands
 
     @property
     def nnz_c(self):
@@ -211,3 +213,72 @@ def spgemm_jacobi(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix,
     from .spadd import spadd
 
     return spadd(1.0, B, 1.0, scaled)
+
+
+# ---------------------------------------------------------------------------
+# Block (BSR) SpGEMM — analog of the bspgemm entry points
+# (sparse/impl/KokkosSparse_bspgemm_impl*.hpp, the BlockHashmapAccumulator
+# path).  The pair plan runs on the BLOCK graph; the numeric phase turns each
+# scalar multiply of the CSR case into a (b,b)x(b,b) block product — batched
+# dense matmuls, exactly the MXU-shaped work TPUs want.
+# ---------------------------------------------------------------------------
+
+class _GraphView:
+    """Structure-only CSR view of a BSR block graph for _symbolic_host."""
+
+    def __init__(self, rm, ent, nrows, ncols):
+        self._rm, self._ent = rm, ent
+        self.nrows, self.ncols = nrows, ncols
+
+    def host_row_map(self):
+        return self._rm
+
+    def host_entries(self):
+        return self._ent
+
+
+def bspgemm_symbolic(handle: SpgemmHandle, A, B):
+    """Block-structure symbolic phase; handle caches the block pair plan."""
+    from ..containers import BsrMatrix
+
+    check(isinstance(A, BsrMatrix) and isinstance(B, BsrMatrix),
+          "bspgemm: BsrMatrix inputs required")
+    check(A.block_size == B.block_size, "bspgemm: equal block sizes required")
+    check(A.ncols == B.nrows, "bspgemm: inner dimension mismatch")
+    gA = _GraphView(np.asarray(A.row_map), np.asarray(A.entries),
+                    A.n_block_rows, A.n_block_cols)
+    gB = _GraphView(np.asarray(B.row_map), np.asarray(B.entries),
+                    B.n_block_rows, B.n_block_cols)
+    rm, cols, plan = _symbolic_host(gA, gB)
+    handle.row_map_c = rm
+    handle.entries_c = cols
+    handle.pair_plan = plan
+    handle.nrows_c, handle.ncols_c = A.nrows, B.ncols
+    handle.block_size = A.block_size
+    handle.is_symbolic_called = True
+    return handle.row_map_c
+
+
+def bspgemm_numeric(handle: SpgemmHandle, A, B):
+    """Numeric: batched (P,b,b) MXU block products + sorted block segsum."""
+    from ..containers import BsrMatrix
+
+    check(handle.is_symbolic_called, "bspgemm_numeric: call bspgemm_symbolic first")
+    plan = handle.pair_plan
+    pa = jnp.take(A.values, plan.a_idx, axis=0)          # (P,b,b)
+    pb = jnp.take(B.values, plan.b_idx, axis=0)
+    pet = jnp.promote_types(A.dtype, jnp.float32)
+    # HIGHEST: TPU matmuls default to bf16 passes; f32 operands must stay f32
+    prod = jnp.matmul(pa.astype(pet), pb.astype(pet),
+                      precision=jax.lax.Precision.HIGHEST)
+    vals = jax.ops.segment_sum(prod, plan.c_idx, num_segments=plan.nnz_c,
+                               indices_are_sorted=True).astype(A.dtype)
+    return BsrMatrix(jnp.asarray(handle.row_map_c), jnp.asarray(handle.entries_c),
+                     vals, handle.nrows_c, handle.ncols_c, handle.block_size)
+
+
+def bspgemm(A, B):
+    """No-reuse convenience: C = A·B for BSR operands."""
+    h = SpgemmHandle(SpgemmAlgorithm.KK)
+    bspgemm_symbolic(h, A, B)
+    return bspgemm_numeric(h, A, B)

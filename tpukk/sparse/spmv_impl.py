@@ -352,4 +352,5 @@ def apply_bsr(A: BsrMatrix, block_rows, x):
 # ----------------------------------------------------------------------
 
 def apply_dense(dense, x):
-    return jnp.dot(dense, x, preferred_element_type=jnp.promote_types(x.dtype, jnp.float32)).astype(x.dtype)
+    return jnp.dot(dense, x, preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
