@@ -3,21 +3,30 @@ sparse/src/KokkosSparse_par_ilut.hpp:20-33 and
 sparse/impl/KokkosSparse_par_ilut_numeric_impl.hpp (repeated {candidate add,
 fixed-point sweep, threshold-prune, sweep}).
 
-The fixed-point sweep uses the residual identity (all updates independent —
-the algorithm's whole point, and why it suits data-parallel hardware):
-    R = A - L·U (on the current pattern union)
-    L += tril(R,-1) / diag(U) ;  U += triu(R)
-Each outer iteration: grow pattern by the nonzeros of R (candidates), sweep,
-prune smallest |values| down to the fill budget (keeping diagonals), sweep.
-Deterministic by construction (= the reference's async_update=false mode,
-par_ilut.hpp:23-27).  Pattern phases are host-side; sweeps are sparse
-products expressible with the spgemm pair plan (host scipy here; the device
-pair-plan path shares the machinery of spgemm.py).
+TPU-native split (same contract as spgemm.py / spiluk.py):
+
+* **symbolic per outer iteration** (host, vectorized numpy): candidate
+  pattern = A ∪ pattern(L·U); a *sweep pair plan* enumerating, for every
+  pattern entry (i,j), the products L_ik·U_kj that appear in the Chow-style
+  fixed-point update
+      i>j :  L_ij = (A_ij − Σ_{k<j} L_ik U_kj) / U_jj
+      i≤j :  U_ij =  A_ij − Σ_{k<i} L_ik U_kj
+  (the reference's compute_l_u_factors, par_ilut_numeric_impl.hpp).
+* **numeric sweeps** (device): gather-multiply + sorted segment-sum +
+  elementwise update, iterated under one jit — all updates use the previous
+  iterate (Jacobi style), which IS the reference's deterministic
+  `async_update=false` mode (par_ilut.hpp:23-27).
+* **prune** (device selects the |value| threshold via top-k; host rebuilds
+  the pattern) down to the fill budget, keeping diagonals — the reference's
+  threshold_select + threshold_filter.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
 
@@ -32,7 +41,7 @@ class ParIlutHandle:
     fill-in limit (fill_factor x nnz(A))."""
 
     def __init__(self, max_iters: int = 5, residual_tol: float = 1e-2,
-                 fill_factor: float = 2.0, sweeps_per_iter: int = 1):
+                 fill_factor: float = 2.0, sweeps_per_iter: int = 2):
         self.max_iters = int(max_iters)
         self.residual_tol = float(residual_tol)
         self.fill_factor = float(fill_factor)
@@ -43,83 +52,279 @@ class ParIlutHandle:
 
 
 def par_ilut_symbolic(handle: ParIlutHandle, A: CsrMatrix):
-    """Symbolic phase — initial pattern = pattern of A (tri parts); budget
-    bookkeeping only (the iteration re-symbolics internally)."""
+    """Symbolic phase — initial pattern = tri parts of A; the iteration
+    re-symbolics internally (inherent to threshold ILU)."""
     check(A.nrows == A.ncols, "par_ilut: square matrix required")
     handle.is_symbolic_called = True
     return A.nnz
 
 
-def _sweep(Asp, L, U, n_sweeps: int):
-    for _ in range(n_sweeps):
-        R = (Asp - L @ U).tocsr()
-        d = U.diagonal()
-        d = np.where(d != 0, d, 1.0)
-        Rl = sps.tril(R, k=-1).tocsr()
-        # scale rows? scaling is by column of U diag: entry (i,j) /= u_jj
-        Rl = (Rl @ sps.diags(1.0 / d)).tocsr()
-        Ru = sps.triu(R, k=0).tocsr()
-        L = (L + Rl).tocsr()
-        U = (U + Ru).tocsr()
-    return L, U
+def _pattern(csr):
+    p = csr.copy()
+    p.data = np.ones_like(p.data)
+    return p
 
 
-def _prune(L, U, budget_l, budget_u):
-    def keep_largest(M, budget, is_lower):
-        M = M.tocoo()
-        diag_mask = M.row == M.col
-        off_idx = np.nonzero(~diag_mask)[0]
-        if off_idx.size > budget:
-            mags = np.abs(M.data[off_idx])
-            kth = np.partition(mags, off_idx.size - budget)[off_idx.size - budget]
-            drop = off_idx[np.abs(M.data[off_idx]) < kth]
-            M.data[drop] = 0.0
-        out = M.tocsr()
-        out.eliminate_zeros()
-        return out
+def _coo_arrays(csr):
+    coo = csr.tocoo()
+    return coo.row.astype(np.int64), coo.col.astype(np.int64)
 
-    return keep_largest(L, budget_l, True), keep_largest(U, budget_u, False)
+
+class _SweepPlan:
+    """Host-built static schedule for one (patL, patU) pattern pair.
+
+    Targets are the concatenation [L entries (CSR order), U entries]; the
+    plan maps every retained product pair to its target slot and records the
+    per-target A value, the U-diagonal slot for the L scaling, and where A's
+    own entries live (for the pattern-restricted residual norm)."""
+
+    def __init__(self, patL, patU, Asp):
+        n = patL.shape[0]
+        Lrm = patL.indptr.astype(np.int64)
+        Lent = patL.indices.astype(np.int64)
+        Urm = patU.indptr.astype(np.int64)
+        Uent = patU.indices.astype(np.int64)
+        nnzL, nnzU = len(Lent), len(Uent)
+        rowL = np.repeat(np.arange(n), Lrm[1:] - Lrm[:-1])
+        rowU = np.repeat(np.arange(n), Urm[1:] - Urm[:-1])
+
+        # enumerate product pairs: (i,k) in L_strict x (k,j) in U
+        expand = (Urm[1:] - Urm[:-1])[Lent]
+        P = int(expand.sum())
+        a_idx = np.repeat(np.arange(nnzL), expand)
+        b_start = np.repeat(Urm[Lent], expand)
+        within = np.arange(P) - np.repeat(np.cumsum(expand) - expand, expand)
+        b_idx = b_start + within
+        i = np.repeat(rowL, expand)
+        k = Lent[a_idx]
+        j = Uent[b_idx]
+        # k<i and k<=j hold structurally; the lower-target sum needs k<j strict
+        keep = ~((i > j) & (k == j))
+        a_idx, b_idx, i, j = a_idx[keep], b_idx[keep], i[keep], j[keep]
+        # map targets (i,j) into pattern slots; discard out-of-pattern pairs
+        keyL = rowL * n + Lent
+        keyU = rowU * n + Uent
+        key = i * n + j
+        low = i > j
+        slot = np.empty(len(key), np.int64)
+        posL = np.searchsorted(keyL, key[low])
+        posL = np.minimum(posL, max(0, nnzL - 1))
+        okL = (keyL[posL] == key[low]) if nnzL else np.zeros(low.sum(), bool)
+        slot_l = np.where(okL, posL, -1)
+        posU = np.searchsorted(keyU, key[~low])
+        posU = np.minimum(posU, max(0, nnzU - 1))
+        okU = (keyU[posU] == key[~low]) if nnzU else np.zeros((~low).sum(), bool)
+        slot_u = np.where(okU, nnzL + posU, -1)
+        slot[low] = slot_l
+        slot[~low] = slot_u
+
+        # per-target data
+        Acsr = Asp.tocsr()
+        aL = _restrict(Acsr, rowL, Lent, n)
+        aU = _restrict(Acsr, rowU, Uent, n)
+        # U diagonal slot per row (patU always carries the diagonal)
+        diag_pos = np.searchsorted(keyU, np.arange(n) * n + np.arange(n))
+        # A-pattern positions among targets (for the residual norm on A's
+        # pattern).  A entries PRUNED out of the L/U pattern still need their
+        # LU products tracked, so they get extra segments past nnzL+nnzU.
+        ar, ac = _coo_arrays(Acsr)
+        akey = ar * n + ac
+        alow = ar > ac
+        apos = np.empty(len(akey), np.int64)
+        pl = np.minimum(np.searchsorted(keyL, akey[alow]), max(0, nnzL - 1))
+        hitAl = (keyL[pl] == akey[alow]) if nnzL else np.zeros(int(alow.sum()), bool)
+        pu = np.minimum(np.searchsorted(keyU, akey[~alow]), max(0, nnzU - 1))
+        hitAu = (keyU[pu] == akey[~alow]) if nnzU else np.zeros(int((~alow).sum()), bool)
+        apos[alow] = np.where(hitAl, pl, -1)
+        apos[~alow] = np.where(hitAu, nnzL + pu, -1)
+        miss = apos < 0
+        miss_keys = akey[miss]                      # sorted (CSR row-major)
+        M = len(miss_keys)
+        apos[miss] = nnzL + nnzU + np.arange(M)
+        aM = Acsr.data[miss]
+        # route dropped pairs that target a missing A entry to its segment
+        dead = slot < 0
+        if M and dead.any():
+            pm = np.minimum(np.searchsorted(miss_keys, key[dead]), M - 1)
+            hitm = miss_keys[pm] == key[dead]
+            slot[dead] = np.where(hitm, nnzL + nnzU + pm, -1)
+        keep2 = slot >= 0
+        a_idx, b_idx, slot = a_idx[keep2], b_idx[keep2], slot[keep2]
+        order = np.argsort(slot, kind="stable")
+
+        self.nnzL, self.nnzU, self.n = nnzL, nnzU, n
+        self.nmiss = M
+        self.aM = jnp.asarray(aM)
+        self.a_idx = jnp.asarray(a_idx[order].astype(np.int32))
+        self.b_idx = jnp.asarray(b_idx[order].astype(np.int32))
+        self.slot = jnp.asarray(slot[order].astype(np.int32))
+        self.aL = jnp.asarray(aL)
+        self.aU = jnp.asarray(aU)
+        self.diag_slot = jnp.asarray(diag_pos.astype(np.int32))
+        self.colL = jnp.asarray(Lent.astype(np.int32))
+        self.a_pos = jnp.asarray(apos.astype(np.int32))
+        self.rowL_np, self.colL_np = rowL, Lent
+        self.rowU_np, self.colU_np = rowU, Uent
+
+
+def _restrict(Acsr, rows, cols, n):
+    """A values at (rows, cols), 0 where A has no entry."""
+    out = np.zeros(len(rows), Acsr.dtype)
+    arm = Acsr.indptr
+    aent = Acsr.indices
+    for_key = np.asarray(Acsr.tocoo().row, np.int64) * n + Acsr.tocoo().col
+    want = rows * n + cols
+    pos = np.searchsorted(for_key, want)
+    pos = np.minimum(pos, max(0, len(for_key) - 1))
+    hit = (for_key[pos] == want) if len(for_key) else np.zeros(len(want), bool)
+    out[hit] = Acsr.data[pos[hit]]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss", "n_sweeps"))
+def _device_sweeps(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
+                   lvals, uvals, *, nnzL, nnzU, nmiss, n_sweeps):
+    """n_sweeps Jacobi fixed-point sweeps + residual on A's full pattern."""
+    nseg = nnzL + nnzU + nmiss
+
+    def one(_, lu):
+        lv, uv = lu
+        prod = jnp.take(lv, a_idx) * jnp.take(uv, b_idx)
+        s = jax.ops.segment_sum(prod, slot, num_segments=nseg,
+                                indices_are_sorted=True)
+        udiag = jnp.take(uv, diag_slot)
+        udiag = jnp.where(udiag != 0, udiag, 1.0)
+        new_l = (aL - s[:nnzL]) / jnp.take(udiag, colL)
+        new_u = aU - s[nnzL:nnzL + nnzU]
+        return new_l, new_u
+
+    lv, uv = jax.lax.fori_loop(0, n_sweeps, one, (lvals, uvals))
+    # residual on A's pattern:  R_ij = A_ij − Σ L_ik U_kj (all k, incl. the
+    # solved term: +L_ij·U_jj for i>j, +U_ij·1 for i≤j; pruned-out A slots
+    # carry the bare product sum)
+    prod = jnp.take(lv, a_idx) * jnp.take(uv, b_idx)
+    s = jax.ops.segment_sum(prod, slot, num_segments=nseg,
+                            indices_are_sorted=True)
+    udiag = jnp.take(uv, diag_slot)
+    lu_full = jnp.concatenate([s[:nnzL] + lv * jnp.take(udiag, colL),
+                               s[nnzL:nnzL + nnzU] + uv,
+                               s[nnzL + nnzU:]])
+    a_full = jnp.concatenate([aL, aU, aM])
+    r = jnp.take(a_full - lu_full, a_pos)
+    return lv, uv, jnp.sqrt(jnp.sum(r * r))
 
 
 def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMatrix]:
     check(handle.is_symbolic_called, "par_ilut_numeric: symbolic first")
-    Asp = A.to_scipy().tocsr().astype(np.float64)
+    Asp = A.to_scipy().tocsr()
+    Asp.sort_indices()
     n = Asp.shape[0]
-    # init: L = unit lower of A, U = upper of A (diagonal forced nonzero)
-    L = (sps.tril(Asp, k=-1) + sps.identity(n)).tocsr()
-    U = sps.triu(Asp, k=0).tocsr()
-    dU = U.diagonal()
-    if (dU == 0).any():
-        U = (U + sps.diags(np.where(dU == 0, 1.0, 0.0))).tocsr()
+    dt = np.asarray(Asp.data).dtype
+    # initial pattern/values: L = strict lower of A (unit diag implied),
+    # U = upper incl diag (forced present)
+    patL = sps.tril(Asp, k=-1).tocsr()
+    patU = (sps.triu(Asp, k=0) + sps.identity(n, dtype=dt)).tocsr()
+    patU.sum_duplicates()
+    patU.sort_indices()
+    plan = _SweepPlan(_pattern(patL), _pattern(patU), Asp)
+    lvals = np.array(plan.aL)
+    uvals = np.array(plan.aU)
+    # make sure U's diagonal starts nonzero
+    dslot = np.asarray(plan.diag_slot)
+    uvals[dslot] = np.where(uvals[dslot] != 0, uvals[dslot], 1.0)
+
     budget = int(handle.fill_factor * Asp.nnz)
     budget_l = budget // 2
     budget_u = budget - budget_l
-    anorm = sps.linalg.norm(Asp)
+    anorm = float(np.sqrt((Asp.data ** 2).sum()))
     res = float("inf")
     it = 0
     for it in range(1, handle.max_iters + 1):
-        # candidates: one sweep naturally adds R's pattern (L+Rl grows)
-        L, U = _sweep(Asp, L, U, handle.sweeps_per_iter)
-        L, U = _prune(L, U, budget_l, budget_u)
-        # re-sweep on the pruned pattern (values only: R restricted to pattern)
-        patL = L.copy(); patL.data = np.ones_like(patL.data)
-        patU = U.copy(); patU.data = np.ones_like(patU.data)
-        R = (Asp - L @ U).tocsr()
-        d = np.where(U.diagonal() != 0, U.diagonal(), 1.0)
-        L = (L + (sps.tril(R, -1) @ sps.diags(1.0 / d)).multiply(patL)).tocsr()
-        U = (U + sps.triu(R, 0).multiply(patU)).tocsr()
-        # ensure unit diagonal of L
-        L = (L - sps.diags(L.diagonal()) + sps.identity(n)).tocsr()
-        res = sps.linalg.norm((Asp - L @ U).multiply(Asp != 0)) / max(anorm, 1e-30)
+        # ---- candidate phase: pattern of L·U union A --------------------
+        pl = sps.csr_matrix((np.ones(len(plan.colL_np)), (plan.rowL_np, plan.colL_np)),
+                            shape=(n, n)) if len(plan.colL_np) else sps.csr_matrix((n, n))
+        pu = sps.csr_matrix((np.ones(len(plan.colU_np)), (plan.rowU_np, plan.colU_np)),
+                            shape=(n, n))
+        lu_pat = ((pl + sps.identity(n)) @ pu)
+        cand = _pattern((lu_pat + _pattern(Asp) + pl + pu).tocsr())
+        cand.sort_indices()
+        cL = sps.tril(cand, k=-1).tocsr()
+        cU = sps.triu(cand, k=0).tocsr()
+        new_plan = _SweepPlan(cL, cU, Asp)
+        lvals = _carry(plan.rowL_np, plan.colL_np, lvals,
+                       new_plan.rowL_np, new_plan.colL_np, n)
+        uvals = _carry(plan.rowU_np, plan.colU_np, uvals,
+                       new_plan.rowU_np, new_plan.colU_np, n)
+        plan = new_plan
+        # ---- sweep on the grown pattern --------------------------------
+        lvals, uvals, _ = map(np.asarray, _device_sweeps(
+            plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
+            plan.diag_slot, plan.colL, plan.a_pos,
+            jnp.asarray(lvals), jnp.asarray(uvals),
+            nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
+            n_sweeps=handle.sweeps_per_iter))
+        # ---- threshold prune to budget (keep diagonals) ----------------
+        keepL = _keep_mask(np.abs(lvals), budget_l, None)
+        is_diag = plan.rowU_np == plan.colU_np
+        keepU = _keep_mask(np.abs(uvals), budget_u, is_diag)
+        pL = sps.csr_matrix((np.ones(int(keepL.sum())),
+                             (plan.rowL_np[keepL], plan.colL_np[keepL])), shape=(n, n))
+        pU = sps.csr_matrix((np.ones(int(keepU.sum())),
+                             (plan.rowU_np[keepU], plan.colU_np[keepU])), shape=(n, n))
+        pruned = _SweepPlan(pL.tocsr(), pU.tocsr(), Asp)
+        lvals = _carry(plan.rowL_np, plan.colL_np, lvals,
+                       pruned.rowL_np, pruned.colL_np, n)
+        uvals = _carry(plan.rowU_np, plan.colU_np, uvals,
+                       pruned.rowU_np, pruned.colU_np, n)
+        plan = pruned
+        # ---- re-sweep on the pruned pattern + residual -----------------
+        lvals, uvals, rnorm = _device_sweeps(
+            plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
+            plan.diag_slot, plan.colL, plan.a_pos,
+            jnp.asarray(lvals), jnp.asarray(uvals),
+            nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
+            n_sweeps=handle.sweeps_per_iter)
+        lvals, uvals = np.asarray(lvals), np.asarray(uvals)
+        res = float(rnorm) / max(anorm, 1e-30)
         if res <= handle.residual_tol:
             break
-    handle.final_residual = float(res)
+    handle.final_residual = res
     handle.num_iters = it
+    # assemble L (unit diag) and U
+    L = sps.csr_matrix((lvals, (plan.rowL_np, plan.colL_np)), shape=(n, n))
+    L = (L + sps.identity(n, dtype=dt)).tocsr()
     L.sort_indices()
+    U = sps.csr_matrix((uvals, (plan.rowU_np, plan.colU_np)), shape=(n, n)).tocsr()
     U.sort_indices()
-    dt = A.dtype
-    return (CsrMatrix.from_scipy(L, value_dtype=dt),
-            CsrMatrix.from_scipy(U, value_dtype=dt))
+    return (CsrMatrix.from_scipy(L, value_dtype=A.dtype),
+            CsrMatrix.from_scipy(U, value_dtype=A.dtype))
+
+
+def _keep_mask(mags, budget, always):
+    """Keep the `budget` largest magnitudes (plus `always` entries)."""
+    keep = np.zeros(len(mags), bool)
+    if always is not None:
+        keep |= always
+    free = np.nonzero(~keep)[0]
+    room = budget if always is None else budget - int(keep.sum())
+    if room >= len(free):
+        keep[free] = True
+    elif room > 0:
+        top = free[np.argpartition(mags[free], len(free) - room)[len(free) - room:]]
+        keep[top] = True
+    return keep
+
+
+def _carry(r0, c0, v0, r1, c1, n):
+    """Transfer values from pattern (r0,c0) onto pattern (r1,c1); new→0."""
+    out = np.zeros(len(r1), v0.dtype)
+    k0 = r0 * n + c0
+    k1 = r1 * n + c1
+    pos = np.searchsorted(k0, k1)
+    pos = np.minimum(pos, max(0, len(k0) - 1))
+    hit = (k0[pos] == k1) if len(k0) else np.zeros(len(k1), bool)
+    out[hit] = v0[pos[hit]]
+    return out
 
 
 def par_ilut(A: CsrMatrix, **kw) -> Tuple[CsrMatrix, CsrMatrix]:
