@@ -134,3 +134,23 @@ def _bsr_to_dense(C):
             j = ent[p]
             out[i * b:(i + 1) * b, j * b:(j + 1) * b] = vals[p]
     return out
+
+
+def test_spgemm_onehot_pallas_interpret(rng):
+    """One-hot pallas SpGEMM numeric (interpret mode) vs scipy — exact for
+    f32 pair products; covers multi-C-tile, padding, empty C tiles."""
+    from tpukk.containers import generate_random_csr, generate_structured_laplacian
+    from tpukk.sparse.spgemm import SpgemmHandle, spgemm_symbolic
+    from tpukk.sparse.spgemm_pallas import build_onehot_pair_plan, onehot_pair_numeric
+
+    for A in (generate_structured_laplacian(35, 35, dtype=np.float32),
+              generate_random_csr(600, 400, 4, seed=9, dtype=np.float32)):
+        from tpukk.containers import generate_random_csr as g
+        B = A if A.ncols == A.nrows else g(A.ncols, 300, 3, seed=10, dtype=np.float32)
+        h = SpgemmHandle()
+        spgemm_symbolic(h, A, B)
+        plan = build_onehot_pair_plan(h.pair_plan, A.nnz, B.nnz)
+        cv = np.asarray(onehot_pair_numeric(plan, A.values, B.values, interpret=True))
+        ref = (A.to_scipy() @ B.to_scipy()).tocsr()
+        ref.sort_indices()
+        assert np.abs(cv - ref.data).max() <= 1e-5 * max(1.0, np.abs(ref.data).max())

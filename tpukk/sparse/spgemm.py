@@ -70,6 +70,7 @@ class SpgemmHandle:
         self.row_map_c = None
         self.entries_c = None
         self.pair_plan: Optional[PairPlan] = None
+        self.onehot_plan = None  # lazy pallas numeric plan (TPU, f32)
         self.nrows_c = self.ncols_c = None
         self.block_size = None  # set by bspgemm_symbolic for BSR operands
 
@@ -167,7 +168,21 @@ def spgemm_numeric(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix) -> CsrMatri
     if handle.algorithm == SpgemmAlgorithm.DENSE_ACC:
         vals = _numeric_dense_acc(handle, A, B)
     else:
-        vals = _numeric_pairs(handle.pair_plan, A.values, B.values)
+        vals = None
+        if jnp.result_type(A.dtype) == jnp.float32:
+            from .spmv_pallas import supports_pallas
+
+            if supports_pallas():
+                # one-hot pallas numeric: ~25x over the XLA take+segsum path
+                from . import spgemm_pallas
+
+                if handle.onehot_plan is None:
+                    handle.onehot_plan = spgemm_pallas.build_onehot_pair_plan(
+                        handle.pair_plan, A.nnz, B.nnz)
+                vals = spgemm_pallas.onehot_pair_numeric(
+                    handle.onehot_plan, A.values, B.values)
+        if vals is None:
+            vals = _numeric_pairs(handle.pair_plan, A.values, B.values)
     return CsrMatrix.from_arrays(
         jnp.asarray(handle.row_map_c), jnp.asarray(handle.entries_c),
         vals.astype(A.dtype), nrows=handle.nrows_c, ncols=handle.ncols_c)

@@ -1,0 +1,215 @@
+"""Pallas TPU kernel for the SpGEMM numeric phase.
+
+The pair-plan numeric (spgemm.py::_numeric_pairs) is three XLA index ops —
+two `take`s and a sorted segment-sum — each running at ~0.1 G elem/s on v5e
+(docs/PERF_NOTES.md).  This kernel executes the same static schedule with
+VMEM one-hot radix contractions instead (no HBM gathers), the SpGEMM analog
+of spmv_pallas.onehot_spmv:
+
+  per (c_tile 1024, a_block 8192, b_block 8192) chunk of CH pairs:
+    a(1,CH)    = radix_gather(Avals_block, a_loc)     [MXU K=64 + VPU mask]
+    b(1,CH)    = radix_gather(Bvals_block, b_loc)
+    C(8,128)  += OH_chi(8,CH) @ (a*b * OH_clo(128,CH))^T   [MXU K=CH]
+
+Pairs arrive sorted by C position (the pair plan's contract), so chunks are
+C-tile contiguous: the C tile stays VMEM-resident and accumulates across
+steps, with a `first` flag initializing it.  Pad slots carry c_loc = -1
+(rhi=-1 matches no one-hot row -> contribution dropped).  Values change
+between numeric calls; only cheap device pads happen per call — the plan
+is built once per sparsity (spgemm_handle.hpp:248-252 reuse contract).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["OnehotPairPlan", "build_onehot_pair_plan", "onehot_pair_numeric"]
+
+_BLK = 8192   # A/B value block (64 x 128 radix)
+_CT = 1024    # C tile (8 x 128 radix)
+_CH = 1024    # pairs per grid step
+
+
+class OnehotPairPlan:
+    """Host schedule from a (c-sorted) pair plan."""
+
+    def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c, *, _fields=None):
+        if _fields is not None:
+            (self.a_loc, self.b_loc, self.c_loc, self.at_ids, self.bt_ids,
+             self.ct_ids, self.first, self.na_blocks, self.nb_blocks,
+             self.nc_tiles, self.nnz_c, self.num_steps, self.pad_ratio) = _fields
+            return
+        a_idx = np.asarray(a_idx, dtype=np.int64)
+        b_idx = np.asarray(b_idx, dtype=np.int64)
+        c_idx = np.asarray(c_idx, dtype=np.int64)
+        P = len(c_idx)
+        na = max(1, -(-max(nnz_a, 1) // _BLK))
+        nb = max(1, -(-max(nnz_b, 1) // _BLK))
+        nc = max(1, -(-max(nnz_c, 1) // _CT))
+        at = a_idx // _BLK
+        bt = b_idx // _BLK
+        ct = c_idx // _CT
+        key = (ct * na + at) * nb + bt
+        order = np.argsort(key, kind="stable")
+        a_s, b_s, c_s = a_idx[order], b_idx[order], c_idx[order]
+        at_s, bt_s, ct_s = at[order], bt[order], ct[order]
+        ks = key[order]
+        change = np.nonzero(np.diff(ks))[0] + 1
+        run_starts = np.concatenate(([0], change)) if P else np.empty(0, np.int64)
+        run_ends = np.concatenate((change, [P])) if P else np.empty(0, np.int64)
+        nchunks = -(-(run_ends - run_starts) // _CH)
+        step_run = np.repeat(np.arange(len(run_starts)), nchunks)
+        cum = np.concatenate(([0], np.cumsum(nchunks)))[:-1]
+        S0 = int(nchunks.sum())
+        within = np.arange(S0, dtype=np.int64) - cum[step_run]
+        c0 = run_starts[step_run] + within * _CH
+        c1 = np.minimum(run_ends[step_run], c0 + _CH)
+        sct = ct_s[c0] if S0 else np.empty(0, np.int64)
+        sat = at_s[c0] if S0 else np.empty(0, np.int64)
+        sbt = bt_s[c0] if S0 else np.empty(0, np.int64)
+        # dummy steps so every C tile gets initialized
+        missing = np.setdiff1d(np.arange(nc, dtype=np.int64), np.unique(sct),
+                               assume_unique=True)
+        if len(missing):
+            sct = np.concatenate([sct, missing])
+            sat = np.concatenate([sat, np.zeros(len(missing), np.int64)])
+            sbt = np.concatenate([sbt, np.zeros(len(missing), np.int64)])
+            c0 = np.concatenate([c0, np.zeros(len(missing), np.int64)])
+            c1 = np.concatenate([c1, np.zeros(len(missing), np.int64)])
+            reorder = np.argsort(sct, kind="stable")
+            sct, sat, sbt = sct[reorder], sat[reorder], sbt[reorder]
+            c0, c1 = c0[reorder], c1[reorder]
+        S = len(sct)
+        idx = c0[:, None] + np.arange(_CH, dtype=np.int64)[None, :]
+        mask = idx < c1[:, None]
+        idxc = np.minimum(idx, max(0, P - 1))
+        if P:
+            a_loc = np.where(mask, a_s[idxc] - sat[:, None] * _BLK, 0).astype(np.int32)
+            b_loc = np.where(mask, b_s[idxc] - sbt[:, None] * _BLK, 0).astype(np.int32)
+            c_loc = np.where(mask, c_s[idxc] - sct[:, None] * _CT, -1).astype(np.int32)
+        else:
+            a_loc = np.zeros((S, _CH), np.int32)
+            b_loc = np.zeros((S, _CH), np.int32)
+            c_loc = np.full((S, _CH), -1, np.int32)
+        first = np.ones(S, np.int32)
+        first[1:] = (sct[1:] != sct[:-1]).astype(np.int32)
+        self.a_loc = jnp.asarray(a_loc.reshape(-1))
+        self.b_loc = jnp.asarray(b_loc.reshape(-1))
+        self.c_loc = jnp.asarray(c_loc.reshape(-1))
+        self.at_ids = jnp.asarray(sat.astype(np.int32))
+        self.bt_ids = jnp.asarray(sbt.astype(np.int32))
+        self.ct_ids = jnp.asarray(sct.astype(np.int32))
+        self.first = jnp.asarray(first)
+        self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
+        self.nnz_c = nnz_c
+        self.num_steps = S
+        self.pad_ratio = S * _CH / max(1, P)
+
+    def tree_flatten(self):
+        aux = (self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
+               self.num_steps, self.pad_ratio)
+        return (self.a_loc, self.b_loc, self.c_loc, self.at_ids, self.bt_ids,
+                self.ct_ids, self.first), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, None, None, 0, 0, 0, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(OnehotPairPlan)
+
+
+def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int) -> OnehotPairPlan:
+    """From a spgemm PairPlan (pairs sorted by C position)."""
+    return OnehotPairPlan(np.asarray(pair_plan.a_idx), np.asarray(pair_plan.b_idx),
+                          np.asarray(pair_plan.c_idx), nnz_a, nnz_b, pair_plan.nnz_c)
+
+
+def _radix_gather(win, loc):
+    """win: (64,128) VMEM block; loc: (1,CH) int32 -> (1,CH) f32 values."""
+    hi = loc // 128
+    lo = loc % 128
+    ch = loc.shape[1]
+    oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (64, ch), 0) == hi
+             ).astype(jnp.float32)
+    t = jax.lax.dot_general(win, oh_hi, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)      # (128,CH)
+    oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, ch), 0) == lo
+             ).astype(jnp.float32)
+    return jnp.sum(t * oh_lo, axis=0, keepdims=True)                  # (1,CH)
+
+
+@functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "num_steps",
+                                             "nnz_c", "interpret"))
+def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
+                      a_vals, b_vals, *, na, nb, nc, num_steps, nnz_c, interpret):
+    CH = _CH
+    av = jnp.pad(a_vals.astype(jnp.float32),
+                 (0, na * _BLK - a_vals.shape[0])).reshape(na * 64, 128)
+    bv = jnp.pad(b_vals.astype(jnp.float32),
+                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * 64, 128)
+
+    def kernel(at_ref, bt_ref, ct_ref, first_ref, aloc_ref, bloc_ref,
+               cloc_ref, av_ref, bv_ref, c_ref):
+        g = pl.program_id(0)
+        a = _radix_gather(av_ref[:], aloc_ref[:].reshape(1, CH))
+        b = _radix_gather(bv_ref[:], bloc_ref[:].reshape(1, CH))
+        pv = a * b
+        cl = cloc_ref[:].reshape(1, CH)
+        rhi = cl // 128           # pad slots: -1//128 = -1 -> no one-hot row
+        rlo = cl % 128
+        oh_rlo = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == rlo
+                  ).astype(jnp.float32)
+        p = pv * oh_rlo
+        oh_rhi = (jax.lax.broadcasted_iota(jnp.int32, (8, CH), 0) == rhi
+                  ).astype(jnp.float32)
+        contrib = jax.lax.dot_general(oh_rhi, p, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            c_ref[:, :] = contrib
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            c_ref[:, :] = c_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((CH,), lambda g, a, b, c, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda g, a, b, c, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda g, a, b, c, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda g, a, b, c, f: (a[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda g, a, b, c, f: (b[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc, av, bv)
+    return cv.reshape(nc * _CT)[:nnz_c]
+
+
+def onehot_pair_numeric(plan: OnehotPairPlan, a_vals, b_vals, interpret: bool = False):
+    """C.values for the planned product, f32."""
+    return _onehot_pair_call(plan.at_ids, plan.bt_ids, plan.ct_ids, plan.first,
+                             plan.a_loc, plan.b_loc, plan.c_loc,
+                             a_vals, b_vals,
+                             na=plan.na_blocks, nb=plan.nb_blocks,
+                             nc=plan.nc_tiles, num_steps=plan.num_steps,
+                             nnz_c=plan.nnz_c, interpret=interpret)
