@@ -111,3 +111,34 @@ def test_cluster_gs_error_decreases(rng):
             errs.append(np.linalg.norm(np.asarray(x) - x_true))
         assert all(bb < aa for aa, bb in zip(errs, errs[1:])), clustering
         assert errs[-1] < 0.2 * errs[0]
+
+
+def test_point_onehot_block_path_matches_ell(rng, monkeypatch):
+    """The one-hot color-block fast path must produce the same sweep as the
+    ELL gather path (covers the TPU-only route in interpret mode)."""
+    import dataclasses
+    import functools
+
+    import jax.numpy as jnp
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import GsHandle, gauss_seidel_numeric, gauss_seidel_symbolic
+    from tpukk.sparse import gauss_seidel as gsmod
+    from tpukk.sparse import spmv_pallas
+
+    monkeypatch.setattr(gsmod, "_OH_MIN_NNZ", 1)
+    monkeypatch.setattr(spmv_pallas, "supports_pallas", lambda: True)
+    orig = spmv_pallas.onehot_spmv
+    monkeypatch.setattr(spmv_pallas, "onehot_spmv",
+                        functools.partial(orig, interpret=True))
+
+    A = generate_structured_laplacian(30, 25, dtype=np.float32)
+    h = GsHandle()
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, omega=0.9)
+    assert all(b.oh_plan is not None for b in h.blocks)
+    b = jnp.asarray(rng.standard_normal(A.nrows).astype(np.float32))
+    x0 = jnp.zeros(A.nrows, jnp.float32)
+    x1 = gsmod._point_half_sweep(h, x0, b, True)
+    h.blocks = [dataclasses.replace(blk, oh_plan=None) for blk in h.blocks]
+    x2 = gsmod._point_half_sweep(h, x0, b, True)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=2e-6, atol=2e-6)

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .csr import _host_mirror, _prefill_host
 from ..common import check, default_offset, default_ordinal
 
 __all__ = ["BsrMatrix"]
@@ -62,7 +63,7 @@ class BsrMatrix:
     def from_scipy_bsr(cls, sp, ordinal_dtype=default_ordinal, offset_dtype=default_offset):
         b = sp.blocksize[0]
         check(sp.blocksize[0] == sp.blocksize[1], "BsrMatrix: square blocks only")
-        return cls(
+        obj = cls(
             jnp.asarray(sp.indptr, dtype=offset_dtype),
             jnp.asarray(sp.indices, dtype=ordinal_dtype),
             jnp.asarray(sp.data),
@@ -70,6 +71,8 @@ class BsrMatrix:
             int(sp.shape[1]),
             int(b),
         )
+        _prefill_host(obj, row_map=sp.indptr, entries=sp.indices, values=sp.data)
+        return obj
 
     def to_scipy(self):
         import scipy.sparse as sps
@@ -83,7 +86,10 @@ class BsrMatrix:
         return BsrMatrix(self.row_map, self.entries, jnp.asarray(values), self.nrows, self.ncols, self.block_size)
 
     def host_row_map(self) -> np.ndarray:
-        return np.asarray(self.row_map)
+        return _host_mirror(self, "row_map")
 
     def host_entries(self) -> np.ndarray:
-        return np.asarray(self.entries)
+        return _host_mirror(self, "entries")
+
+    def host_values(self) -> np.ndarray:
+        return _host_mirror(self, "values")

@@ -159,9 +159,11 @@ class CsrMatrix:
     def to_scipy(self):
         import scipy.sparse as sps
 
-        # copy: jax buffers surface as read-only numpy views, scipy mutates
+        # copies: host mirrors are shared caches and jax views are
+        # read-only, while scipy may mutate in place
         return sps.csr_matrix(
-            (np.array(self.values), np.array(self.entries), np.array(self.row_map)),
+            (self.host_values().copy(), self.host_entries().copy(),
+             self.host_row_map().copy()),
             shape=self.shape,
         )
 

@@ -61,7 +61,7 @@ def build_dist_gs_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
     assert A.nrows == A.ncols
     rm = A.host_row_map().astype(np.int64)
     ent = A.host_entries().astype(np.int64)
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     n = A.nrows
     rpp = round_up(-(-n // n_parts), row_block)
     send_idx, ext_map, H = import_lists(rm, ent, n, n_parts, rpp)

@@ -102,7 +102,7 @@ def build_halo_plan(A: CsrMatrix, n_parts: int, row_block: int = 8) -> HaloPlan:
     assert A.nrows == A.ncols, "halo plan: square matrices (x ~ row partition)"
     rm = A.host_row_map().astype(np.int64)
     ent = A.host_entries().astype(np.int64)
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     n = A.nrows
     rpp = round_up(-(-n // n_parts), row_block)
 

@@ -57,7 +57,7 @@ def partition_rows(A: CsrMatrix, n_parts: int, row_block: int = 8) -> RowPartiti
     """Block row partition: part p owns rows [p*rpp, (p+1)*rpp) (padded)."""
     rm = A.host_row_map()
     ent = A.host_entries()
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     lengths = rm[1:] - rm[:-1]
     width = max(1, int(lengths.max(initial=1)))
     rpp = round_up(-(-A.nrows // n_parts), row_block)

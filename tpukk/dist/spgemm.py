@@ -67,7 +67,7 @@ def build_ring_spgemm_plan(A: CsrMatrix, B: CsrMatrix, n_parts: int) -> RingSpge
     assert A.ncols == B.nrows
     arm = A.host_row_map().astype(np.int64)
     aent = A.host_entries().astype(np.int64)
-    avals = np.asarray(A.values)
+    avals = A.host_values()
     brm = B.host_row_map().astype(np.int64)
     bent = B.host_entries().astype(np.int64)
     bvals = np.asarray(B.values)

@@ -32,10 +32,8 @@ class ColoringAlgorithm(enum.Enum):
 
 
 def _adjacency(graph) -> tuple:
-    if isinstance(graph, CsrMatrix):
-        graph = graph.graph
-    rm = np.asarray(graph.row_map)
-    ent = np.asarray(graph.entries)
+    rm = graph.host_row_map()
+    ent = graph.host_entries()
     return rm, ent, graph.nrows
 
 
@@ -93,12 +91,21 @@ def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
         colors = jnp.where(conflict, 0, colors)
         return colors
 
-    colors = jnp.zeros(nrows, jnp.int32)
-    for _ in range(max_rounds):
-        colors = one_round(colors)
-        if int(jnp.sum(colors == 0)) == 0:
-            break
-    return np.asarray(colors)
+    # whole speculative loop in ONE dispatch (per-round host syncs cost
+    # 1-30ms each through a tunneled TPU; lax.while_loop keeps it on device)
+    @jax.jit
+    def run():
+        def cond(state):
+            colors, it = state
+            return jnp.logical_and(it < max_rounds, jnp.any(colors == 0))
+
+        def body(state):
+            colors, it = state
+            return one_round(colors), it + 1
+
+        return jax.lax.while_loop(cond, body, (jnp.zeros(nrows, jnp.int32), 0))[0]
+
+    return np.asarray(run())
 
 
 def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:
@@ -122,8 +129,8 @@ def graph_color_d2(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -
         import scipy.sparse as sps
 
         n = graph.nrows
-        rm = np.asarray(graph.row_map)
-        ent = np.asarray(graph.entries)
+        rm = graph.host_row_map()
+        ent = graph.host_entries()
         sp = sps.csr_matrix((np.ones(len(ent)), ent, rm), shape=(n, graph.ncols))
     pat = sp.copy()
     pat.data[:] = 1.0

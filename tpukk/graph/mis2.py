@@ -20,8 +20,8 @@ def _pattern(graph) -> sps.csr_matrix:
     if isinstance(graph, CsrMatrix):
         sp = graph.to_scipy().copy()
     else:
-        rm = np.asarray(graph.row_map)
-        ent = np.asarray(graph.entries)
+        rm = graph.host_row_map()
+        ent = graph.host_entries()
         sp = sps.csr_matrix((np.ones(len(ent)), ent, rm), shape=(graph.nrows, graph.ncols))
     sp.data[:] = 1.0
     return sp.tocsr()

@@ -37,6 +37,9 @@ __all__ = ["GsAlgorithm", "ClusteringAlgorithm", "GsHandle", "gauss_seidel_symbo
            "symmetric_sweep", "gauss_seidel_apply"]
 
 
+_OH_MIN_NNZ = 1 << 17  # color-block nnz above which the one-hot kernel wins
+
+
 class GsAlgorithm(enum.Enum):
     POINT = "point"        # color-permuted PSGS
     TWOSTAGE = "twostage"  # inner-Jacobi classical GS
@@ -56,13 +59,14 @@ class _ColorBlock:
     vals: Any       # (rows_c, w) off-diagonal values (pads and diag -> 0)
     inv_diag: Any   # (rows_c,)
     start: int      # offset of this block in permuted order
+    oh_plan: Any = None  # one-hot SpMV plan for the block (TPU f32 fast path)
 
 
 class GsHandle:
     """cf. KokkosKernels_Handle::create_gs_handle (:581-627)."""
 
     def __init__(self, algorithm: GsAlgorithm = GsAlgorithm.POINT,
-                 coloring: ColoringAlgorithm = ColoringAlgorithm.VB,
+                 coloring: ColoringAlgorithm = ColoringAlgorithm.SERIAL,
                  inner_sweeps: int = 2,
                  clustering: "ClusteringAlgorithm" = None,
                  cluster_inner_sweeps: int = 3):
@@ -172,7 +176,7 @@ def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
         return
     rm = A.host_row_map()
     ent = A.host_entries()
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     order = handle.order
     inv = handle.inv_order
     offsets = handle.color_offsets
@@ -198,9 +202,26 @@ def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
         vals2d = np.where(keep, vseg, 0)
         with np.errstate(divide="ignore"):
             inv_diag = np.where(diag != 0, 1.0 / diag, 0.0)
+        oh_plan = None
+        if vals.dtype == np.float32 and int(keep.sum()) >= _OH_MIN_NNZ:
+            from .spmv_pallas import supports_pallas
+
+            if supports_pallas():
+                # large color block: the per-sweep x-gather dominates; route
+                # the block row x full-x product through the one-hot kernel
+                from .spmv_pallas import build_onehot_spmv_plan
+
+                nk = keep.sum(axis=1)
+                brm = np.zeros(rows.size + 1, np.int64)
+                np.cumsum(nk, out=brm[1:])
+                bent = cols2d[keep].astype(np.int64)
+                bval = vals2d[keep]
+                blkA = CsrMatrix.from_arrays(brm, bent.astype(np.int32),
+                                             bval, ncols=A.nrows)
+                oh_plan = build_onehot_spmv_plan(blkA)
         blocks.append(_ColorBlock(
             jnp.asarray(cols2d), jnp.asarray(vals2d), jnp.asarray(inv_diag),
-            int(offsets[c])))
+            int(offsets[c]), oh_plan))
     handle.blocks = blocks
     handle.is_numeric_called = True
 
@@ -215,7 +236,7 @@ def _twostage_numeric(handle, A: CsrMatrix):
     L.sort_indices()
     U.sort_indices()
     handle._tw = dict(
-        inv_diag=jnp.asarray(np.where(D != 0, 1.0 / D, 0.0).astype(np.asarray(A.values).dtype)),
+        inv_diag=jnp.asarray(np.where(D != 0, 1.0 / D, 0.0).astype(A.host_values().dtype)),
         L=SpmvHandle(CsrMatrix.from_scipy(L, value_dtype=A.dtype), SpmvAlgorithm.AUTO),
         U=SpmvHandle(CsrMatrix.from_scipy(U, value_dtype=A.dtype), SpmvAlgorithm.AUTO),
         A=SpmvHandle(A, SpmvAlgorithm.AUTO),
@@ -239,7 +260,12 @@ def _point_half_sweep(handle, xp, bp, forward: bool):
         bb = jax.lax.dynamic_slice_in_dim(bp, blk.start, nrc)
         for _ in range(reps):
             xb = jax.lax.dynamic_slice_in_dim(xp, blk.start, nrc)
-            ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
+            if blk.oh_plan is not None:
+                from .spmv_pallas import onehot_spmv
+
+                ax = onehot_spmv(blk.oh_plan, xp)
+            else:
+                ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
             xnew = (1.0 - omega) * xb + omega * blk.inv_diag * (bb - ax)
             xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew.astype(xp.dtype), blk.start, 0)
     return xp

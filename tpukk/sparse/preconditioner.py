@@ -45,7 +45,7 @@ class MatrixPrec(Preconditioner):
 class JacobiPrec(Preconditioner):
     def __init__(self, A: CsrMatrix):
         d = A.to_scipy().diagonal()
-        self.inv_diag = jnp.asarray(np.where(d != 0, 1.0 / d, 1.0).astype(np.asarray(A.values).dtype))
+        self.inv_diag = jnp.asarray(np.where(d != 0, 1.0 / d, 1.0).astype(A.host_values().dtype))
 
     def apply(self, x):
         return self.inv_diag * x if x.ndim == 1 else self.inv_diag[:, None] * x

@@ -260,9 +260,9 @@ def bspgemm_symbolic(handle: SpgemmHandle, A, B):
           "bspgemm: BsrMatrix inputs required")
     check(A.block_size == B.block_size, "bspgemm: equal block sizes required")
     check(A.ncols == B.nrows, "bspgemm: inner dimension mismatch")
-    gA = _GraphView(np.asarray(A.row_map), np.asarray(A.entries),
+    gA = _GraphView(A.host_row_map(), A.host_entries(),
                     A.n_block_rows, A.n_block_cols)
-    gB = _GraphView(np.asarray(B.row_map), np.asarray(B.entries),
+    gB = _GraphView(B.host_row_map(), B.host_entries(),
                     B.n_block_rows, B.n_block_cols)
     rm, cols, plan = _symbolic_host(gA, gB)
     handle.row_map_c = rm

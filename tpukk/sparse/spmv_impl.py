@@ -126,7 +126,7 @@ def build_ell_plan(A: CsrMatrix, max_buckets: int = 4, row_block: int = 8) -> El
     """
     rm = A.host_row_map()
     ent = A.host_entries()
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     lengths = rm[1:] - rm[:-1]
     widths = _bucket_widths(lengths, max_buckets)
 
@@ -233,7 +233,7 @@ def build_dia_plan(A: CsrMatrix, offsets: Optional[np.ndarray] = None) -> DiaPla
             raise ValueError("build_dia_plan: matrix is not banded enough; use ELL")
     rm = A.host_row_map()
     ent = A.host_entries().astype(np.int64)
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     rows = np.repeat(np.arange(A.nrows, dtype=np.int64), rm[1:] - rm[:-1])
     d = ent - rows
     offsets = np.asarray(offsets, dtype=np.int64)

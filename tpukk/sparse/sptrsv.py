@@ -86,7 +86,7 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     check(A.nrows == A.ncols, "sptrsv: square matrix required")
     rm = A.host_row_map()
     ent = A.host_entries()
-    vals = np.asarray(A.values)
+    vals = A.host_values()
     n = A.nrows
     levels = _compute_levels(rm, ent, n, handle.lower)
     order = np.argsort(levels, kind="stable").astype(np.int32)
