@@ -115,6 +115,59 @@ def bench_blas(n, K):
     return rows
 
 
+def bench_spmv_onehot(K):
+    """Unstructured SpMV: the one-hot MXU kernel vs the XLA ELL gather path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_random_csr
+    from tpukk.sparse import spmv_pallas
+
+    A = generate_random_csr(100000, 100000, 16, seed=1, dtype=np.float32)
+    rows = {}
+    if not spmv_pallas.supports_pallas():
+        return rows, A
+    plan = spmv_pallas.build_onehot_spmv_plan(A)
+    rng = np.random.default_rng(3)
+    x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(np.float32))
+    f = jax.jit(lambda p, x: jax.lax.scan(
+        lambda c, _: (spmv_pallas.onehot_spmv(p, c) * 0.125, None), x, None,
+        length=K)[0])
+    t = chain_time(f, (plan, x0), K)
+    useful = A.nnz * 8 + (A.nrows + 1) * 4 + 2 * A.nrows * 4
+    rows["spmv_onehot_rand100k"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                        gflops=2 * A.nnz / t / 1e9,
+                                        gnnz_s=A.nnz / t / 1e9)
+    return rows, A
+
+
+def bench_gs_sweep(K):
+    """Colored symmetric GS sweep (one-hot block path on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import GsHandle, gauss_seidel_numeric, gauss_seidel_symbolic
+    from tpukk.sparse.gauss_seidel import _point_half_sweep
+
+    A = generate_structured_laplacian(400, 400, dtype=np.float32)
+    h = GsHandle()
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, omega=1.0)
+    b = jax.device_put(np.random.default_rng(0).standard_normal(A.nrows).astype(np.float32))
+
+    def f(x, b):
+        def body(i, x):
+            x = _point_half_sweep(h, x, b, True)
+            return _point_half_sweep(h, x, b, False)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    fj = jax.jit(f)
+    t = chain_time(fj, (jnp.zeros(A.nrows, jnp.float32), b), K)
+    return {"gs_sym_sweep_400": dict(time_us=t * 1e6,
+                                     gnnz_s=2 * A.nnz / t / 1e9)}
+
+
 def bench_spgemm(n_side):
     from tpukk.containers import generate_structured_laplacian
     from tpukk.sparse import SpgemmHandle, spgemm_numeric, spgemm_symbolic
@@ -149,11 +202,15 @@ def main():
     results.update(rows)
     results.update(bench_spmm(A, args.chain))
     results.update(bench_blas(4 * 1024 * 1024, args.chain))
+    oh_rows, _ = bench_spmv_onehot(max(50, args.chain // 4))
+    results.update(oh_rows)
+    results.update(bench_gs_sweep(max(25, args.chain // 8)))
     results.update(bench_spgemm(args.spgemm_size))
 
-    print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in ["time_us", "gbps", "gflops", "tflops"]))
+    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s"]
+    print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in keys))
     for name, m in results.items():
-        cells = [f"{m.get(k, float('nan')):12.2f}" for k in ["time_us", "gbps", "gflops", "tflops"]]
+        cells = [f"{m.get(k, float('nan')):12.2f}" for k in keys]
         print(f"{name:24s} " + "  ".join(cells))
 
     if args.archive:

@@ -159,3 +159,18 @@ def test_onehot_pallas_interpret(rng):
         y = np.asarray(onehot_spmv(plan, jnp.asarray(x), interpret=True))
         ref = A.to_scipy() @ x
         _check(y, ref, np.float32)
+
+
+def test_onehot_spmm_interpret(rng):
+    """Multi-RHS one-hot kernel: masks built once per chunk, reused per
+    column; must match scipy for rectangular + multi-tile cases."""
+    from tpukk.sparse.spmv_pallas import build_onehot_spmv_plan, onehot_spmm
+    import jax.numpy as jnp
+
+    for A in (generate_random_csr(2500, 9000, 4, seed=12, dtype=np.float32),
+              generate_structured_laplacian(35, 35, dtype=np.float32)):
+        plan = build_onehot_spmv_plan(A)
+        X = rng.standard_normal((A.ncols, 3)).astype(np.float32)
+        Y = np.asarray(onehot_spmm(plan, jnp.asarray(X), interpret=True))
+        ref = A.to_scipy() @ X
+        _check(Y, ref, np.float32)

@@ -38,13 +38,12 @@ def _adjacency(graph) -> tuple:
 
 
 def _ell_pad(rm, ent, nrows):
-    deg = rm[1:] - rm[:-1]
+    deg = (rm[1:] - rm[:-1]).astype(np.int64)
     w = max(1, int(deg.max(initial=1)))
-    cols = np.full((nrows, w), -1, np.int32)
-    for i in range(nrows):
-        s, e = rm[i], rm[i + 1]
-        cols[i, : e - s] = ent[s:e]
-    return cols
+    pos = rm[:-1, None].astype(np.int64) + np.arange(w)[None, :]
+    mask = np.arange(w)[None, :] < deg[:, None]
+    pos = np.minimum(pos, max(0, len(ent) - 1))
+    return np.where(mask, ent[pos], -1).astype(np.int32)
 
 
 def _serial_greedy(rm, ent, nrows) -> np.ndarray:

@@ -118,8 +118,11 @@ class SpmvHandle:
         if alg == SpmvAlgorithm.ONEHOT:
             from . import spmv_pallas
 
-            if x.ndim == 1 and spmv_pallas.supports_pallas():
-                return spmv_pallas.onehot_spmv(self._plan("onehot"), x)
+            if spmv_pallas.supports_pallas():
+                if x.ndim == 1:
+                    return spmv_pallas.onehot_spmv(self._plan("onehot"), x)
+                if 1 < x.shape[1] <= 16:  # VMEM: k x-tiles resident per step
+                    return spmv_pallas.onehot_spmm(self._plan("onehot"), x)
             return spmv_impl.apply_ell(self._plan("ell"), x)  # SpMM amortizes gathers
         if alg == SpmvAlgorithm.SEGSUM:
             return spmv_impl.apply_segsum(self._plan("segsum"), self.A, x)

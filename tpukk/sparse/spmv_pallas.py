@@ -347,3 +347,85 @@ def onehot_spmv(plan: OneHotSpmvPlan, x, interpret: bool = False):
                         nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
                         num_steps=plan.num_steps, nrows=plan.nrows,
                         interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "num_steps", "nrows",
+                                             "nrhs", "interpret"))
+def _onehot_spmm_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
+                      nd, ns, num_steps, nrows, nrhs, interpret):
+    """Multi-RHS variant: the four one-hot masks are built once per chunk and
+    reused for every column — the SpMM gather-amortization the reference gets
+    from multivector SPMV_MV (spmv_impl.hpp MV functors)."""
+    TD, TS, CH = _OH_DST, _OH_SRC, _OH_CH
+    m_pad = ns * TS
+    k = nrhs
+    # (k, ns*64, 128): per-column 2-D tiles, lanes on the fast axis
+    x3 = jnp.pad(x.astype(jnp.float32),
+                 ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * 64, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, locr_ref, locc_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        hp = jax.lax.Precision.HIGHEST
+        locc2 = locc_ref[:].reshape(1, CH)
+        hi = locc2 // 128
+        lo = locc2 % 128
+        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (64, CH), 0) == hi
+                 ).astype(jnp.float32)
+        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == lo
+                 ).astype(jnp.float32)
+        locr2 = locr_ref[:].reshape(1, CH)
+        rhi = locr2 // 128
+        rlo = locr2 % 128
+        oh_rlo = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == rlo
+                  ).astype(jnp.float32)
+        oh_rhi = (jax.lax.broadcasted_iota(jnp.int32, (8, CH), 0) == rhi
+                  ).astype(jnp.float32)
+        v2 = v_ref[:].reshape(1, CH)
+        for c in range(k):        # static unroll: masks shared across columns
+            t = jax.lax.dot_general(x_ref[c], oh_hi, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=hp)                     # (128,CH)
+            xg = jnp.sum(t * oh_lo, axis=0, keepdims=True)            # (1,CH)
+            p = (v2 * xg) * oh_rlo                                    # (128,CH)
+            contrib = jax.lax.dot_general(oh_rhi, p, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32,
+                                          precision=hp)               # (8,128)
+
+            @pl.when(first_ref[g] == 1)
+            def _():
+                y_ref[c] = contrib
+
+            @pl.when(first_ref[g] == 0)
+            def _():
+                y_ref[c] = y_ref[c] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((CH,), lambda g, d, s, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda g, d, s, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda g, d, s, f: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 64, 128), lambda g, d, s, f: (0, s[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 8, 128), lambda g, d, s, f: (0, d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y3 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ids, src_ids, first, locr, locc, vals, x3)
+    return y3.reshape(k, nd * _OH_DST)[:, :nrows].T.astype(x.dtype)
+
+
+def onehot_spmm(plan: OneHotSpmvPlan, x, interpret: bool = False):
+    """Y = A·X via the tiled one-hot kernel (X: (ncols, k), f32)."""
+    return _onehot_spmm_call(plan.dst_ids, plan.src_ids, plan.first,
+                             plan.locr, plan.locc, plan.vals, x,
+                             nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                             num_steps=plan.num_steps, nrows=plan.nrows,
+                             nrhs=int(x.shape[1]), interpret=interpret)
