@@ -83,12 +83,16 @@ def main():
         args = (plan, x0)
         algo_name = h.algorithm.value
 
-    y = f(*args)
-    jax.block_until_ready(y)  # compile + warm
+    def sync(y):
+        # block_until_ready through the relay can return before execution
+        # completes; fetching real bytes cannot lie
+        return float(np.asarray(jnp.ravel(y)[:1])[0])
+
+    sync(f(*args))  # compile + warm
     best = float("inf")
     for _ in range(6):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        sync(f(*args))
         best = min(best, (time.perf_counter() - t0) / K)
 
     itemsize = np.dtype(dtype).itemsize

@@ -18,13 +18,19 @@ import numpy as np
 
 def chain_time(f, args, K, warm=1, reps=4):
     import jax
+    import jax.numpy as jnp
 
-    y = f(*args)
-    jax.block_until_ready(y)
+    def sync(y):
+        # block_until_ready through the relay can return before execution
+        # completes; fetching real bytes cannot lie
+        leaf = jax.tree_util.tree_leaves(y)[0]
+        return float(np.asarray(jnp.ravel(leaf)[:1])[0])
+
+    sync(f(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        sync(f(*args))
         best = min(best, (time.perf_counter() - t0) / K)
     return best
 
