@@ -155,3 +155,88 @@ class TestTrsv:
         X = np.asarray(trsv("L", "N", "U", T, B))
         Tu = sps.tril(T.to_scipy(), k=-1) + sps.identity(T.nrows)
         np.testing.assert_allclose(Tu @ X, B, rtol=1e-10, atol=1e-10)
+
+
+class TestSptrsvSupernodal:
+    """Supernodal mode (SUPERNODAL_NAIVE/ETREE analog,
+    KokkosSparse_sptrsv_supernode.hpp:87-140): pattern-detected supernodes,
+    batched dense diag solves + panel updates."""
+
+    @staticmethod
+    def _blocked_lower(n, bs, rng):
+        """Lower-tri CSR with genuine supernode structure: dense (bs,bs)
+        diagonal blocks + per-block shared dense row panels."""
+        import scipy.sparse as sps
+        rows, cols, vals = [], [], []
+        nb = n // bs
+        for k in range(nb):
+            s = k * bs
+            for i in range(bs):
+                for j in range(i + 1):
+                    rows.append(s + i); cols.append(s + j)
+                    vals.append(rng.standard_normal() + (4.0 if i == j else 0))
+            # panel: a few shared rows below, dense across the block's columns
+            below = np.arange(s + bs, n)
+            if len(below):
+                pr = rng.choice(below, size=min(3, len(below)), replace=False)
+                for r in pr:
+                    for j in range(bs):
+                        rows.append(r); cols.append(s + j)
+                        vals.append(rng.standard_normal())
+        T = sps.csr_matrix((vals, (rows, cols)), shape=(n, n))
+        T.sum_duplicates(); T.sort_indices()
+        return T
+
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_blocked(self, lower, rng):
+        from tpukk.sparse.sptrsv import SptrsvAlgorithm
+        T = self._blocked_lower(96, 8, rng)
+        if not lower:
+            T = T.T.tocsr()
+        M = CsrMatrix.from_scipy(T.astype(np.float64))
+        h = SptrsvHandle(lower=lower, algorithm=SptrsvAlgorithm.SUPERNODAL)
+        sptrsv_symbolic(h, M)
+        # detection must actually merge columns on this structured factor
+        assert h.sn_plan.num_supernodes < M.nrows
+        assert h.sn_plan.max_block > 1
+        b = rng.standard_normal(M.nrows)
+        x = np.asarray(sptrsv_solve(h, M, b))
+        np.testing.assert_allclose(T @ x, b, rtol=1e-10, atol=1e-10)
+
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_random_degenerate(self, lower, rng):
+        # unstructured factor: supernodes mostly size 1 — must still be exact
+        from tpukk.sparse.sptrsv import SptrsvAlgorithm
+        A = generate_diag_dominant_csr(70, 4, dtype=np.float64, seed=9)
+        T = _tri(A, lower)
+        h = SptrsvHandle(lower=lower, algorithm=SptrsvAlgorithm.SUPERNODAL)
+        sptrsv_symbolic(h, T)
+        b = rng.standard_normal(T.nrows)
+        x = np.asarray(sptrsv_solve(h, T, b))
+        np.testing.assert_allclose(T.to_scipy() @ x, b, rtol=1e-10, atol=1e-10)
+
+    def test_matches_levelset_on_iluk_factor(self, rng):
+        from tpukk.sparse.sptrsv import SptrsvAlgorithm
+        A = generate_structured_laplacian(10, 10, dtype=np.float64)
+        hI = SpilukHandle(fill_level=1)
+        spiluk_symbolic(hI, A)
+        L, U = spiluk_numeric(hI, A)
+        b = rng.standard_normal(A.nrows)
+        for M, lower in ((L, True), (U, False)):
+            h1 = SptrsvHandle(lower=lower)
+            sptrsv_symbolic(h1, M)
+            h2 = SptrsvHandle(lower=lower, algorithm=SptrsvAlgorithm.SUPERNODAL)
+            sptrsv_symbolic(h2, M)
+            x1 = np.asarray(sptrsv_solve(h1, M, b))
+            x2 = np.asarray(sptrsv_solve(h2, M, b))
+            np.testing.assert_allclose(x1, x2, rtol=1e-9, atol=1e-9)
+
+    def test_supernodal_fewer_levels(self, rng):
+        from tpukk.sparse.sptrsv import SptrsvAlgorithm
+        T = self._blocked_lower(128, 16, rng)
+        M = CsrMatrix.from_scipy(T.astype(np.float64))
+        h1 = SptrsvHandle(True)
+        sptrsv_symbolic(h1, M)
+        h2 = SptrsvHandle(True, algorithm=SptrsvAlgorithm.SUPERNODAL)
+        sptrsv_symbolic(h2, M)
+        assert h2.num_levels <= h1.num_levels

@@ -21,8 +21,18 @@ import numpy as np
 
 from ..common import check
 from ..containers import CsrMatrix
+from .sptrsv_supernodal import build_supernodal_plan, supernodal_solve
 
-__all__ = ["SptrsvHandle", "sptrsv_symbolic", "sptrsv_solve"]
+__all__ = ["SptrsvHandle", "SptrsvAlgorithm", "sptrsv_symbolic", "sptrsv_solve"]
+
+
+class SptrsvAlgorithm(enum.Enum):
+    """cf. SPTRSVAlgorithm, sptrsv_handle.hpp:42-51.  SEQLVLSCHD covers the
+    SEQLVLSCHD_RP/TP1/TP1CHAIN family (one fused data-parallel step per level);
+    SUPERNODAL covers SUPERNODAL_NAIVE/ETREE/DAG/SPMV (supernode-blocked
+    batched dense solves on the MXU — sptrsv_supernodal.py)."""
+    SEQLVLSCHD = "lvlsched"
+    SUPERNODAL = "supernodal"
 
 
 @dataclasses.dataclass
@@ -36,13 +46,18 @@ class _LevelBlock:
 class SptrsvHandle:
     """cf. sptrsv_handle.hpp; one handle per (matrix, uplo)."""
 
-    def __init__(self, lower: bool = True):
+    def __init__(self, lower: bool = True,
+                 algorithm: SptrsvAlgorithm = SptrsvAlgorithm.SEQLVLSCHD,
+                 supernode_max_size: int = 64):
         self.lower = lower
+        self.algorithm = algorithm
+        self.supernode_max_size = supernode_max_size
         self.is_symbolic_called = False
         self.blocks: List[_LevelBlock] = []
         self.order = None
         self.inv_order = None
         self.num_levels = 0
+        self.sn_plan = None
 
 
 def _compute_levels(rm, ent, n, lower: bool) -> np.ndarray:
@@ -88,6 +103,13 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     ent = A.host_entries()
     vals = A.host_values()
     n = A.nrows
+    if handle.algorithm is SptrsvAlgorithm.SUPERNODAL:
+        handle.sn_plan = build_supernodal_plan(
+            rm, ent, vals, n, lower=handle.lower,
+            max_size=handle.supernode_max_size)
+        handle.num_levels = len(handle.sn_plan.levels)
+        handle.is_symbolic_called = True
+        return
     levels = _compute_levels(rm, ent, n, handle.lower)
     order = np.argsort(levels, kind="stable").astype(np.int32)
     inv = np.empty_like(order)
@@ -127,6 +149,8 @@ def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
     """x with tri(A)·x = b (values read from the handle's plan — rebuild the
     handle for new values; a values-only refresh is the planned split)."""
     check(handle.is_symbolic_called, "sptrsv_solve: symbolic first")
+    if handle.algorithm is SptrsvAlgorithm.SUPERNODAL:
+        return supernodal_solve(handle.sn_plan, b)
     order = jnp.asarray(handle.order)
     inv_order = jnp.asarray(handle.inv_order)
     bp = jnp.take(b, order)
