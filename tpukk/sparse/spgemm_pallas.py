@@ -6,10 +6,15 @@ two `take`s and a sorted segment-sum — each running at ~0.1 G elem/s on v5e
 VMEM one-hot radix contractions instead (no HBM gathers), the SpGEMM analog
 of spmv_pallas.onehot_spmv:
 
-  per (c_tile 1024, a_block 8192, b_block 8192) chunk of CH pairs:
-    a(1,CH)    = radix_gather(Avals_block, a_loc)     [MXU K=64 + VPU mask]
+  per (c_tile 1024, a_block, b_block) chunk of CH pairs:
+    a(1,CH)    = radix_gather(Avals_block, a_loc)   [3 bf16 MXU passes + VPU]
     b(1,CH)    = radix_gather(Bvals_block, b_loc)
-    C(8,128)  += OH_chi(8,CH) @ (a*b * OH_clo(128,CH))^T   [MXU K=CH]
+    C(8,128)  += sum_p OH_chi(8,CH) @ (cmp_clo ⊙ (a*b)_p)^T [3 bf16 passes]
+
+All selection matmuls are single-pass bf16 with f32 accumulation yet exact
+to f32 semantics (one-hot operand is {0,1}-exact in bf16; the value operand
+is a 3-plane bf16 decomposition) — see spmv_pallas for the v3 design and
+measurements (2.7x over 6-pass HIGHEST f32 selection).
 
 Pairs arrive sorted by C position (the pair plan's contract), so chunks are
 C-tile contiguous: the C tile stays VMEM-resident and accumulates across
@@ -28,9 +33,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .spmv_pallas import _bf16_planes3, _sublane_gather
+
 __all__ = ["OnehotPairPlan", "build_onehot_pair_plan", "onehot_pair_numeric"]
 
-_BLK = 8192   # A/B value block (64 x 128 radix)
+_BLK = 4096   # A/B value block (32 x 128 radix; 4096 beat 8192 on v5e)
+_SR = _BLK // 128
 _CT = 1024    # C tile (8 x 128 radix)
 _CH = 1024    # pairs per grid step
 
@@ -131,18 +139,18 @@ def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int) -> OnehotPairPlan:
 
 
 def _radix_gather(win, loc):
-    """win: (64,128) VMEM block; loc: (1,CH) int32 -> (1,CH) f32 values."""
+    """win: (_SR,128) VMEM block; loc: (1,CH) int32 -> (1,CH) f32 values.
+    v3: 3-plane bf16 lane-routing matmul + per-vreg sublane dynamic_gather."""
     hi = loc // 128
     lo = loc % 128
     ch = loc.shape[1]
-    oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (64, ch), 0) == hi
-             ).astype(jnp.float32)
-    t = jax.lax.dot_general(win, oh_hi, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)      # (128,CH)
     oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, ch), 0) == lo
-             ).astype(jnp.float32)
-    return jnp.sum(t * oh_lo, axis=0, keepdims=True)                  # (1,CH)
+             ).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    u = sum(jax.lax.dot_general(p, oh_lo, dn,
+                                preferred_element_type=jnp.float32)
+            for p in _bf16_planes3(win))                              # (_SR,CH)
+    return _sublane_gather(u, hi, _SR, ch)                            # (1,CH)
 
 
 @functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "num_steps",
@@ -151,9 +159,9 @@ def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
                       a_vals, b_vals, *, na, nb, nc, num_steps, nnz_c, interpret):
     CH = _CH
     av = jnp.pad(a_vals.astype(jnp.float32),
-                 (0, na * _BLK - a_vals.shape[0])).reshape(na * 64, 128)
+                 (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
     bv = jnp.pad(b_vals.astype(jnp.float32),
-                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * 64, 128)
+                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * _SR, 128)
 
     def kernel(at_ref, bt_ref, ct_ref, first_ref, aloc_ref, bloc_ref,
                cloc_ref, av_ref, bv_ref, c_ref):
@@ -164,14 +172,14 @@ def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
         cl = cloc_ref[:].reshape(1, CH)
         rhi = cl // 128           # pad slots: -1//128 = -1 -> no one-hot row
         rlo = cl % 128
-        oh_rlo = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == rlo
-                  ).astype(jnp.float32)
-        p = pv * oh_rlo
+        cmpb = (jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0) == rlo
+                ).astype(jnp.bfloat16)
         oh_rhi = (jax.lax.broadcasted_iota(jnp.int32, (8, CH), 0) == rhi
-                  ).astype(jnp.float32)
-        contrib = jax.lax.dot_general(oh_rhi, p, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
+                  ).astype(jnp.bfloat16)
+        dn2 = (((1,), (1,)), ((), ()))
+        contrib = sum(jax.lax.dot_general(oh_rhi, cmpb * p, dn2,
+                                          preferred_element_type=jnp.float32)
+                      for p in _bf16_planes3(pv))
 
         @pl.when(first_ref[g] == 1)
         def _():
@@ -188,9 +196,9 @@ def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
             pl.BlockSpec((CH,), lambda g, a, b, c, f: (g,), memory_space=pltpu.VMEM),
             pl.BlockSpec((CH,), lambda g, a, b, c, f: (g,), memory_space=pltpu.VMEM),
             pl.BlockSpec((CH,), lambda g, a, b, c, f: (g,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda g, a, b, c, f: (a[g], 0),
+            pl.BlockSpec((_SR, 128), lambda g, a, b, c, f: (a[g], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda g, a, b, c, f: (b[g], 0),
+            pl.BlockSpec((_SR, 128), lambda g, a, b, c, f: (b[g], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
