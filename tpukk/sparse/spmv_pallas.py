@@ -139,13 +139,79 @@ def dia_spmv(plan, x, interpret: bool = False):
     return y[: plan.nrows]
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "chunk", "k", "interpret"))
+def _dia_mv_call(x_full, *diags, offsets, chunk, k, interpret):
+    """Fused multi-RHS DIA SpMM: one pass over the diagonals serves all k
+    columns (column-at-a-time re-reads the k_d diagonal arrays k times; for a
+    5-diagonal Laplacian with 8 RHS that is 2.7x the traffic).  x_full:
+    (k, n_pad + W) transposed RHS windows; out (k, n_pad)."""
+    kd = len(diags)
+    n_pad = diags[0].shape[0]
+    off_min = min(offsets)
+    C = chunk
+    num_chunks = n_pad // C
+    W = round_up(max(max(offsets) - off_min, 1), 1024)
+    win = C + W
+    dtype = diags[0].dtype
+
+    def kernel(x_ref, *rest):
+        d_refs = rest[:kd]
+        y_ref = rest[kd]
+        scratch, sem = rest[kd + 1], rest[kd + 2]
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(x_ref.at[:, pl.ds(i * C, win)], scratch, sem)
+        cp.start()
+        cp.wait()
+        acc = d_refs[0][:].reshape(1, C) * scratch[:, pl.ds(offsets[0] - off_min, C)]
+        for j in range(1, kd):
+            acc = acc + d_refs[j][:].reshape(1, C) * scratch[:, pl.ds(offsets[j] - off_min, C)]
+        y_ref[:, :] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM) for _ in range(kd)],
+        out_specs=pl.BlockSpec((k, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, win), x_full.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_full, *diags)
+
+
+def dia_spmm(plan, x, interpret: bool = False):
+    """Y = A·X for a DiaPallasPlan, X (ncols, k) — fused multi-RHS kernel."""
+    k = int(x.shape[1])
+    # VMEM budget: scratch (k,win) + double-buffered y (k,C) ≈ 12·k·C bytes
+    # of the ~16MB VMEM; halve the chunk (n_pad stays a multiple) until safe.
+    chunk = plan.chunk
+    while k * chunk * 12 > 8 * 2**20 and chunk % 2 == 0 and chunk // 2 > plan.W:
+        chunk //= 2
+    if chunk != plan.chunk:
+        plan = DiaPallasPlan(_fields=(plan.dlist, plan.offsets, plan.nrows,
+                                      plan.ncols, plan.n_pad, chunk, plan.W))
+    off_min = min(plan.offsets)
+    T = plan.n_pad + plan.W
+    xt = x.T  # (k, ncols)
+    if off_min >= 0:
+        body = xt[:, off_min:]
+    else:
+        body = jnp.concatenate([jnp.zeros((k, -off_min), x.dtype), xt], axis=1)
+    tail = T - body.shape[1]
+    x_full = jnp.pad(body, ((0, 0), (0, tail))) if tail > 0 else body[:, :T]
+    y = _dia_mv_call(x_full, *plan.dlist, offsets=plan.offsets, chunk=plan.chunk,
+                     k=k, interpret=interpret)
+    return y[:, : plan.nrows].T
+
+
 def apply(handle, x):
     """Dispatch for the Pallas DIA path from the handle layer."""
     plan = handle._plan("dia_pallas")
     if x.ndim == 2:
-        # multivector: column-at-a-time (dense-RHS fusion is a later round)
-        cols = [dia_spmv(plan, x[:, j]) for j in range(x.shape[1])]
-        return jnp.stack(cols, axis=1)
+        return dia_spmm(plan, x)
     return dia_spmv(plan, x)
 
 
