@@ -154,3 +154,76 @@ def test_spgemm_onehot_pallas_interpret(rng):
         ref = (A.to_scipy() @ B.to_scipy()).tocsr()
         ref.sort_indices()
         assert np.abs(cv - ref.data).max() <= 1e-5 * max(1.0, np.abs(ref.data).max())
+
+
+class TestSpgemmDia:
+    """Banded offset-convolution path (spgemm_dia.py).  AUTO routes here only
+    when operand diagonals are full (exact pattern); opt-in DIA yields the
+    clipped-band pattern (superset with explicit zeros)."""
+
+    def test_auto_exact_banded(self, rng):
+        from tpukk.containers import generate_banded_csr
+        from tpukk.sparse import SpgemmHandle, spgemm_symbolic, spgemm_numeric
+        A = generate_banded_csr(400, 3, dtype=np.float64, seed=2)
+        h = SpgemmHandle()
+        spgemm_symbolic(h, A, A)
+        assert h.dia_plan is not None
+        C = spgemm_numeric(h, A, A)
+        ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+        ref.sort_indices()
+        got = C.to_scipy()
+        got.sort_indices()
+        np.testing.assert_array_equal(ref.indptr, got.indptr)
+        np.testing.assert_array_equal(ref.indices, got.indices)
+        np.testing.assert_allclose(got.data, ref.data, rtol=1e-12, atol=1e-12)
+
+    def test_auto_skips_holey_band(self):
+        from tpukk.containers import generate_structured_laplacian
+        from tpukk.sparse import SpgemmHandle, spgemm_symbolic
+        L = generate_structured_laplacian(20, 20, dtype=np.float64)
+        h = SpgemmHandle()
+        spgemm_symbolic(h, L, L)
+        assert h.dia_plan is None  # ±1/±nx diagonals have interior holes
+
+    def test_optin_band_dense_equality(self, rng):
+        from tpukk.containers import generate_structured_laplacian
+        from tpukk.sparse import (SpgemmAlgorithm, SpgemmHandle,
+                                  spgemm_numeric, spgemm_symbolic)
+        L = generate_structured_laplacian(25, 25, dtype=np.float64)
+        h = SpgemmHandle(SpgemmAlgorithm.DIA)
+        spgemm_symbolic(h, L, L)
+        C = spgemm_numeric(h, L, L)
+        ref = (L.to_scipy() @ L.to_scipy()).toarray()
+        np.testing.assert_allclose(C.to_scipy().toarray(), ref,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_rectangular(self, rng):
+        from tpukk.containers import generate_banded_csr
+        from tpukk.sparse import (SpgemmAlgorithm, SpgemmHandle,
+                                  spgemm_numeric, spgemm_symbolic)
+        import scipy.sparse as sps
+        A = generate_banded_csr(300, 2, dtype=np.float64, seed=4)
+        B = generate_banded_csr(300, 4, dtype=np.float64, seed=5)
+        h = SpgemmHandle(SpgemmAlgorithm.DIA)
+        spgemm_symbolic(h, A, B)
+        C = spgemm_numeric(h, A, B)
+        ref = (A.to_scipy() @ B.to_scipy()).toarray()
+        np.testing.assert_allclose(C.to_scipy().toarray(), ref,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_values_refresh_reuse(self, rng):
+        # same pattern, new values — the reuse contract
+        from tpukk.containers import CsrMatrix, generate_banded_csr
+        from tpukk.sparse import SpgemmHandle, spgemm_symbolic, spgemm_numeric
+        A = generate_banded_csr(200, 3, dtype=np.float64, seed=7)
+        h = SpgemmHandle()
+        spgemm_symbolic(h, A, A)
+        assert h.dia_plan is not None
+        import jax.numpy as jnp
+        A2 = CsrMatrix.from_arrays(A.row_map, A.entries,
+                                   jnp.asarray(np.asarray(A.values) * 2 + 1),
+                                   nrows=A.nrows, ncols=A.ncols)
+        C2 = spgemm_numeric(h, A2, A2)
+        ref = (A2.to_scipy() @ A2.to_scipy()).toarray()
+        np.testing.assert_allclose(C2.to_scipy().toarray(), ref,
+                                   rtol=1e-12, atol=1e-12)

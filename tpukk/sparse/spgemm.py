@@ -40,6 +40,10 @@ class SpgemmAlgorithm(enum.Enum):
     KK = "kk"                  # pair-plan (hash-accumulator analog)
     DENSE_ACC = "dense_acc"    # dense accumulator (KK_SPEED/KK_DENSE analog)
     DEBUG = "debug"            # host scipy (SPGEMM_DEBUG/serial analog)
+    DIA = "dia"                # banded offset-convolution (spgemm_dia.py);
+    #                            pattern = clipped band (may hold explicit
+    #                            zeros when operand diagonals have holes).
+    #                            KK AUTO-routes here when exact (full diags).
 
 
 @jax.tree_util.register_pytree_node_class
@@ -71,6 +75,7 @@ class SpgemmHandle:
         self.entries_c = None
         self.pair_plan: Optional[PairPlan] = None
         self.onehot_plan = None  # lazy pallas numeric plan (TPU, f32)
+        self.dia_plan = None     # banded offset-convolution plan (spgemm_dia)
         self.nrows_c = self.ncols_c = None
         self.block_size = None  # set by bspgemm_symbolic for BSR operands
 
@@ -143,6 +148,21 @@ def spgemm_symbolic(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix):
         handle.row_map_c = Cs.indptr.astype(np.int32)
         handle.entries_c = Cs.indices.astype(np.int32)
     else:
+        from . import spgemm_dia
+
+        if handle.algorithm == SpgemmAlgorithm.DIA or (
+                handle.algorithm == SpgemmAlgorithm.KK
+                and spgemm_dia.dia_operands_exact(A, B)):
+            plan = spgemm_dia.build_dia_spgemm_plan(A, B)
+            check(plan is not None or handle.algorithm != SpgemmAlgorithm.DIA,
+                  "spgemm DIA: operands are not banded (DIA-detectable)")
+            if plan is not None:
+                handle.dia_plan = plan
+                handle.row_map_c = plan.row_map.astype(np.int64)
+                handle.entries_c = plan.entries
+                handle.nrows_c, handle.ncols_c = A.nrows, B.ncols
+                handle.is_symbolic_called = True
+                return handle.row_map_c
         rm, cols, plan = _symbolic_host(A, B)
         handle.row_map_c = rm
         handle.entries_c = cols
@@ -165,6 +185,10 @@ def spgemm_numeric(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix) -> CsrMatri
         Cs = (A.to_scipy() @ B.to_scipy()).tocsr()
         Cs.sort_indices()
         return CsrMatrix.from_scipy(Cs, value_dtype=A.dtype)
+    if handle.dia_plan is not None:
+        from . import spgemm_dia
+
+        return spgemm_dia.dia_spgemm_numeric(handle.dia_plan, A, B)
     if handle.algorithm == SpgemmAlgorithm.DENSE_ACC:
         vals = _numeric_dense_acc(handle, A, B)
     else:

@@ -251,12 +251,19 @@ _OH_CH = 1024     # nnz chunk per grid step
 
 
 def _bf16_planes3(a):
-    """Exact 3-term bf16 decomposition: sum(planes) == a (f32, 24 bits)."""
-    hi = a.astype(jnp.bfloat16)
-    r1 = a - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    """Exact 3-term bf16 decomposition: sum(planes) == a (f32, 24 bits).
+    Mantissa bit-masking, not arithmetic rounding: XLA folds (a - bf16(a))
+    to zero under --xla_allow_excess_precision=true (the TPU runtime sets
+    it), which would silently quantize to bf16; integer bitcasts survive.
+    Each 16-bit-truncated piece is exactly representable in bf16."""
+    mask = jnp.int32(-65536)  # 0xFFFF0000
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(ai & mask, jnp.float32)
+    r1 = a - hi
+    r1i = jax.lax.bitcast_convert_type(r1, jnp.int32)
+    mid = jax.lax.bitcast_convert_type(r1i & mask, jnp.float32)
+    lo = r1 - mid
+    return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
 def _sublane_gather(u, hi, SR, CH):
