@@ -54,11 +54,16 @@ class GmresStats:
     converged: bool
 
 
+def _norm(x):
+    """‖x‖₂, conjugation-correct for complex dtypes."""
+    return jnp.sqrt(jnp.real(jnp.sum(jnp.conj(x) * x)))
+
+
 def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
     """One restart cycle; returns (x_new, rel_residual_estimate)."""
     r = b - Ah(x0)
     z = prec.apply(r)
-    beta = jnp.sqrt(jnp.sum(z * z))
+    beta = _norm(z).astype(b.dtype)
     n = b.shape[0]
     V = jnp.zeros((m + 1, n), b.dtype)
     V = V.at[0].set(z / jnp.where(beta == 0, 1.0, beta))
@@ -72,19 +77,19 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
             mask = (jnp.arange(m + 1) <= j)[:, None]
             Vm = V * mask
             hp = jax.lax.Precision.HIGHEST
-            h1 = jnp.matmul(Vm, w, precision=hp)
+            h1 = jnp.matmul(jnp.conj(Vm), w, precision=hp)
             w = w - jnp.matmul(Vm.T, h1, precision=hp)
-            h2 = jnp.matmul(Vm, w, precision=hp)
+            h2 = jnp.matmul(jnp.conj(Vm), w, precision=hp)
             w = w - jnp.matmul(Vm.T, h2, precision=hp)
             h = h1 + h2
         else:
             def mgs(i, wh):
                 w, h = wh
-                hi = jnp.where(i <= j, jnp.sum(V[i] * w), 0.0)
+                hi = jnp.where(i <= j, jnp.sum(jnp.conj(V[i]) * w), 0.0)
                 return (w - hi * V[i], h.at[i].set(hi))
 
             w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype)))
-        hn = jnp.sqrt(jnp.sum(w * w))
+        hn = _norm(w).astype(b.dtype)
         H = H.at[:, j].set(h.at[j + 1].set(hn))
         V = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
         return (V, H)
@@ -95,7 +100,7 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
     # where H is singular — the reference's Givens loop exits early instead)
     y = jnp.linalg.lstsq(H, e1)[0]
     x_new = x0 + jnp.matmul(V[:m].T, y, precision=jax.lax.Precision.HIGHEST)
-    res_est = jnp.sqrt(jnp.maximum(jnp.sum((H @ y - e1) ** 2), 0.0))
+    res_est = _norm(H @ y - e1)
     return x_new, res_est
 
 
@@ -106,7 +111,7 @@ def gmres(handle: GmresHandle, A, b, x0=None, prec: Optional[Preconditioner] = N
     prec = prec or IdentityPrec()
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     m = min(handle.m, b.shape[0])
-    bnorm = float(np.sqrt(np.asarray(jnp.sum(b * b))))
+    bnorm = float(np.asarray(_norm(b)))
     if bnorm == 0:
         bnorm = 1.0
     cycle = jax.jit(lambda x: _arnoldi_cycle(Ah, prec, b, x, m, handle.ortho))
@@ -117,7 +122,7 @@ def gmres(handle: GmresHandle, A, b, x0=None, prec: Optional[Preconditioner] = N
         iters += m
         # true residual check at restart boundary (cheap, robust)
         r = b - Ah(x)
-        rel = float(np.sqrt(np.asarray(jnp.sum(r * r)))) / bnorm
+        rel = float(np.asarray(_norm(r))) / bnorm
         if rel <= handle.tol:
             break
     handle.num_iters = iters

@@ -32,20 +32,20 @@ def pcg(A, b, x0=None, tol: float = 1e-8, max_iters: int = 500,
     r = b - Ah(x)
     z = prec.apply(r)
     p = z
-    rz = jnp.sum(r * z)
-    bnorm = float(np.sqrt(np.asarray(jnp.sum(b * b)))) or 1.0
+    rz = jnp.sum(jnp.conj(r) * z)
+    bnorm = float(np.sqrt(np.abs(np.asarray(jnp.sum(jnp.conj(b) * b))))) or 1.0
 
     @jax.jit
     def block(state):
         def body(carry, _):
             x, r, p, rz = carry
             Ap = Ah(p)
-            pAp = jnp.sum(p * Ap)
+            pAp = jnp.sum(jnp.conj(p) * Ap)
             alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
             x = x + alpha * p
             r = r - alpha * Ap
             z = prec.apply(r)
-            rz_new = jnp.sum(r * z)
+            rz_new = jnp.sum(jnp.conj(r) * z)
             beta = rz_new / jnp.where(rz == 0, 1.0, rz)
             p = z + beta * p
             return (x, r, p, rz_new), None
@@ -58,7 +58,7 @@ def pcg(A, b, x0=None, tol: float = 1e-8, max_iters: int = 500,
     while iters < max_iters:
         state = block(state)
         iters += check_every
-        rel = float(np.sqrt(np.asarray(jnp.sum(state[1] * state[1])))) / bnorm
+        rel = float(np.sqrt(np.abs(np.asarray(jnp.sum(jnp.conj(state[1]) * state[1]))))) / bnorm
         if rel <= tol:
             break
     x = state[0]
