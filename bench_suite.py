@@ -174,6 +174,65 @@ def bench_gs_sweep(K):
                                      gnnz_s=2 * A.nnz / t / 1e9)}
 
 
+def bench_spgemm_dia(K):
+    """Banded offset-convolution SpGEMM numeric (values-refresh path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_banded_csr
+    from tpukk.sparse import spgemm_dia
+
+    A = generate_banded_csr(1_000_000, 3, dtype=np.float32, seed=2)
+    plan = spgemm_dia.build_dia_spgemm_plan(A, A)
+    if plan is None:
+        return {}
+    spgemm_dia.dia_spgemm_numeric(plan, A, A)
+    fn = plan._jit_numeric
+    ea, eb = plan.a_refresh._eplan, plan.b_refresh._eplan
+    nnzA = A.nnz
+
+    def f(v):
+        def body(i, c):
+            out = fn(c, c, ea, eb)
+            return c * 0.5 + out[:nnzA] * 1e-20
+        return jax.lax.fori_loop(0, K, body, v)
+
+    t = chain_time(jax.jit(f), (A.values,), K)
+    kA = len(plan.a_refresh.offsets)
+    return {"spgemm_dia_banded1M": dict(time_us=t * 1e6,
+                                        gnnz_s=nnzA * kA / t / 1e9)}
+
+
+def bench_sptrsv(K):
+    """Level-set vs supernodal triangular solve."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sps
+
+    from tpukk.containers import CsrMatrix, generate_structured_laplacian
+    from tpukk.sparse import (SptrsvAlgorithm, SptrsvHandle, sptrsv_solve,
+                              sptrsv_symbolic)
+
+    A = generate_structured_laplacian(300, 300, dtype=np.float32)
+    T = sps.tril(A.to_scipy()).tocsr()
+    T.setdiag(np.abs(T.diagonal()) + 2.0)
+    T.sort_indices()
+    M = CsrMatrix.from_scipy(T.astype(np.float32))
+    b = jax.device_put(np.random.default_rng(0).standard_normal(M.nrows).astype(np.float32))
+    rows = {}
+    for tag, algo in (("lvlsched", SptrsvAlgorithm.SEQLVLSCHD),
+                      ("supernodal", SptrsvAlgorithm.SUPERNODAL)):
+        h = SptrsvHandle(True, algorithm=algo)
+        sptrsv_symbolic(h, M)
+        fj = jax.jit(lambda bb: jax.lax.fori_loop(
+            0, K, lambda i, x: sptrsv_solve(h, M, bb + 1e-20 * x), bb))
+        t = chain_time(fj, (b,), K)
+        rows[f"sptrsv_{tag}_300"] = dict(
+            time_us=t * 1e6, gnnz_s=M.nnz / t / 1e9,
+            levels=float(h.num_levels))
+    return rows
+
+
 def bench_spgemm(n_side):
     from tpukk.containers import generate_structured_laplacian
     from tpukk.sparse import SpgemmHandle, spgemm_numeric, spgemm_symbolic
@@ -212,8 +271,10 @@ def main():
     results.update(oh_rows)
     results.update(bench_gs_sweep(max(25, args.chain // 8)))
     results.update(bench_spgemm(args.spgemm_size))
+    results.update(bench_spgemm_dia(max(25, args.chain // 8)))
+    results.update(bench_sptrsv(max(10, args.chain // 16)))
 
-    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s"]
+    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "levels"]
     print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in keys))
     for name, m in results.items():
         cells = [f"{m.get(k, float('nan')):12.2f}" for k in keys]
