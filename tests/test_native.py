@@ -53,3 +53,27 @@ def test_csr_transpose_matches_scipy():
     ti, tj, tv = native.csr_transpose(sp.indptr, sp.indices, sp.data, 30, 50)
     T = sps.csr_matrix((tv, tj, ti), shape=(50, 30))
     assert (T != sp.T.tocsr()).nnz == 0
+
+
+def test_mdf_order_native_matches_python():
+    """C++ MDF greedy (tpukk_native.cpp::tpukk_mdf_order) must reproduce the
+    Python reference ordering exactly on a generic matrix."""
+    import numpy as np
+    from tpukk import native
+    from tpukk.containers import generate_diag_dominant_csr
+    from tpukk.sparse.mdf import MdfHandle, mdf_symbolic
+
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    A = generate_diag_dominant_csr(150, 5, dtype=np.float64, seed=11)
+    h1 = MdfHandle()
+    mdf_symbolic(h1, A)
+    orig = native.mdf_order
+    try:
+        native.mdf_order = lambda *a, **k: None
+        h2 = MdfHandle()
+        mdf_symbolic(h2, A)
+    finally:
+        native.mdf_order = orig
+    np.testing.assert_array_equal(h1.permutation, h2.permutation)

@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "iluk_symbolic", "ilu_numeric", "csr_transpose"]
+__all__ = ["available", "d1_greedy_color", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -48,6 +48,9 @@ def _load():
             lib.tpukk_ilu_numeric.restype = ctypes.c_int32
             lib.tpukk_ilu_numeric.argtypes = [
                 ctypes.c_int64, i32p, i32p, i32p, i32p, f64p, f64p]
+            lib.tpukk_mdf_order.restype = None
+            lib.tpukk_mdf_order.argtypes = [
+                ctypes.c_int64, i32p, i32p, f64p, i32p]
             lib.tpukk_csr_transpose.restype = None
             lib.tpukk_csr_transpose.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, i32p, i32p, f64p]
@@ -116,3 +119,14 @@ def csr_transpose(indptr, indices, values, nrows, ncols):
         nrows, ncols, _i32(indptr), _i32(indices),
         np.ascontiguousarray(values, np.float64), t_indptr, t_indices, t_values)
     return t_indptr, t_indices, t_values
+
+
+def mdf_order(indptr, indices, values, n):
+    """MDF greedy elimination order; None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    order = np.empty(n, np.int32)
+    lib.tpukk_mdf_order(n, _i32(indptr), _i32(indices),
+                        np.ascontiguousarray(values, np.float64), order)
+    return order

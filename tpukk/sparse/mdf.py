@@ -48,6 +48,13 @@ def mdf_symbolic(handle: MdfHandle, A: CsrMatrix):
     sp = A.to_scipy().tocsr().astype(np.float64)
     sp.sort_indices()
     n = sp.shape[0]
+    from .. import native
+
+    order_native = native.mdf_order(sp.indptr, sp.indices, sp.data, n)
+    if order_native is not None:
+        handle.permutation = order_native
+        handle.is_symbolic_called = True
+        return
     rm = sp.indptr
     cols_of = [sp.indices[rm[i]:rm[i + 1]] for i in range(n)]   # sorted
     pos0 = rm[:-1].copy()
