@@ -46,6 +46,10 @@ def dia_operands_exact(A: CsrMatrix, B: CsrMatrix, max_diags: int = 32) -> bool:
     structurally full — the case where the clipped-band pattern equals the
     exact structural product (safe for AUTO routing)."""
     for M in (A, B):
+        # a matrix with <= max_diags diagonals has nnz <= max_diags*min(n,m);
+        # skip the O(nnz log nnz) offset sort when that's impossible
+        if M.nnz > max_diags * min(M.nrows, M.ncols):
+            return False
         offs = detect_dia_offsets(M, max_diags=max_diags)
         if offs is None:
             return False
