@@ -115,3 +115,38 @@ def test_pytree_flatten():
     assert len(leaves) == 3
     B = jax.tree_util.tree_unflatten(treedef, leaves)
     assert B.shape == A.shape
+
+
+def test_extract_diagonal_blocks(rng):
+    from tpukk.containers import extract_diagonal_blocks, generate_diag_dominant_csr
+    A = generate_diag_dominant_csr(90, 4, dtype=np.float64, seed=3)
+    blocks = extract_diagonal_blocks(A, 4)
+    assert len(blocks) == 4
+    sp = A.to_scipy()
+    sizes = [22, 22, 22, 24]
+    r0 = 0
+    for blk, sz in zip(blocks, sizes):
+        assert blk.nrows == sz
+        ref = sp[r0:r0 + sz, r0:r0 + sz].toarray()
+        np.testing.assert_allclose(blk.to_scipy().toarray(), ref)
+        r0 += sz
+
+
+def test_sort_by_row_size():
+    from tpukk.containers import CsrMatrix, sort_by_row_size
+    import scipy.sparse as sps
+    D = np.zeros((4, 4))
+    D[0, :3] = 1; D[1, 0] = 1; D[2, :] = 1; D[3, :2] = 1
+    A = CsrMatrix.from_scipy(sps.csr_matrix(D))
+    perm = sort_by_row_size(A)               # descending
+    assert list(perm) == [2, 0, 3, 1]
+    perm_a = sort_by_row_size(A, ascending=True)
+    assert list(perm_a) == [1, 3, 0, 2]
+
+
+def test_symmetrize_pattern(rng):
+    from tpukk.containers import generate_random_csr, symmetrize_pattern
+    A = generate_random_csr(50, 50, 3, dtype=np.float64, seed=5)
+    S = symmetrize_pattern(A)
+    sp = S.to_scipy()
+    np.testing.assert_allclose(sp.toarray(), sp.T.toarray())

@@ -10,4 +10,6 @@ from .generators import (
     generate_structured_laplacian,
 )
 from .io import load_csr_npz, read_mtx, save_csr_npz, write_mtx
-from .sort_crs import is_sorted, remove_zeros, sort_and_merge_crs, sort_crs, transpose
+from .sort_crs import (extract_diagonal_blocks, is_sorted, remove_zeros,
+                       sort_and_merge_crs, sort_by_row_size, sort_crs,
+                       symmetrize_pattern, transpose)

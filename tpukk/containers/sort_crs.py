@@ -11,7 +11,9 @@ import numpy as np
 
 from .csr import CsrMatrix
 
-__all__ = ["sort_crs", "sort_and_merge_crs", "remove_zeros", "transpose", "is_sorted"]
+__all__ = ["sort_crs", "sort_and_merge_crs", "remove_zeros", "transpose",
+           "is_sorted", "extract_diagonal_blocks", "sort_by_row_size",
+           "symmetrize_pattern"]
 
 
 def sort_crs(csr: CsrMatrix) -> CsrMatrix:
@@ -49,3 +51,43 @@ def is_sorted(csr: CsrMatrix) -> bool:
         if np.any(np.diff(row) < 0):
             return False
     return True
+
+
+def extract_diagonal_blocks(csr: CsrMatrix, n_blocks: int):
+    """Split the square matrix into n_blocks diagonal CRS blocks (equal row
+    ranges; remainder rows go to the last block) — analog of
+    kk_extract_diagonal_blocks_crsmatrix_sequential
+    (sparse/src/KokkosSparse_Utils.hpp:1867+)."""
+    n = csr.nrows
+    if csr.ncols != n:
+        raise ValueError("extract_diagonal_blocks: square matrix required")
+    if n_blocks < 1 or n_blocks > max(1, n):
+        raise ValueError("extract_diagonal_blocks: bad n_blocks")
+    sp = csr.to_scipy()
+    size = n // n_blocks
+    blocks = []
+    for b in range(n_blocks):
+        r0 = b * size
+        r1 = n if b == n_blocks - 1 else (b + 1) * size
+        blk = sp[r0:r1, r0:r1].tocsr()
+        blk.sort_indices()
+        blocks.append(CsrMatrix.from_scipy(blk, value_dtype=csr.dtype))
+    return blocks
+
+
+def sort_by_row_size(csr: CsrMatrix, ascending: bool = False) -> np.ndarray:
+    """Permutation ordering rows by nnz (stable) — analog of
+    kk_sort_by_row_size (sparse/src/KokkosSparse_Utils.hpp:1045-1155), used
+    for load-balanced scheduling.  Returns the new-order row indices."""
+    lens = np.diff(csr.host_row_map())
+    key = lens if ascending else -lens
+    return np.argsort(key, kind="stable").astype(np.int32)
+
+
+def symmetrize_pattern(csr: CsrMatrix) -> CsrMatrix:
+    """Pattern/value symmetrization A + Aᵀ (role of kk_symmetrize_graph,
+    common/src/KokkosKernels_Utils.hpp)."""
+    sp = csr.to_scipy()
+    out = (sp + sp.T).tocsr()
+    out.sort_indices()
+    return CsrMatrix.from_scipy(out, value_dtype=csr.dtype)
