@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order"]
+__all__ = ["available", "d1_greedy_color", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -51,6 +51,13 @@ def _load():
             lib.tpukk_mdf_order.restype = None
             lib.tpukk_mdf_order.argtypes = [
                 ctypes.c_int64, i32p, i32p, f64p, i32p]
+            lib.tpukk_spgemm_symbolic_count.restype = ctypes.c_int64
+            lib.tpukk_spgemm_symbolic_count.argtypes = [
+                ctypes.c_int64, i32p, i32p, ctypes.c_int64, i32p, i32p, i32p]
+            lib.tpukk_spgemm_pairs.restype = None
+            lib.tpukk_spgemm_pairs.argtypes = [
+                ctypes.c_int64, i32p, i32p, ctypes.c_int64, i32p, i32p,
+                i32p, i32p, i32p, i32p, i32p]
             lib.tpukk_csr_transpose.restype = None
             lib.tpukk_csr_transpose.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, i32p, i32p, f64p]
@@ -130,3 +137,26 @@ def mdf_order(indptr, indices, values, n):
     lib.tpukk_mdf_order(n, _i32(indptr), _i32(indices),
                         np.ascontiguousarray(values, np.float64), order)
     return order
+
+
+def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):
+    """C pattern + c-sorted pair plan; None if the native lib is unavailable.
+    Returns (row_map_c i32, entries_c i32, a_idx, b_idx, c_idx)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rmA = _i32(rmA); ciA = _i32(ciA); rmB = _i32(rmB); ciB = _i32(ciB)
+    row_map_c = np.empty(n + 1, np.int32)
+    nnz_c = lib.tpukk_spgemm_symbolic_count(n, rmA, ciA, bcols, rmB, ciB,
+                                            row_map_c)
+    blen = (rmB[1:] - rmB[:-1]).astype(np.int64)
+    P = int(blen[ciA].sum())
+    if P >= 2**31 or int(rmB[-1]) >= 2**31:
+        return None  # int32 pair plan would overflow
+    entries_c = np.empty(int(nnz_c), np.int32)
+    a_idx = np.empty(P, np.int32)
+    b_idx = np.empty(P, np.int32)
+    c_idx = np.empty(P, np.int32)
+    lib.tpukk_spgemm_pairs(n, rmA, ciA, bcols, rmB, ciB, row_map_c,
+                           entries_c, a_idx, b_idx, c_idx)
+    return row_map_c, entries_c, a_idx, b_idx, c_idx

@@ -283,4 +283,96 @@ void tpukk_mdf_order(int64_t n, const int32_t* rm, const int32_t* ci,
   }
 }
 
+// ---------------------------------------------------------------------------
+// SpGEMM host symbolic (sparse/spgemm.py::_symbolic_host; role of the
+// reference's StructureC hashmap symbolic, KokkosSparse_spgemm_impl_symbolic
+// .hpp:528-577).  Classic SMMP dense-marker pattern pass + a pair-plan
+// emission pass producing (a_idx, b_idx, c_idx) sorted by c_idx (per-row
+// counting sort).  Output order matches the numpy implementation exactly.
+int64_t tpukk_spgemm_symbolic_count(int64_t n, const int32_t* rmA,
+                                    const int32_t* ciA, int64_t bcols,
+                                    const int32_t* rmB, const int32_t* ciB,
+                                    int32_t* row_map_c) {
+  std::vector<int64_t> marker(bcols, -1);
+  int64_t nnz_c = 0;
+  row_map_c[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cnt = 0;
+    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
+      int32_t k = ciA[ap];
+      for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
+        int32_t c = ciB[bp];
+        if (marker[c] != i) {
+          marker[c] = i;
+          ++cnt;
+        }
+      }
+    }
+    nnz_c += cnt;
+    row_map_c[i + 1] = (int32_t)nnz_c;
+  }
+  return nnz_c;
+}
+
+void tpukk_spgemm_pairs(int64_t n, const int32_t* rmA, const int32_t* ciA,
+                        int64_t bcols, const int32_t* rmB, const int32_t* ciB,
+                        const int32_t* row_map_c, int32_t* entries_c,
+                        int32_t* a_idx, int32_t* b_idx, int32_t* c_idx) {
+  std::vector<int64_t> marker(bcols, -1);
+  std::vector<int32_t> rowcols;
+  std::vector<int64_t> cnt, off;
+  // global pair offset per C entry = prefix over per-entry pair counts
+  // (computed row-locally; rows are independent)
+  std::vector<int64_t> pair_base(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = 0;
+    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap)
+      p += rmB[ciA[ap] + 1] - rmB[ciA[ap]];
+    pair_base[i + 1] = pair_base[i] + p;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    // pattern of row i (sorted)
+    rowcols.clear();
+    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
+      int32_t k = ciA[ap];
+      for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
+        int32_t c = ciB[bp];
+        if (marker[c] != i) {
+          marker[c] = i;
+          rowcols.push_back(c);
+        }
+      }
+    }
+    std::sort(rowcols.begin(), rowcols.end());
+    int64_t r0 = row_map_c[i];
+    for (size_t t = 0; t < rowcols.size(); ++t) entries_c[r0 + t] = rowcols[t];
+    // per-entry pair counts -> local offsets
+    size_t w = rowcols.size();
+    cnt.assign(w, 0);
+    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
+      int32_t k = ciA[ap];
+      for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
+        size_t loc = std::lower_bound(rowcols.begin(), rowcols.end(), ciB[bp]) -
+                     rowcols.begin();
+        cnt[loc]++;
+      }
+    }
+    off.assign(w + 1, 0);
+    for (size_t t = 0; t < w; ++t) off[t + 1] = off[t] + cnt[t];
+    int64_t base = pair_base[i];
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
+      int32_t k = ciA[ap];
+      for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
+        size_t loc = std::lower_bound(rowcols.begin(), rowcols.end(), ciB[bp]) -
+                     rowcols.begin();
+        int64_t slot = base + cur[loc]++;
+        a_idx[slot] = ap;
+        b_idx[slot] = bp;
+        c_idx[slot] = (int32_t)(r0 + loc);
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -92,6 +92,17 @@ def _symbolic_host(A: CsrMatrix, B: CsrMatrix):
     We build all triples vectorized in numpy, then map (i, col) -> c_idx by
     lexicographic sort (the static replacement of the hashmap accumulator).
     """
+    from .. import native
+
+    nat = native.spgemm_symbolic(A.host_row_map(), A.host_entries(), A.nrows,
+                                 B.ncols, B.host_row_map(), B.host_entries())
+    if nat is not None:
+        row_map_c, entries_c, a_idx, b_idx, c_idx = nat
+        nnz_c = int(row_map_c[-1])
+        plan = PairPlan(jnp.asarray(a_idx), jnp.asarray(b_idx),
+                        jnp.asarray(c_idx), nnz_c)
+        return row_map_c, entries_c, plan
+
     arm = A.host_row_map().astype(np.int64)
     aent = A.host_entries().astype(np.int64)
     brm = B.host_row_map().astype(np.int64)
