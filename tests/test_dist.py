@@ -1,6 +1,7 @@
 """Multi-device tests on the 8-virtual-CPU-device mesh (SURVEY.md §4: the TPU
 build adds distributed tests via XLA host-device-count simulation)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh
@@ -57,3 +58,65 @@ def test_dist_cg_converges(mesh, rng):
         state = step(state)
     rnorm = float(np.asarray(dist_dot(state[1], state[1], mesh))) ** 0.5
     assert rnorm < 1e-6 * r0
+
+
+def _mesh():
+    devs = np.array(jax.devices())
+    n = 8 if devs.size >= 8 else 4
+    return Mesh(devs[:n], ("parts",))
+
+
+class TestDistPcg:
+    def test_full_solve_matches_scipy(self, rng):
+        import scipy.sparse.linalg as spla
+        from tpukk.containers import generate_structured_laplacian
+        from tpukk.dist import dist_pcg, partition_rows, shard_partition
+        mesh = _mesh()
+        A = generate_structured_laplacian(16, 16, dtype=np.float64)
+        plan = shard_partition(partition_rows(A, mesh.devices.size), mesh)
+        b = np.zeros(plan.padded_rows)
+        b[:A.nrows] = rng.standard_normal(A.nrows)
+        x, iters, rel = dist_pcg(plan, jnp.asarray(b), mesh, tol=1e-10,
+                                 max_iters=500)
+        xs = np.asarray(x)[:A.nrows]
+        ref = spla.spsolve(A.to_scipy().tocsc(), b[:A.nrows])
+        assert float(rel) < 1e-9
+        np.testing.assert_allclose(xs, ref, rtol=1e-6, atol=1e-8)
+
+    def test_jacobi_precond_reduces_iters(self, rng):
+        from tpukk.containers import generate_diag_dominant_csr
+        from tpukk.dist import dist_pcg, partition_rows, shard_partition
+        import scipy.sparse as sps
+        mesh = _mesh()
+        A0 = generate_diag_dominant_csr(200, 4, dtype=np.float64, seed=6)
+        # symmetrize to make CG applicable, keep diag dominance
+        sp = A0.to_scipy()
+        sp = (sp + sp.T) * 0.5 + sps.diags(np.full(200, 4.0))
+        sp = sp.tocsr()
+        from tpukk.containers import CsrMatrix
+        A = CsrMatrix.from_scipy(sp)
+        plan = shard_partition(partition_rows(A, mesh.devices.size), mesh)
+        b = np.zeros(plan.padded_rows)
+        b[:A.nrows] = rng.standard_normal(A.nrows)
+        dinv = np.zeros(plan.padded_rows)
+        dinv[:A.nrows] = 1.0 / sp.diagonal()
+        x1, it1, rel1 = dist_pcg(plan, jnp.asarray(b), mesh, tol=1e-10,
+                                 max_iters=400)
+        x2, it2, rel2 = dist_pcg(plan, jnp.asarray(b), mesh, tol=1e-10,
+                                 max_iters=400, inv_diag=jnp.asarray(dinv))
+        assert float(rel2) < 1e-9
+        assert int(it2) <= int(it1)
+
+    def test_halo_plan_variant(self, rng):
+        from tpukk.containers import generate_structured_laplacian
+        from tpukk.dist import build_halo_plan, dist_pcg, shard_halo_plan
+        mesh = _mesh()
+        A = generate_structured_laplacian(12, 12, dtype=np.float64)
+        plan = shard_halo_plan(build_halo_plan(A, mesh.devices.size), mesh)
+        b = np.zeros(plan.padded_rows)
+        b[:A.nrows] = rng.standard_normal(A.nrows)
+        x, iters, rel = dist_pcg(plan, jnp.asarray(b), mesh, tol=1e-9,
+                                 max_iters=600)
+        assert float(rel) < 1e-8
+        r = A.to_scipy() @ np.asarray(x)[:A.nrows] - b[:A.nrows]
+        assert np.linalg.norm(r) / np.linalg.norm(b[:A.nrows]) < 1e-7

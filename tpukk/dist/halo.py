@@ -114,7 +114,7 @@ def build_halo_plan(A: CsrMatrix, n_parts: int, row_block: int = 8) -> HaloPlan:
         lo, hi = p * rpp, min(n, (p + 1) * rpp)
         rows = np.arange(lo, hi)
         if rows.size == 0:
-            return ([], []), ([], [])
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         lens = rm[rows + 1] - rm[rows]
         is_boundary = np.zeros(rows.size, bool)
         for j, r in enumerate(rows):

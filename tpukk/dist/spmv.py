@@ -19,7 +19,7 @@ from .halo import HaloPlan
 from .partition import RowPartition, partition_rows
 
 __all__ = ["shard_partition", "dist_spmv", "dist_dot", "dist_cg_step",
-           "shard_halo_plan", "dist_spmv_halo"]
+           "shard_halo_plan", "dist_spmv_halo", "dist_pcg"]
 
 
 def shard_partition(plan: RowPartition, mesh: Mesh, axis: str = "parts"):
@@ -120,3 +120,51 @@ def dist_cg_step(plan: RowPartition, state, mesh: Mesh, axis: str = "parts"):
     beta = rz_new / jnp.where(rz == 0, 1.0, rz)
     p = r + beta * p
     return (x, r, p, rz_new)
+
+
+def dist_pcg(plan, b_padded, mesh: Mesh, tol: float = 1e-8,
+             max_iters: int = 200, inv_diag=None, axis: str = "parts"):
+    """Full distributed (Jacobi-)preconditioned CG solve on row-sharded
+    vectors — SpMV, dots and the convergence test all run on-device with ICI
+    collectives inside one jitted `lax.while_loop` (no host round-trips per
+    iteration).  `plan` is a sharded RowPartition (all-gather schedule) or
+    HaloPlan (import-list all_to_all schedule); `inv_diag` (row-sharded)
+    enables Jacobi preconditioning.  Returns (x, iters, rel_res)."""
+    spmv_fn = dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
+
+    def prec(r):
+        return r if inv_diag is None else inv_diag * r
+
+    @jax.jit
+    def solve(b):
+        bb = dist_dot(b, b, mesh, axis)
+        tol2 = (tol * tol) * jnp.where(bb == 0, 1.0, bb)
+        r0 = b  # x0 = 0
+        z0 = prec(r0)
+        rz0 = dist_dot(r0, z0, mesh, axis)
+
+        def cond(s):
+            _, _, _, _, rr, k = s
+            return (k < max_iters) & (rr > tol2)
+
+        def body(s):
+            x, r, z, p, _, k = s
+            Ap = spmv_fn(plan, p, mesh, axis)
+            rz = dist_dot(r, z, mesh, axis)
+            pAp = dist_dot(p, Ap, mesh, axis)
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = dist_dot(r, z, mesh, axis)
+            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+            p = z + beta * p
+            rr = dist_dot(r, r, mesh, axis)
+            return (x, r, z, p, rr, k + 1)
+
+        state = (jnp.zeros_like(b), r0, z0, z0,
+                 dist_dot(r0, r0, mesh, axis), jnp.int32(0))
+        x, r, _, _, rr, k = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(rr / jnp.where(bb == 0, 1.0, bb))
+
+    return solve(b_padded)
