@@ -112,7 +112,10 @@ class SpmvHandle:
         if alg == SpmvAlgorithm.DIA:
             from . import spmv_pallas
 
-            if spmv_pallas.supports_pallas() and x.ndim == 1:
+            if spmv_pallas.supports_pallas() and (
+                    x.ndim == 1 or x.shape[1] <= 64):
+                # 2-D: fused multi-RHS kernel (one diagonal pass serves all
+                # columns); >64 RHS would not fit the VMEM x window
                 return spmv_pallas.apply(self, x)
             return spmv_impl.apply_dia(self._plan("dia"), x)
         if alg == SpmvAlgorithm.ONEHOT:
