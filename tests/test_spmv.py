@@ -154,11 +154,12 @@ def test_onehot_pallas_interpret(rng):
     M.resize(2100, 1100)
     cases.append(CsrMatrix.from_scipy(M))
     for A in cases:
-        plan = build_onehot_spmv_plan(A)
         x = rng.standard_normal(A.ncols).astype(np.float32)
-        y = np.asarray(onehot_spmv(plan, jnp.asarray(x), interpret=True))
         ref = A.to_scipy() @ x
-        _check(y, ref, np.float32)
+        for layout in ("flat", "dstlane", "auto"):
+            plan = build_onehot_spmv_plan(A, layout=layout)
+            y = np.asarray(onehot_spmv(plan, jnp.asarray(x), interpret=True))
+            _check(y, ref, np.float32)
 
 
 def test_onehot_spmm_interpret(rng):
@@ -169,8 +170,9 @@ def test_onehot_spmm_interpret(rng):
 
     for A in (generate_random_csr(2500, 9000, 4, seed=12, dtype=np.float32),
               generate_structured_laplacian(35, 35, dtype=np.float32)):
-        plan = build_onehot_spmv_plan(A)
         X = rng.standard_normal((A.ncols, 3)).astype(np.float32)
-        Y = np.asarray(onehot_spmm(plan, jnp.asarray(X), interpret=True))
         ref = A.to_scipy() @ X
-        _check(Y, ref, np.float32)
+        for layout in ("flat", "dstlane"):
+            plan = build_onehot_spmv_plan(A, layout=layout)
+            Y = np.asarray(onehot_spmm(plan, jnp.asarray(X), interpret=True))
+            _check(Y, ref, np.float32)

@@ -177,7 +177,8 @@ def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
         oh_rhi = (jax.lax.broadcasted_iota(jnp.int32, (8, CH), 0) == rhi
                   ).astype(jnp.bfloat16)
         dn2 = (((1,), (1,)), ((), ()))
-        contrib = sum(jax.lax.dot_general(oh_rhi, cmpb * p, dn2,
+        # value planes on the small (8,CH) operand (see spmv_pallas note)
+        contrib = sum(jax.lax.dot_general(oh_rhi * p, cmpb, dn2,
                                           preferred_element_type=jnp.float32)
                       for p in _bf16_planes3(pv))
 

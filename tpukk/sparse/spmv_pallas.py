@@ -371,7 +371,163 @@ class OneHotSpmvPlan:
 jax.tree_util.register_pytree_node_class(OneHotSpmvPlan)
 
 
-def build_onehot_spmv_plan(A) -> OneHotSpmvPlan:
+class DlSpmvPlan:
+    """Dst-lane-aligned one-hot plan (layout v4).
+
+    Chunks are physical (8,128) slot tiles; an nnz may only occupy a slot
+    whose LANE equals its local dst row % 128.  The scatter side then needs
+    no (128,CH) one-hot matmul at all: the contribution to dst sublane d is
+    a masked sublane-reduction of the (8,128) product tile, in pure f32.
+    Only the gather side keeps the one-hot lane routing (per slot-row).
+
+    Trade-off: chunk count per (dst,src)-tile run is ceil(max lane-class
+    count / 8) instead of ceil(run/1024) — worse padding when dst rows within
+    a run are lane-skewed (few long rows), better per-step time (~0.45us vs
+    ~0.70us on v5e).  build_onehot_spmv_plan picks by cost model.
+    """
+
+    def __init__(self, A, *, _fields=None):
+        if _fields is not None:
+            (self.locc, self.vals, self.rhi, self.dst_ids, self.src_ids,
+             self.first, self.nrows, self.ncols, self.n_dst_tiles,
+             self.n_src_tiles, self.num_steps, self.pad_ratio) = _fields
+            return
+        TD, TS = _OH_DST, _OH_SRC
+        rm = np.asarray(A.host_row_map(), dtype=np.int64)
+        ent = np.asarray(A.host_entries(), dtype=np.int64)
+        vals = np.asarray(A.host_values(), dtype=np.float32)
+        n, m = A.nrows, A.ncols
+        nd = max(1, -(-n // TD))
+        ns = max(1, -(-m // TS))
+        nnz = len(ent)
+        rows = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
+        dt = rows // TD
+        st = ent // TS
+        locr = rows - dt * TD
+        lc = locr % 128
+        rhi = locr // 128
+        run_key = dt * ns + st
+        order = np.lexsort((lc, run_key))
+        run_s = run_key[order]
+        lc_s = lc[order]
+        rhi_s = rhi[order]
+        locc_s = (ent - st * TS)[order]
+        vals_s = vals[order]
+        dt_s, st_s = dt[order], st[order]
+        # rank within (run, lane-class)
+        if nnz:
+            grp = run_s * 128 + lc_s
+            gfirst = np.zeros(nnz, np.int64)
+            gfirst[1:] = (np.diff(grp) != 0)
+            gid = np.cumsum(gfirst)
+            gstart = np.nonzero(np.concatenate(([1], np.diff(grp) != 0)))[0]
+            rank = np.arange(nnz, dtype=np.int64) - gstart[gid]
+            cwr = rank // 8
+            srow = rank % 8
+            rfirst_mask = np.concatenate(([1], np.diff(run_s) != 0))
+            rstart = np.nonzero(rfirst_mask)[0]
+            rid = np.cumsum(rfirst_mask) - 1
+            nruns = int(rid[-1]) + 1
+            nchunks = np.zeros(nruns, np.int64)
+            np.maximum.at(nchunks, rid, cwr + 1)
+            base = np.concatenate(([0], np.cumsum(nchunks)))
+            step_e = base[rid] + cwr
+            S0 = int(base[-1])
+            sdst = np.repeat(dt_s[rstart], nchunks)
+            ssrc = np.repeat(st_s[rstart], nchunks)
+        else:
+            step_e = np.empty(0, np.int64)
+            srow = np.empty(0, np.int64)
+            S0 = 0
+            sdst = np.empty(0, np.int64)
+            ssrc = np.empty(0, np.int64)
+        missing = np.setdiff1d(np.arange(nd, dtype=np.int64), np.unique(sdst),
+                               assume_unique=True)
+        if len(missing):
+            sdst = np.concatenate([sdst, missing])
+            ssrc = np.concatenate([ssrc, np.zeros(len(missing), np.int64)])
+            reorder = np.argsort(sdst, kind="stable")
+            inv = np.empty_like(reorder)
+            inv[reorder] = np.arange(len(reorder))
+            step_e = inv[step_e]
+            sdst, ssrc = sdst[reorder], ssrc[reorder]
+        S = len(sdst)
+        locc_a = np.zeros((S, 8, 128), np.int32)
+        vals_a = np.zeros((S, 8, 128), np.float32)
+        rhi_a = np.zeros((S, 8, 128), np.int32)
+        if nnz:
+            locc_a[step_e, srow, lc_s] = locc_s.astype(np.int32)
+            vals_a[step_e, srow, lc_s] = vals_s
+            rhi_a[step_e, srow, lc_s] = rhi_s.astype(np.int32)
+        first = np.ones(S, np.int32)
+        first[1:] = (sdst[1:] != sdst[:-1]).astype(np.int32)
+        self.locc = jnp.asarray(locc_a.reshape(S * 8, 128))
+        self.vals = jnp.asarray(vals_a.reshape(S * 8, 128))
+        self.rhi = jnp.asarray(rhi_a.reshape(S * 8, 128))
+        self.dst_ids = jnp.asarray(sdst.astype(np.int32))
+        self.src_ids = jnp.asarray(ssrc.astype(np.int32))
+        self.first = jnp.asarray(first)
+        self.nrows, self.ncols = n, m
+        self.n_dst_tiles, self.n_src_tiles = nd, ns
+        self.num_steps = S
+        self.pad_ratio = S * 1024 / max(1, nnz)
+
+    def tree_flatten(self):
+        aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
+               self.num_steps, self.pad_ratio)
+        return (self.locc, self.vals, self.rhi, self.dst_ids, self.src_ids,
+                self.first), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(DlSpmvPlan)
+
+# per-step cost on v5e (us): measured 0.70 flat / 0.45 dst-lane
+_FLAT_STEP_COST = 0.70
+_DL_STEP_COST = 0.45
+
+
+def _onehot_pad_ratios(A):
+    """(pad_flat, pad_dl) without building either plan: one sort pass."""
+    TD, TS = _OH_DST, _OH_SRC
+    rm = np.asarray(A.host_row_map(), dtype=np.int64)
+    ent = np.asarray(A.host_entries(), dtype=np.int64)
+    nnz = len(ent)
+    if nnz == 0:
+        return 1.0, 1.0
+    ns = max(1, -(-A.ncols // TS))
+    rows = np.repeat(np.arange(A.nrows, dtype=np.int64), rm[1:] - rm[:-1])
+    run = (rows // TD) * ns + ent // TS
+    lc = (rows % TD) % 128
+    grp = np.sort(run * 128 + lc)
+    gb = np.concatenate(([1], np.diff(grp) != 0))
+    gcnt = np.diff(np.concatenate((np.nonzero(gb)[0], [nnz])))
+    grun = grp[gb.astype(bool)] // 128
+    # flat: chunks per run = ceil(run_nnz/1024)
+    rb = np.concatenate(([1], np.diff(grun) != 0))
+    rid = np.cumsum(rb) - 1
+    rcnt = np.zeros(int(rid[-1]) + 1, np.int64)
+    np.add.at(rcnt, rid, gcnt)
+    pad_flat = np.ceil(rcnt / _OH_CH).sum() * _OH_CH / nnz
+    # dst-lane: chunks per run = max over lane classes of ceil(cnt/8)
+    cmax = np.zeros(len(rcnt), np.int64)
+    np.maximum.at(cmax, rid, -(-gcnt // 8))
+    pad_dl = cmax.sum() * 1024 / nnz
+    return float(pad_flat), float(pad_dl)
+
+
+def build_onehot_spmv_plan(A, layout: str = "auto"):
+    """Pick the cheaper one-hot layout by padded-step cost model."""
+    if layout == "flat":
+        return OneHotSpmvPlan(A)
+    if layout == "dstlane":
+        return DlSpmvPlan(A)
+    pad_flat, pad_dl = _onehot_pad_ratios(A)
+    if pad_dl * _DL_STEP_COST <= pad_flat * _FLAT_STEP_COST:
+        return DlSpmvPlan(A)
     return OneHotSpmvPlan(A)
 
 
@@ -405,7 +561,9 @@ def _onehot_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
         oh_rhi = (jax.lax.broadcasted_iota(jnp.int32, (8, CH), 0) == rhi
                   ).astype(jnp.bfloat16)
         dn2 = (((1,), (1,)), ((), ()))
-        contrib = sum(jax.lax.dot_general(oh_rhi, cmpb * p, dn2,
+        # value planes multiply the SMALL (8,CH) one-hot, not the (128,CH)
+        # one: p or 0 is bf16-exact either way, but this is 16x less VPU work
+        contrib = sum(jax.lax.dot_general(oh_rhi * p, cmpb, dn2,
                                           preferred_element_type=jnp.float32)
                       for p in _bf16_planes3(pv))                    # (8,128)
 
@@ -439,8 +597,145 @@ def _onehot_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
     return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
 
 
-def onehot_spmv(plan: OneHotSpmvPlan, x, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "num_steps", "nrows",
+                                             "interpret"))
+def _dl_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
+             nd, ns, num_steps, nrows, interpret):
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(dst_ref, src_ref, first_ref, rhi_ref, locc_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        xp = _bf16_planes3(x_ref[:])
+        locc2, vals2, rhi2 = locc_ref[:], v_ref[:], rhi_ref[:]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        pv_rows = []
+        for s in range(8):
+            lo = locc2[s:s + 1, :] % 128
+            hi = locc2[s:s + 1, :] // 128
+            oh = (iota == lo).astype(jnp.bfloat16)            # (128,128)
+            u = sum(jax.lax.dot_general(p, oh, dn,
+                                        preferred_element_type=jnp.float32)
+                    for p in xp)                               # (SR,128)
+            xg = _sublane_gather(u, hi, SR, 128)               # (1,128)
+            pv_rows.append(vals2[s:s + 1, :] * xg)             # pure f32
+        pv = jnp.concatenate(pv_rows, axis=0)                  # (8,128)
+        crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0, keepdims=True)
+                 for d in range(8)]
+        contrib = jnp.concatenate(crows, axis=0)               # (8,128)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = contrib
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = y_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SR, 128), lambda g, d, s, f: (s[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ids, src_ids, first, rhi, locc, vals, x2)
+    return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "num_steps", "nrows",
+                                             "nrhs", "interpret"))
+def _dl_mm_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
+                nd, ns, num_steps, nrows, nrhs, interpret):
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    k = nrhs
+    x3 = jnp.pad(x.astype(jnp.float32),
+                 ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * SR, 128)
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(dst_ref, src_ref, first_ref, rhi_ref, locc_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        locc2, vals2, rhi2 = locc_ref[:], v_ref[:], rhi_ref[:]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        ohs, his = [], []
+        for s in range(8):    # one-hots shared across all RHS columns
+            lo = locc2[s:s + 1, :] % 128
+            his.append(locc2[s:s + 1, :] // 128)
+            ohs.append((iota == lo).astype(jnp.bfloat16))
+        for c in range(k):
+            xp = _bf16_planes3(x_ref[c])
+            pv_rows = []
+            for s in range(8):
+                u = sum(jax.lax.dot_general(p, ohs[s], dn,
+                                            preferred_element_type=jnp.float32)
+                        for p in xp)
+                xg = _sublane_gather(u, his[s], SR, 128)
+                pv_rows.append(vals2[s:s + 1, :] * xg)
+            pv = jnp.concatenate(pv_rows, axis=0)
+            crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0,
+                             keepdims=True) for d in range(8)]
+            contrib = jnp.concatenate(crows, axis=0)
+
+            @pl.when(first_ref[g] == 1)
+            def _():
+                y_ref[c] = contrib
+
+            @pl.when(first_ref[g] == 0)
+            def _():
+                y_ref[c] = y_ref[c] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, SR, 128), lambda g, d, s, f: (0, s[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 8, 128), lambda g, d, s, f: (0, d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y3 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ids, src_ids, first, rhi, locc, vals, x3)
+    return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
+
+
+def onehot_spmv(plan, x, interpret: bool = False):
     """y = A·x via the tiled one-hot kernel (vector x, f32)."""
+    if isinstance(plan, DlSpmvPlan):
+        return _dl_call(plan.dst_ids, plan.src_ids, plan.first,
+                        plan.rhi, plan.locc, plan.vals, x,
+                        nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                        num_steps=plan.num_steps, nrows=plan.nrows,
+                        interpret=interpret)
     return _onehot_call(plan.dst_ids, plan.src_ids, plan.first,
                         plan.locr, plan.locc, plan.vals, x,
                         nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
@@ -487,7 +782,7 @@ def _onehot_spmm_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
                     for p in _bf16_planes3(x_ref[c]))                 # (SR,CH)
             xg = _sublane_gather(u, hi, SR, CH)                       # (1,CH)
             pv = v2 * xg
-            contrib = sum(jax.lax.dot_general(oh_rhi, cmpb * p, dn2,
+            contrib = sum(jax.lax.dot_general(oh_rhi * p, cmpb, dn2,
                                               preferred_element_type=jnp.float32)
                           for p in _bf16_planes3(pv))                 # (8,128)
 
@@ -521,8 +816,14 @@ def _onehot_spmm_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
     return y3.reshape(k, nd * _OH_DST)[:, :nrows].T.astype(x.dtype)
 
 
-def onehot_spmm(plan: OneHotSpmvPlan, x, interpret: bool = False):
+def onehot_spmm(plan, x, interpret: bool = False):
     """Y = A·X via the tiled one-hot kernel (X: (ncols, k), f32)."""
+    if isinstance(plan, DlSpmvPlan):
+        return _dl_mm_call(plan.dst_ids, plan.src_ids, plan.first,
+                           plan.rhi, plan.locc, plan.vals, x,
+                           nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                           num_steps=plan.num_steps, nrows=plan.nrows,
+                           nrhs=int(x.shape[1]), interpret=interpret)
     return _onehot_spmm_call(plan.dst_ids, plan.src_ids, plan.first,
                              plan.locr, plan.locc, plan.vals, x,
                              nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
