@@ -149,11 +149,14 @@ def test_spgemm_onehot_pallas_interpret(rng):
         B = A if A.ncols == A.nrows else g(A.ncols, 300, 3, seed=10, dtype=np.float32)
         h = SpgemmHandle()
         spgemm_symbolic(h, A, B)
-        plan = build_onehot_pair_plan(h.pair_plan, A.nnz, B.nnz)
-        cv = np.asarray(onehot_pair_numeric(plan, A.values, B.values, interpret=True))
         ref = (A.to_scipy() @ B.to_scipy()).tocsr()
         ref.sort_indices()
-        assert np.abs(cv - ref.data).max() <= 1e-5 * max(1.0, np.abs(ref.data).max())
+        for layout in ("flat", "dstlane", "auto"):
+            plan = build_onehot_pair_plan(h.pair_plan, A.nnz, B.nnz,
+                                          layout=layout)
+            cv = np.asarray(onehot_pair_numeric(plan, A.values, B.values,
+                                                interpret=True))
+            assert np.abs(cv - ref.data).max() <= 1e-5 * max(1.0, np.abs(ref.data).max())
 
 
 class TestSpgemmDia:

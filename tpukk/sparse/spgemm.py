@@ -212,13 +212,12 @@ def spgemm_numeric(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix) -> CsrMatri
                 from . import spgemm_pallas
 
                 if handle.onehot_plan is None:
+                    # scattered-B patterns pad the (ct,at,bt) chunking badly:
+                    # the builder pre-checks pad/step bounds (None = fall
+                    # back to the XLA pair path) before materializing.
                     plan = spgemm_pallas.build_onehot_pair_plan(
                         handle.pair_plan, A.nnz, B.nnz)
-                    # scattered-B patterns pad the (ct,at,bt) chunking badly
-                    # and the per-step scalar tables must fit SMEM (~1MB):
-                    # fall back to the XLA pair path beyond these bounds.
-                    usable = plan.pad_ratio <= 4.0 and plan.num_steps <= 200_000
-                    handle.onehot_plan = plan if usable else False
+                    handle.onehot_plan = plan if plan is not None else False
                 if handle.onehot_plan is not False:
                     vals = spgemm_pallas.onehot_pair_numeric(
                         handle.onehot_plan, A.values, B.values)

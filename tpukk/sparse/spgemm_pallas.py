@@ -33,9 +33,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spmv_pallas import _bf16_planes3, _sublane_gather
+from .spmv_pallas import _bf16_planes3, _sublane_gather, _dl_schedule
 
-__all__ = ["OnehotPairPlan", "build_onehot_pair_plan", "onehot_pair_numeric"]
+__all__ = ["OnehotPairPlan", "DlPairPlan", "build_onehot_pair_plan",
+           "onehot_pair_numeric"]
 
 _BLK = 4096   # A/B value block (32 x 128 radix; 4096 beat 8192 on v5e)
 _SR = _BLK // 128
@@ -132,10 +133,144 @@ class OnehotPairPlan:
 jax.tree_util.register_pytree_node_class(OnehotPairPlan)
 
 
-def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int) -> OnehotPairPlan:
-    """From a spgemm PairPlan (pairs sorted by C position)."""
-    return OnehotPairPlan(np.asarray(pair_plan.a_idx), np.asarray(pair_plan.b_idx),
-                          np.asarray(pair_plan.c_idx), nnz_a, nnz_b, pair_plan.nnz_c)
+class DlPairPlan:
+    """Dst-lane-aligned pair schedule (see spmv_pallas.DlSpmvPlan): chunk
+    slots are (8,128) tiles, slot lane == local C position % 128.  The C
+    scatter is then a masked sublane reduction (no one-hot matmul, pure
+    f32); pad slots carry crhi = -1 (matches no sublane).  Both value
+    gathers keep per-slot-row one-hot lane routing."""
+
+    def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c, *, _fields=None):
+        if _fields is not None:
+            (self.a_loc, self.b_loc, self.crhi, self.at_ids, self.bt_ids,
+             self.ct_ids, self.first, self.na_blocks, self.nb_blocks,
+             self.nc_tiles, self.nnz_c, self.num_steps, self.pad_ratio) = _fields
+            return
+        a_idx = np.asarray(a_idx, dtype=np.int64)
+        b_idx = np.asarray(b_idx, dtype=np.int64)
+        c_idx = np.asarray(c_idx, dtype=np.int64)
+        P = len(c_idx)
+        na = max(1, -(-max(nnz_a, 1) // _BLK))
+        nb = max(1, -(-max(nnz_b, 1) // _BLK))
+        nc = max(1, -(-max(nnz_c, 1) // _CT))
+        at = a_idx // _BLK
+        bt = b_idx // _BLK
+        ct = c_idx // _CT
+        cl = c_idx - ct * _CT
+        lc = cl % 128
+        crhi = cl // 128
+        run_key = (ct * na + at) * nb + bt
+        if P:
+            order, step_e, srow, rstart, nchunks, S0 = _dl_schedule(run_key, lc)
+            lc_s = lc[order]
+            crhi_s = crhi[order]
+            aloc_s = (a_idx - at * _BLK)[order]
+            bloc_s = (b_idx - bt * _BLK)[order]
+            at_s, bt_s, ct_s = at[order], bt[order], ct[order]
+            sat = np.repeat(at_s[rstart], nchunks)
+            sbt = np.repeat(bt_s[rstart], nchunks)
+            sct = np.repeat(ct_s[rstart], nchunks)
+        else:
+            step_e = srow = lc_s = crhi_s = aloc_s = bloc_s = np.empty(0, np.int64)
+            sat = sbt = sct = np.empty(0, np.int64)
+        missing = np.setdiff1d(np.arange(nc, dtype=np.int64), np.unique(sct),
+                               assume_unique=True)
+        if len(missing):
+            sct = np.concatenate([sct, missing])
+            sat = np.concatenate([sat, np.zeros(len(missing), np.int64)])
+            sbt = np.concatenate([sbt, np.zeros(len(missing), np.int64)])
+            reorder = np.argsort(sct, kind="stable")
+            inv = np.empty_like(reorder)
+            inv[reorder] = np.arange(len(reorder))
+            step_e = inv[step_e]
+            sct, sat, sbt = sct[reorder], sat[reorder], sbt[reorder]
+        S = len(sct)
+        a_loc = np.zeros((S, 8, 128), np.int32)
+        b_loc = np.zeros((S, 8, 128), np.int32)
+        crhi_a = np.full((S, 8, 128), -1, np.int32)
+        if P:
+            a_loc[step_e, srow, lc_s] = aloc_s.astype(np.int32)
+            b_loc[step_e, srow, lc_s] = bloc_s.astype(np.int32)
+            crhi_a[step_e, srow, lc_s] = crhi_s.astype(np.int32)
+        first = np.ones(S, np.int32)
+        first[1:] = (sct[1:] != sct[:-1]).astype(np.int32)
+        self.a_loc = jnp.asarray(a_loc.reshape(S * 8, 128))
+        self.b_loc = jnp.asarray(b_loc.reshape(S * 8, 128))
+        self.crhi = jnp.asarray(crhi_a.reshape(S * 8, 128))
+        self.at_ids = jnp.asarray(sat.astype(np.int32))
+        self.bt_ids = jnp.asarray(sbt.astype(np.int32))
+        self.ct_ids = jnp.asarray(sct.astype(np.int32))
+        self.first = jnp.asarray(first)
+        self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
+        self.nnz_c = nnz_c
+        self.num_steps = S
+        self.pad_ratio = S * 1024 / max(1, P)
+
+    def tree_flatten(self):
+        aux = (self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
+               self.num_steps, self.pad_ratio)
+        return (self.a_loc, self.b_loc, self.crhi, self.at_ids, self.bt_ids,
+                self.ct_ids, self.first), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, None, None, 0, 0, 0, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(DlPairPlan)
+
+# per-step cost on v5e (us), for the layout choice (measured lap300/rand50k)
+_FLAT_PAIR_COST = 0.83
+_DL_PAIR_COST = 0.52
+
+
+def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int,
+                           layout: str = "auto", max_pad: float = 4.0,
+                           max_steps: int = 200_000):
+    """From a spgemm PairPlan (pairs sorted by C position); picks the
+    cheaper chunk layout by padded-step cost model.
+
+    In "auto" mode the pad ratios are computed BEFORE construction (one
+    sort pass) and None is returned when even the better layout exceeds
+    `max_pad`/`max_steps` — scattered patterns would otherwise materialize
+    multi-GB schedules just to be discarded (and the per-step scalar
+    tables must fit SMEM, ~1MB)."""
+    a_idx = np.asarray(pair_plan.a_idx)
+    b_idx = np.asarray(pair_plan.b_idx)
+    c_idx = np.asarray(pair_plan.c_idx)
+    args = (a_idx, b_idx, c_idx, nnz_a, nnz_b, pair_plan.nnz_c)
+    if layout == "flat":
+        return OnehotPairPlan(*args)
+    if layout == "dstlane":
+        return DlPairPlan(*args)
+    P = len(c_idx)
+    if P == 0:
+        return OnehotPairPlan(*args)
+    na = max(1, -(-max(nnz_a, 1) // _BLK))
+    nb = max(1, -(-max(nnz_b, 1) // _BLK))
+    ct = c_idx.astype(np.int64) // _CT
+    run = (ct * na + (a_idx.astype(np.int64) // _BLK)) * nb \
+        + b_idx.astype(np.int64) // _BLK
+    lc = (c_idx.astype(np.int64) - ct * _CT) % 128
+    grp = np.sort(run * 128 + lc)
+    gb = np.concatenate(([1], (np.diff(grp) != 0).astype(np.int64)))
+    gcnt = np.diff(np.concatenate((np.nonzero(gb)[0], [P])))
+    grun = grp[gb.astype(bool)] // 128
+    rb = np.concatenate(([1], (np.diff(grun) != 0).astype(np.int64)))
+    rid = np.cumsum(rb) - 1
+    rcnt = np.zeros(int(rid[-1]) + 1, np.int64)
+    np.add.at(rcnt, rid, gcnt)
+    steps_flat = int(np.ceil(rcnt / _CH).sum())
+    pad_flat = steps_flat * _CH / P
+    cmax = np.zeros(len(rcnt), np.int64)
+    np.maximum.at(cmax, rid, -(-gcnt // 8))
+    steps_dl = int(cmax.sum())
+    pad_dl = steps_dl * 1024 / P
+    use_dl = pad_dl * _DL_PAIR_COST <= pad_flat * _FLAT_PAIR_COST
+    pad, steps = (pad_dl, steps_dl) if use_dl else (pad_flat, steps_flat)
+    if pad > max_pad or steps > max_steps:
+        return None
+    return DlPairPlan(*args) if use_dl else OnehotPairPlan(*args)
 
 
 def _radix_gather(win, loc):
@@ -214,8 +349,86 @@ def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
     return cv.reshape(nc * _CT)[:nnz_c]
 
 
-def onehot_pair_numeric(plan: OnehotPairPlan, a_vals, b_vals, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "num_steps",
+                                             "nnz_c", "interpret"))
+def _dl_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, crhi,
+                  a_vals, b_vals, *, na, nb, nc, num_steps, nnz_c, interpret):
+    av = jnp.pad(a_vals.astype(jnp.float32),
+                 (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
+    bv = jnp.pad(b_vals.astype(jnp.float32),
+                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * _SR, 128)
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(at_ref, bt_ref, ct_ref, first_ref, aloc_ref, bloc_ref,
+               crhi_ref, av_ref, bv_ref, c_ref):
+        g = pl.program_id(0)
+        ap = _bf16_planes3(av_ref[:])
+        bp = _bf16_planes3(bv_ref[:])
+        aloc2, bloc2, crhi2 = aloc_ref[:], bloc_ref[:], crhi_ref[:]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        pv_rows = []
+        for s in range(8):
+            al = aloc2[s:s + 1, :]
+            bl = bloc2[s:s + 1, :]
+            oh_a = (iota == al % 128).astype(jnp.bfloat16)
+            oh_b = (iota == bl % 128).astype(jnp.bfloat16)
+            ua = sum(jax.lax.dot_general(p, oh_a, dn,
+                                         preferred_element_type=jnp.float32)
+                     for p in ap)
+            ub = sum(jax.lax.dot_general(p, oh_b, dn,
+                                         preferred_element_type=jnp.float32)
+                     for p in bp)
+            a = _sublane_gather(ua, al // 128, _SR, 128)
+            b = _sublane_gather(ub, bl // 128, _SR, 128)
+            pv_rows.append(a * b)                              # pure f32
+        pv = jnp.concatenate(pv_rows, axis=0)                  # (8,128)
+        crows = [jnp.sum(jnp.where(crhi2 == d, pv, 0.0), axis=0, keepdims=True)
+                 for d in range(8)]
+        contrib = jnp.concatenate(crows, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            c_ref[:, :] = contrib
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            c_ref[:, :] = c_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SR, 128), lambda g, a, b, c, f: (a[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SR, 128), lambda g, a, b, c, f: (b[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cv = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, crhi, av, bv)
+    return cv.reshape(nc * _CT)[:nnz_c]
+
+
+def onehot_pair_numeric(plan, a_vals, b_vals, interpret: bool = False):
     """C.values for the planned product, f32."""
+    if isinstance(plan, DlPairPlan):
+        return _dl_pair_call(plan.at_ids, plan.bt_ids, plan.ct_ids, plan.first,
+                             plan.a_loc, plan.b_loc, plan.crhi,
+                             a_vals, b_vals,
+                             na=plan.na_blocks, nb=plan.nb_blocks,
+                             nc=plan.nc_tiles, num_steps=plan.num_steps,
+                             nnz_c=plan.nnz_c, interpret=interpret)
     return _onehot_pair_call(plan.at_ids, plan.bt_ids, plan.ct_ids, plan.first,
                              plan.a_loc, plan.b_loc, plan.c_loc,
                              a_vals, b_vals,

@@ -42,8 +42,10 @@ def _choose_algorithm(A: CsrMatrix) -> SpmvAlgorithm:
 
     if spmv_pallas.supports_pallas() and A.values.dtype == jnp.float32:
         # unstructured on TPU: one-hot MXU kernel beats the XLA gather paths
-        # ~4-5x (docs/PERF_NOTES.md)
-        return SpmvAlgorithm.ONEHOT
+        # ~4-10x (docs/PERF_NOTES.md) — unless the tile-pair chunking pads
+        # pathologically (hypersparse rows scattered over many src tiles)
+        if spmv_pallas.onehot_cost_estimate(A) < spmv_pallas._XLA_GATHER_STEP_COST:
+            return SpmvAlgorithm.ONEHOT
     return SpmvAlgorithm.ELL
 
 

@@ -371,6 +371,33 @@ class OneHotSpmvPlan:
 jax.tree_util.register_pytree_node_class(OneHotSpmvPlan)
 
 
+def _dl_schedule(run_key, lc):
+    """Slot schedule for the dst-lane layout (nnz > 0): elements sharing a
+    run_key pack into (8,128) chunks where an element may only use lane
+    `lc`; chunks per run = max over lane classes of ceil(count/8).
+    Returns (order, step_e, srow, run_first, nchunks, n_steps); step_e/srow
+    are per SORTED element, run_first indexes sorted elements."""
+    nnz = len(run_key)
+    order = np.lexsort((lc, run_key))
+    run_s = run_key[order]
+    lc_s = lc[order]
+    grp = run_s * 128 + lc_s
+    gfirst = np.concatenate(([1], (np.diff(grp) != 0).astype(np.int64)))
+    gid = np.cumsum(gfirst) - 1
+    gstart = np.nonzero(gfirst)[0]
+    rank = np.arange(nnz, dtype=np.int64) - gstart[gid]
+    cwr = rank // 8
+    srow = rank % 8
+    rfirst = np.concatenate(([1], (np.diff(run_s) != 0).astype(np.int64)))
+    rstart = np.nonzero(rfirst)[0]
+    rid = np.cumsum(rfirst) - 1
+    nchunks = np.zeros(int(rid[-1]) + 1, np.int64)
+    np.maximum.at(nchunks, rid, cwr + 1)
+    base = np.concatenate(([0], np.cumsum(nchunks)))
+    step_e = base[rid] + cwr
+    return order, step_e, srow, rstart, nchunks, int(base[-1])
+
+
 class DlSpmvPlan:
     """Dst-lane-aligned one-hot plan (layout v4).
 
@@ -407,38 +434,22 @@ class DlSpmvPlan:
         lc = locr % 128
         rhi = locr // 128
         run_key = dt * ns + st
-        order = np.lexsort((lc, run_key))
-        run_s = run_key[order]
-        lc_s = lc[order]
-        rhi_s = rhi[order]
-        locc_s = (ent - st * TS)[order]
-        vals_s = vals[order]
-        dt_s, st_s = dt[order], st[order]
-        # rank within (run, lane-class)
         if nnz:
-            grp = run_s * 128 + lc_s
-            gfirst = np.zeros(nnz, np.int64)
-            gfirst[1:] = (np.diff(grp) != 0)
-            gid = np.cumsum(gfirst)
-            gstart = np.nonzero(np.concatenate(([1], np.diff(grp) != 0)))[0]
-            rank = np.arange(nnz, dtype=np.int64) - gstart[gid]
-            cwr = rank // 8
-            srow = rank % 8
-            rfirst_mask = np.concatenate(([1], np.diff(run_s) != 0))
-            rstart = np.nonzero(rfirst_mask)[0]
-            rid = np.cumsum(rfirst_mask) - 1
-            nruns = int(rid[-1]) + 1
-            nchunks = np.zeros(nruns, np.int64)
-            np.maximum.at(nchunks, rid, cwr + 1)
-            base = np.concatenate(([0], np.cumsum(nchunks)))
-            step_e = base[rid] + cwr
-            S0 = int(base[-1])
+            order, step_e, srow, rstart, nchunks, S0 = _dl_schedule(run_key, lc)
+            lc_s = lc[order]
+            rhi_s = rhi[order]
+            locc_s = (ent - st * TS)[order]
+            vals_s = vals[order]
+            dt_s, st_s = dt[order], st[order]
             sdst = np.repeat(dt_s[rstart], nchunks)
             ssrc = np.repeat(st_s[rstart], nchunks)
         else:
             step_e = np.empty(0, np.int64)
             srow = np.empty(0, np.int64)
-            S0 = 0
+            lc_s = np.empty(0, np.int64)
+            rhi_s = np.empty(0, np.int64)
+            locc_s = np.empty(0, np.int64)
+            vals_s = np.empty(0, np.float32)
             sdst = np.empty(0, np.int64)
             ssrc = np.empty(0, np.int64)
         missing = np.setdiff1d(np.arange(nd, dtype=np.int64), np.unique(sdst),
@@ -485,9 +496,20 @@ class DlSpmvPlan:
 
 jax.tree_util.register_pytree_node_class(DlSpmvPlan)
 
-# per-step cost on v5e (us): measured 0.70 flat / 0.45 dst-lane
-_FLAT_STEP_COST = 0.70
-_DL_STEP_COST = 0.45
+# per-step cost on v5e (us): measured 0.64-0.85 flat / 0.39-0.48 dst-lane
+_FLAT_STEP_COST = 0.80
+_DL_STEP_COST = 0.48
+# XLA's take runs at ~120 M elem/s on v5e => ~8.5us per 1024 gathers; the
+# one-hot kernel only wins while padded-step cost stays below that.
+_XLA_GATHER_STEP_COST = 8.5
+
+
+def onehot_cost_estimate(A):
+    """Predicted us per 1024 nnz for the better one-hot layout (cheap: one
+    sort pass, no plan construction) — compare against the XLA gather path
+    before committing to SpmvAlgorithm.ONEHOT."""
+    pad_flat, pad_dl = _onehot_pad_ratios(A)
+    return min(pad_flat * _FLAT_STEP_COST, pad_dl * _DL_STEP_COST)
 
 
 def _onehot_pad_ratios(A):
