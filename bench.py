@@ -15,9 +15,10 @@ HBM roofline) is met.
 
 Methodology note: the attached TPU is reached through a relay with a large,
 variable per-dispatch latency (1-30 ms), so per-call wall timing is
-meaningless.  We instead time K=500 data-dependent SpMVs chained inside ONE
-jit (power-iteration style: x <- A x / 8) and divide; dispatch overhead
-amortizes to <0.1 us/iter.
+meaningless.  We time data-dependent SpMVs chained inside ONE jit
+(power-iteration style: x <- A x / 8) at two chain lengths and take the
+SLOPE (tpukk.common.timing.chain_time_slope) — the latency term cancels
+exactly instead of leaving a latency/K bias of tens of us.
 """
 import json
 import sys
@@ -55,7 +56,8 @@ def main():
     h = SpmvHandle(A, SpmvAlgorithm.AUTO)
     rng = np.random.default_rng(0)
 
-    K = 500
+    from tpukk.common.timing import chain_time_slope
+
     use_pallas = h.algorithm == SpmvAlgorithm.DIA and spmv_pallas.supports_pallas()
     if use_pallas:
         plan = h._plan("dia_pallas")
@@ -67,8 +69,10 @@ def main():
                 c, *plan.dlist, offsets=plan.offsets, chunk=plan.chunk, interpret=False)
             return jnp.pad(y * 0.125, (0, plan.W))
 
-        f = jax.jit(lambda plan, x: jax.lax.scan(
-            lambda c, _: (body(plan, c), None), x, None, length=K)[0])
+        def mk(K):
+            return jax.jit(lambda plan, x: jax.lax.scan(
+                lambda c, _: (body(plan, c), None), x, None, length=K)[0])
+
         args = (plan, x0)
         algo_name = "dia_pallas"
     else:
@@ -78,22 +82,15 @@ def main():
         apply_fn = (spmv_impl.apply_ell if h.algorithm == SpmvAlgorithm.ELL
                     else spmv_impl.apply_dia)
         x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(dtype))
-        f = jax.jit(lambda plan, x: jax.lax.scan(
-            lambda c, _: (apply_fn(plan, c) * 0.125, None), x, None, length=K)[0])
+
+        def mk(K):
+            return jax.jit(lambda plan, x: jax.lax.scan(
+                lambda c, _: (apply_fn(plan, c) * 0.125, None), x, None, length=K)[0])
+
         args = (plan, x0)
         algo_name = h.algorithm.value
 
-    def sync(y):
-        # block_until_ready through the relay can return before execution
-        # completes; fetching real bytes cannot lie
-        return float(np.asarray(jnp.ravel(y)[:1])[0])
-
-    sync(f(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(6):
-        t0 = time.perf_counter()
-        sync(f(*args))
-        best = min(best, (time.perf_counter() - t0) / K)
+    best = chain_time_slope(mk, args, k1=200, k2=1200, reps=6)
 
     itemsize = np.dtype(dtype).itemsize
     useful_bytes = (
@@ -116,7 +113,7 @@ def main():
             "nnz": A.nnz,
             "device": kind,
             "peak_hbm_gbps": peak_hbm_gbps(kind),
-            "chained_iters": K,
+            "timing": "slope k1=200 k2=1200",
         },
     }))
 

@@ -16,23 +16,13 @@ import time
 import numpy as np
 
 
-def chain_time(f, args, K, warm=1, reps=4):
-    import jax
-    import jax.numpy as jnp
+def chain_time(mk, args, K, reps=5):
+    """Latency-cancelled per-iteration time: mk(K) -> K-iteration chained jit;
+    timed at K and 5K and differenced (tpukk.common.timing.chain_time_slope).
+    The old total/K estimator carried a relay-latency/K bias of tens of us."""
+    from tpukk.common.timing import chain_time_slope
 
-    def sync(y):
-        # block_until_ready through the relay can return before execution
-        # completes; fetching real bytes cannot lie
-        leaf = jax.tree_util.tree_leaves(y)[0]
-        return float(np.asarray(jnp.ravel(leaf)[:1])[0])
-
-    sync(f(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sync(f(*args))
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best
+    return chain_time_slope(mk, args, k1=K, k2=5 * K, reps=reps)
 
 
 def bench_spmv(n_side, K):
@@ -58,24 +48,32 @@ def bench_spmv(n_side, K):
                                       interpret=False)
             return jnp.pad(y * 0.125, (0, p.W))
 
-        f = jax.jit(lambda p, x: jax.lax.scan(lambda c, _: (body(p, c), None),
-                                              x, None, length=K)[0])
-        t = chain_time(f, (plan, x0), K)
+        def mk(k):
+            return jax.jit(lambda p, x: jax.lax.scan(
+                lambda c, _: (body(p, c), None), x, None, length=k)[0])
+
+        t = chain_time(mk, (plan, x0), K)
         rows["spmv_dia_pallas"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                        gflops=2 * A.nnz / t / 1e9)
 
     dplan = h._plan("dia")
     xn = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(np.float32))
-    f2 = jax.jit(lambda p, x: jax.lax.scan(
-        lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None, length=K)[0])
-    t = chain_time(f2, (dplan, xn), K)
+    def mk2(k):
+        return jax.jit(lambda p, x: jax.lax.scan(
+            lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None,
+            length=k)[0])
+
+    t = chain_time(mk2, (dplan, xn), K)
     rows["spmv_dia_xla"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                 gflops=2 * A.nnz / t / 1e9)
 
     eplan = h._plan("ell")
-    f3 = jax.jit(lambda p, x: jax.lax.scan(
-        lambda c, _: (spmv_impl.apply_ell(p, c) * 0.125, None), x, None, length=K)[0])
-    t = chain_time(f3, (eplan, xn), K)
+    def mk3(k):
+        return jax.jit(lambda p, x: jax.lax.scan(
+            lambda c, _: (spmv_impl.apply_ell(p, c) * 0.125, None), x, None,
+            length=k)[0])
+
+    t = chain_time(mk3, (eplan, xn), K)
     rows["spmv_ell_xla"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                 gflops=2 * A.nnz / t / 1e9)
     return rows, A
@@ -91,9 +89,12 @@ def bench_spmm(A, K, nrhs=8):
     plan = h._plan("dia")
     rng = np.random.default_rng(1)
     X = jax.device_put((rng.standard_normal((A.ncols, nrhs)) * 0.01).astype(np.float32))
-    f = jax.jit(lambda p, x: jax.lax.scan(
-        lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None, length=K)[0])
-    t = chain_time(f, (plan, X), K)
+    def mk(k):
+        return jax.jit(lambda p, x: jax.lax.scan(
+            lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None,
+            length=k)[0])
+
+    t = chain_time(mk, (plan, X), K)
     useful = A.nnz * 8 + (A.nrows + 1) * 4 + 2 * A.nrows * 4 * nrhs
     return {"spmm_8rhs_dia": dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                   gflops=2 * A.nnz * nrhs / t / 1e9)}
@@ -106,17 +107,21 @@ def bench_blas(n, K):
     rng = np.random.default_rng(2)
     rows = {}
     x = jax.device_put(rng.standard_normal(n).astype(np.float32))
-    f = jax.jit(lambda x: jax.lax.scan(lambda c, _: (c * 0.999 + 0.001, None),
-                                       x, None, length=K)[0])
-    t = chain_time(f, (x,), K)
+    def mk(k):
+        return jax.jit(lambda x: jax.lax.scan(
+            lambda c, _: (c * 0.999 + 0.001, None), x, None, length=k)[0])
+
+    t = chain_time(mk, (x,), K)
     rows["axpby_stream"] = dict(time_us=t * 1e6, gbps=2 * n * 4 / t / 1e9)
 
     m = 2048
     Am = jax.device_put(rng.standard_normal((m, m)).astype(np.float32) / m)
-    f2 = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (jnp.dot(c, a, preferred_element_type=jnp.float32), None),
-        jnp.eye(m, dtype=np.float32), None, length=32)[0])
-    t2 = chain_time(f2, (Am,), 32)
+    def mk2(k):
+        return jax.jit(lambda a: jax.lax.scan(
+            lambda c, _: (jnp.dot(c, a, preferred_element_type=jnp.float32), None),
+            jnp.eye(m, dtype=np.float32), None, length=k)[0])
+
+    t2 = chain_time(mk2, (Am,), 32)
     rows["gemm_2048"] = dict(time_us=t2 * 1e6, tflops=2 * m ** 3 / t2 / 1e12)
     return rows
 
@@ -136,10 +141,12 @@ def bench_spmv_onehot(K):
     plan = spmv_pallas.build_onehot_spmv_plan(A)
     rng = np.random.default_rng(3)
     x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(np.float32))
-    f = jax.jit(lambda p, x: jax.lax.scan(
-        lambda c, _: (spmv_pallas.onehot_spmv(p, c) * 0.125, None), x, None,
-        length=K)[0])
-    t = chain_time(f, (plan, x0), K)
+    def mk(k):
+        return jax.jit(lambda p, x: jax.lax.scan(
+            lambda c, _: (spmv_pallas.onehot_spmv(p, c) * 0.125, None), x, None,
+            length=k)[0])
+
+    t = chain_time(mk, (plan, x0), K)
     useful = A.nnz * 8 + (A.nrows + 1) * 4 + 2 * A.nrows * 4
     rows["spmv_onehot_rand100k"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                         gflops=2 * A.nnz / t / 1e9,
@@ -162,14 +169,15 @@ def bench_gs_sweep(K):
     gauss_seidel_numeric(h, A, omega=1.0)
     b = jax.device_put(np.random.default_rng(0).standard_normal(A.nrows).astype(np.float32))
 
-    def f(x, b):
-        def body(i, x):
-            x = _point_half_sweep(h, x, b, True)
-            return _point_half_sweep(h, x, b, False)
-        return jax.lax.fori_loop(0, K, body, x)
+    def mk(k):
+        def f(x, b):
+            def body(i, x):
+                x = _point_half_sweep(h, x, b, True)
+                return _point_half_sweep(h, x, b, False)
+            return jax.lax.fori_loop(0, k, body, x)
+        return jax.jit(f)
 
-    fj = jax.jit(f)
-    t = chain_time(fj, (jnp.zeros(A.nrows, jnp.float32), b), K)
+    t = chain_time(mk, (jnp.zeros(A.nrows, jnp.float32), b), K)
     return {"gs_sym_sweep_400": dict(time_us=t * 1e6,
                                      gnnz_s=2 * A.nnz / t / 1e9)}
 
@@ -191,13 +199,15 @@ def bench_spgemm_dia(K):
     ea, eb = plan.a_refresh._eplan, plan.b_refresh._eplan
     nnzA = A.nnz
 
-    def f(v):
-        def body(i, c):
-            out = fn(c, c, ea, eb)
-            return c * 0.5 + out[:nnzA] * 1e-20
-        return jax.lax.fori_loop(0, K, body, v)
+    def mk(k):
+        def f(v):
+            def body(i, c):
+                out = fn(c, c, ea, eb)
+                return c * 0.5 + out[:nnzA] * 1e-20
+            return jax.lax.fori_loop(0, k, body, v)
+        return jax.jit(f)
 
-    t = chain_time(jax.jit(f), (A.values,), K)
+    t = chain_time(mk, (A.values,), K)
     kA = len(plan.a_refresh.offsets)
     return {"spgemm_dia_banded1M": dict(time_us=t * 1e6,
                                         gnnz_s=nnzA * kA / t / 1e9)}
@@ -224,9 +234,11 @@ def bench_sptrsv(K):
                       ("supernodal", SptrsvAlgorithm.SUPERNODAL)):
         h = SptrsvHandle(True, algorithm=algo)
         sptrsv_symbolic(h, M)
-        fj = jax.jit(lambda bb: jax.lax.fori_loop(
-            0, K, lambda i, x: sptrsv_solve(h, M, bb + 1e-20 * x), bb))
-        t = chain_time(fj, (b,), K)
+        def mk(k, h=h):
+            return jax.jit(lambda bb: jax.lax.fori_loop(
+                0, k, lambda i, x: sptrsv_solve(h, M, bb + 1e-20 * x), bb))
+
+        t = chain_time(mk, (b,), K)
         rows[f"sptrsv_{tag}_300"] = dict(
             time_us=t * 1e6, gnnz_s=M.nnz / t / 1e9,
             levels=float(h.num_levels))
