@@ -63,7 +63,7 @@ def bench_spmv(n_side, K):
             lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None,
             length=k)[0])
 
-    t = chain_time(mk2, (dplan, xn), K)
+    t = chain_time(mk2, (dplan, xn), max(10, K // 4))
     rows["spmv_dia_xla"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                 gflops=2 * A.nnz / t / 1e9)
 
@@ -73,7 +73,9 @@ def bench_spmv(n_side, K):
             lambda c, _: (spmv_impl.apply_ell(p, c) * 0.125, None), x, None,
             length=k)[0])
 
-    t = chain_time(mk3, (eplan, xn), K)
+    # the ELL gather path is ~65 ms/iter on the 1M-row Laplacian; keep the
+    # chain short (slope timing cancels latency regardless of K)
+    t = chain_time(mk3, (eplan, xn), max(2, K // 100))
     rows["spmv_ell_xla"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
                                 gflops=2 * A.nnz / t / 1e9)
     return rows, A
@@ -245,10 +247,14 @@ def bench_sptrsv(K):
     return rows
 
 
-def bench_spgemm(n_side):
+def bench_spgemm(n_side, K=10):
+    """Symbolic one-shot (host phase, wall time) + chained numeric reuse —
+    the same-sparsity handle-reuse pattern of KokkosSparse_spgemm.cpp."""
+    import jax
+
     from tpukk.containers import generate_structured_laplacian
     from tpukk.sparse import SpgemmHandle, spgemm_numeric, spgemm_symbolic
-    import jax
+    from tpukk.sparse import spgemm_pallas, spmv_pallas
 
     A = generate_structured_laplacian(n_side, n_side, dtype=np.float32)
     h = SpgemmHandle()
@@ -257,13 +263,33 @@ def bench_spgemm(n_side):
     t_sym = time.perf_counter() - t0
     C = spgemm_numeric(h, A, A)
     jax.block_until_ready(C.values)
-    t1 = time.perf_counter()
-    C = spgemm_numeric(h, A, A)
-    jax.block_until_ready(C.values)
-    t_num = time.perf_counter() - t1
-    flops = 2 * int(np.asarray(h.pair_plan.a_idx).shape[0])
+    npairs = int(np.asarray(h.pair_plan.a_idx).shape[0])
+
+    if spmv_pallas.supports_pallas() and h.onehot_plan not in (None, False):
+        plan = h.onehot_plan
+
+        def mk(k):
+            def body(i, v):
+                out = spgemm_pallas.onehot_pair_numeric(plan, v, v)
+                return v * 0.5 + out[: v.shape[0]] * 1e-20
+            return jax.jit(lambda v: jax.lax.fori_loop(0, k, body, v))
+
+        t_num = chain_time(mk, (A.values,), K)
+    else:
+        from tpukk.sparse.spgemm import _numeric_pairs
+
+        pp = h.pair_plan
+
+        def mk(k):
+            def body(i, v):
+                out = _numeric_pairs(pp, v, v)
+                return v * 0.5 + out[: v.shape[0]] * 1e-20
+            return jax.jit(lambda v: jax.lax.fori_loop(0, k, body, v))
+
+        t_num = chain_time(mk, (A.values,), K)
     return {"spgemm_aa": dict(symbolic_s=t_sym, numeric_s=t_num,
-                              gflops=flops / t_num / 1e9, nnz_c=h.nnz_c)}
+                              gflops=2 * npairs / t_num / 1e9,
+                              gpair_s=npairs / t_num / 1e9, nnz_c=h.nnz_c)}
 
 
 def main():
@@ -286,7 +312,7 @@ def main():
     results.update(bench_spgemm_dia(max(25, args.chain // 8)))
     results.update(bench_sptrsv(max(10, args.chain // 16)))
 
-    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "levels"]
+    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "gpair_s", "levels"]
     print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in keys))
     for name, m in results.items():
         cells = [f"{m.get(k, float('nan')):12.2f}" for k in keys]

@@ -1,5 +1,6 @@
 from . import blas1, blas2, blas3
 from .blas1 import (
+    abs,  # noqa: A004
     axpby,
     axpy,
     dot,
@@ -17,6 +18,8 @@ from .blas1 import (
     rotm,
     rotmg,
     scal,
+    set,  # noqa: A004
+    sum,  # noqa: A004
     swap,
     update,
 )

@@ -59,6 +59,12 @@ def fill(x, val):
     return jnp.full_like(x, val)
 
 
+def set(y, x):  # noqa: A001 - matches KokkosBlas1_set (Y = X)
+    """Deep-copy assign Y = X (functional: returns X broadcast to y's shape),
+    cf. blas/src/KokkosBlas1_set.hpp."""
+    return jnp.broadcast_to(x, y.shape).astype(y.dtype)
+
+
 def iamax(x):
     """Index of max |x_i| (0-based; per column for MV)."""
     return jnp.argmax(jnp.abs(x), axis=0)

@@ -18,5 +18,6 @@ from .spgemm import (SpgemmAlgorithm, SpgemmHandle, bspgemm, bspgemm_numeric,
                      bspgemm_symbolic, spgemm, spgemm_numeric, spgemm_symbolic)
 from .spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
 from .spmv import SpmvAlgorithm, SpmvHandle, spmm, spmv
+from .spmv_struct import spmv_struct, structured_stencil_offsets
 from .sptrsv import SptrsvAlgorithm, SptrsvHandle, sptrsv_solve, sptrsv_symbolic
 from .trsv import trsv
