@@ -47,6 +47,39 @@ class TestSptrsv:
         x = np.asarray(sptrsv_solve(h, T, b))
         np.testing.assert_allclose(T.to_scipy() @ x, b, rtol=1e-10, atol=1e-10)
 
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_fused_pallas_interpret(self, lower, rng):
+        """Whole-solve fused pallas kernel (interpret mode) vs scipy —
+        covers the TPU-only route of sptrsv_pallas.py."""
+        import jax.numpy as jnp
+
+        from tpukk.sparse import sptrsv as st
+        from tpukk.sparse.sptrsv_pallas import (build_fused_sptrsv_plan,
+                                                fused_sptrsv_solve)
+
+        A = generate_structured_laplacian(9, 9, dtype=np.float32)
+        T = _tri(A, lower)
+        Ts = T.to_scipy().astype(np.float32)
+        Tf = CsrMatrix.from_scipy(Ts)
+        rm, ent = Tf.host_row_map(), Tf.host_entries()
+        vals = np.asarray(Tf.values)
+        levels = st._compute_levels(rm, ent, Tf.nrows, lower)
+        plan = build_fused_sptrsv_plan(rm, ent, vals, Tf.nrows, levels, lower)
+        assert plan is not None
+        b = rng.standard_normal(Tf.nrows).astype(np.float32)
+        x = np.asarray(fused_sptrsv_solve(plan, jnp.asarray(b), interpret=True))
+        xs = sps.linalg.spsolve_triangular(Ts.tocsr(), b, lower=lower)
+        err = np.abs(x - xs).max() / max(np.abs(xs).max(), 1e-30)
+        assert err < 1e-5
+        # values-only numeric refresh on the cached symbolic structure
+        vals2 = vals * 1.7
+        plan.refresh_values(rm, ent, vals2, lower)
+        x2 = np.asarray(fused_sptrsv_solve(plan, jnp.asarray(b), interpret=True))
+        xs2 = sps.linalg.spsolve_triangular(
+            sps.csr_matrix((vals2, ent, rm), shape=Ts.shape), b, lower=lower)
+        err2 = np.abs(x2 - xs2).max() / max(np.abs(xs2).max(), 1e-30)
+        assert err2 < 1e-5
+
 
 class TestSpiluk:
     @pytest.mark.parametrize("k", [0, 1, 2])

@@ -37,10 +37,14 @@ class SptrsvAlgorithm(enum.Enum):
 
 @dataclasses.dataclass
 class _LevelBlock:
-    cols: Any      # (rows_l, w) permuted-space ids (pads -> 0)
-    vals: Any      # (rows_l, w) off-diagonal values (pads -> 0)
-    inv_diag: Any  # (rows_l,)
-    start: int
+    """Static slice coordinates into the handle's flat-packed plan arrays.
+    All levels ride in three device arrays (one transfer each at symbolic
+    time) instead of three per level — 599-level factors were paying ~1800
+    small host->device transfers (~24s through a remote-device tunnel)."""
+    start: int   # row offset in permuted order
+    rows: int    # rows in this level
+    w: int       # ELL width
+    flat: int    # element offset into cols_cat / vals_cat
 
 
 class SptrsvHandle:
@@ -54,10 +58,14 @@ class SptrsvHandle:
         self.supernode_max_size = supernode_max_size
         self.is_symbolic_called = False
         self.blocks: List[_LevelBlock] = []
+        self.cols_cat = None   # (sum rows_l*w_l,) permuted-space ids
+        self.vals_cat = None   # (sum rows_l*w_l,)
+        self.invd_cat = None   # (n,) 1/diag in permuted row order
         self.order = None
         self.inv_order = None
         self.num_levels = 0
         self.sn_plan = None
+        self.fused_plan = None  # whole-solve pallas kernel (sptrsv_pallas)
 
 
 def _compute_levels(rm, ent, n, lower: bool) -> np.ndarray:
@@ -111,6 +119,15 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
         handle.is_symbolic_called = True
         return
     levels = _compute_levels(rm, ent, n, handle.lower)
+    handle.fused_plan = None
+    if np.dtype(vals.dtype) == np.float32:
+        from .spmv_pallas import supports_pallas
+
+        if supports_pallas():
+            from .sptrsv_pallas import build_fused_sptrsv_plan
+
+            handle.fused_plan = build_fused_sptrsv_plan(
+                rm, ent, vals, n, levels, handle.lower)
     order = np.argsort(levels, kind="stable").astype(np.int32)
     inv = np.empty_like(order)
     inv[order] = np.arange(n, dtype=np.int32)
@@ -122,6 +139,8 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     np.cumsum(counts, out=offsets[1:])
     blocks = []
     nnz = len(ent)
+    cols_parts, vals_parts, invd_parts = [], [], []
+    flat = 0
     for lv in range(nlev):
         rows = order[offsets[lv]:offsets[lv + 1]]
         lens = (rm[rows + 1] - rm[rows]).astype(np.int64)
@@ -138,9 +157,17 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
         cols2d = np.where(keep, inv[np.minimum(cseg, len(inv) - 1)], 0).astype(np.int32)
         vals2d = np.where(keep, vseg, 0)
         check((diag != 0).all(), f"sptrsv: zero diagonal in level {lv}")
-        blocks.append(_LevelBlock(
-            jnp.asarray(cols2d), jnp.asarray(vals2d),
-            jnp.asarray(1.0 / diag), int(offsets[lv])))
+        cols_parts.append(cols2d.ravel())
+        vals_parts.append(vals2d.ravel())
+        invd_parts.append(1.0 / diag)
+        blocks.append(_LevelBlock(int(offsets[lv]), len(rows), w, flat))
+        flat += cols2d.size
+    handle.cols_cat = jnp.asarray(np.concatenate(cols_parts)
+                                  if cols_parts else np.zeros(0, np.int32))
+    handle.vals_cat = jnp.asarray(np.concatenate(vals_parts)
+                                  if vals_parts else np.zeros(0, vals.dtype))
+    handle.invd_cat = jnp.asarray(np.concatenate(invd_parts)
+                                  if invd_parts else np.zeros(0, vals.dtype))
     handle.blocks = blocks
     handle.is_symbolic_called = True
 
@@ -151,14 +178,25 @@ def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
     check(handle.is_symbolic_called, "sptrsv_solve: symbolic first")
     if handle.algorithm is SptrsvAlgorithm.SUPERNODAL:
         return supernodal_solve(handle.sn_plan, b)
+    if handle.fused_plan is not None and jnp.asarray(b).dtype == jnp.float32:
+        from .sptrsv_pallas import fused_sptrsv_solve
+
+        return fused_sptrsv_solve(handle.fused_plan, b)
     order = jnp.asarray(handle.order)
     inv_order = jnp.asarray(handle.inv_order)
     bp = jnp.take(b, order)
     xp = jnp.zeros_like(bp)
+    cols_cat, vals_cat, invd_cat = (
+        handle.cols_cat, handle.vals_cat, handle.invd_cat)
     for blk in handle.blocks:
-        nrl = blk.inv_diag.shape[0]
-        bb = jax.lax.dynamic_slice_in_dim(bp, blk.start, nrl)
-        ax = jnp.sum(blk.vals * jnp.take(xp, blk.cols, axis=0), axis=1)
-        xnew = (blk.inv_diag * (bb - ax)).astype(xp.dtype)
+        sz = blk.rows * blk.w
+        cols = jax.lax.slice_in_dim(cols_cat, blk.flat, blk.flat + sz)
+        cols = cols.reshape(blk.rows, blk.w)
+        vls = jax.lax.slice_in_dim(vals_cat, blk.flat, blk.flat + sz)
+        vls = vls.reshape(blk.rows, blk.w)
+        invd = jax.lax.slice_in_dim(invd_cat, blk.start, blk.start + blk.rows)
+        bb = jax.lax.slice_in_dim(bp, blk.start, blk.start + blk.rows)
+        ax = jnp.sum(vls * jnp.take(xp, cols, axis=0), axis=1)
+        xnew = (invd * (bb - ax)).astype(xp.dtype)
         xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew, blk.start, 0)
     return jnp.take(xp, inv_order)

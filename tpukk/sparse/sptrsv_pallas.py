@@ -1,0 +1,272 @@
+"""Fused level-scheduled triangular solve — one Pallas kernel for the WHOLE
+solve (the TP1CHAIN idea of sptrsv_handle.hpp:42-51 taken to its limit).
+
+The XLA level-set path (sptrsv.py) costs ~6.5 us of op overhead PER LEVEL —
+a 300^2 Laplacian lower factor has 599 levels, so the solve is launch-bound
+(~3.9 ms).  Here the entire dependency chain executes inside one kernel:
+
+* rows are permuted into level order and every level is padded to a multiple
+  of 128 rows, so a 128-row sublane of the (SR, 128) solution scratch never
+  spans two levels;
+* the grid walks 1024-row steps; inside a step the 8 sublanes are processed
+  SEQUENTIALLY, each solving x_s = (b_s - sum_w vals_w * x[cols_w]) * invd_s
+  and writing x_s back to the VMEM scratch — so dependencies between levels
+  inside the same step (the common case for banded factors) resolve in
+  registers, not through HBM;
+* the off-diagonal gathers use the one-hot machinery of spmv_pallas: each
+  (sublane, slot) has a host-planned 4096-entry scratch window (scalar
+  prefetch), gathered by a (128,128) one-hot lane-route matmul (exact bf16
+  3-plane x-decomposition) + per-vreg sublane dynamic_gather;
+* x stays resident in VMEM for the whole solve — only b, the plan arrays and
+  the result move through HBM.
+
+Natural-order b / x are converted with dst-lane one-hot permutation applies
+(~pad-free selection SpMV) instead of jnp.take (~120 M elem/s on v5e).
+
+Gates: f32, TPU, n_pad <= ~2M rows (VMEM scratch), max slots per sublane
+W <= 16.  Everything else falls back to the XLA level-set path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmv_pallas import _bf16_planes3, _sublane_gather
+
+__all__ = ["build_fused_sptrsv_plan", "fused_sptrsv_solve", "FusedSptrsvPlan"]
+
+_WMAX = 16          # max slots per sublane before falling back
+_WIN = 4096         # gather window (32 sublanes x 128 lanes)
+_MAX_NPAD = 2 * 1024 * 1024   # 8 MB f32 VMEM scratch cap
+
+
+class FusedSptrsvPlan:
+    """Host symbolic+numeric product for the fused kernel (the handle-cached
+    analog of the reference's level_sched arrays).
+
+    Permutations ride on `jax.lax.sort` with precomputed keys — measured 3x
+    faster than a one-hot selection SpMV and 4.6x faster than jnp.take at
+    this shape, because level order has no tile locality for either."""
+
+    def __init__(self, cols, vals, invd, wb, sort_key_b, sort_key_x,
+                 n, n_pad, W, slot_src, slot_row):
+        self.cols = cols            # (S,8,W,128) i32 window-local columns
+        self.vals = vals            # (S,8,W,128) f32
+        self.invd = invd            # (S,8,128) f32 (0 on pad rows)
+        self.wb = wb                # (S,8,W) i32 window base sublane
+        self.sort_key_b = sort_key_b  # (n_pad,) keys: concat(b, 0s) -> padded
+        self.sort_key_x = sort_key_x  # (n_pad,) keys: padded -> natural x
+        self.n = n
+        self.n_pad = n_pad
+        self.W = W
+        self.slot_src = slot_src    # flat nnz index feeding each slot lane
+        self.slot_row = slot_row    # (pos-of-diag per row) for refresh
+        self.num_steps = n_pad // 1024
+
+    def refresh_values(self, rm, ent, vals_host, lower: bool):
+        """Values-only numeric refresh on the cached symbolic structure."""
+        v = np.zeros(self.vals.shape, np.float32).reshape(-1)
+        mask = self.slot_src >= 0
+        v[mask] = vals_host[self.slot_src[mask]]
+        self.vals = jnp.asarray(v.reshape(self.vals.shape))
+        inv = np.zeros(self.invd.shape, np.float32).reshape(-1)
+        dmask = self.slot_row >= 0
+        inv[dmask] = 1.0 / vals_host[self.slot_row[dmask]]
+        self.invd = jnp.asarray(inv.reshape(self.invd.shape))
+
+
+def build_fused_sptrsv_plan(rm, ent, vals, n, levels, lower: bool):
+    """levels: 1-based level id per row (from sptrsv._compute_levels).
+    Returns None when the matrix is outside the kernel's gates."""
+
+    nlev = int(levels.max()) if n else 0
+    sizes = np.bincount(levels, minlength=nlev + 1)[1:]
+    padded = ((sizes + 127) // 128) * 128
+    starts = np.zeros(nlev + 1, np.int64)
+    np.cumsum(padded, out=starts[1:])
+    n_pad = int(-(-max(starts[-1], 4096) // 1024) * 1024)
+    if n_pad > _MAX_NPAD:
+        return None
+    # pos[r] = padded level-order position
+    order = np.argsort(levels, kind="stable")
+    within = np.arange(n, dtype=np.int64) - np.concatenate(
+        ([0], np.cumsum(sizes)))[levels[order] - 1]
+    pos = np.empty(n, np.int64)
+    pos[order] = starts[levels[order] - 1] + within
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
+    off = ent < rows if lower else ent > rows
+    diag_sel = ent == rows
+    # diag flat positions per row
+    slot_row = np.full(n_pad, -1, np.int64)
+    dr = rows[diag_sel]
+    if len(dr) != n:
+        return None  # missing diagonal somewhere; let the XLA path report
+    slot_row[pos[dr]] = np.nonzero(diag_sel)[0]
+
+    src_nnz = np.nonzero(off)[0]
+    dstp = pos[rows[off]]
+    srcp = pos[ent[off]]
+    # rank of each entry within its row, sorted by source position (keeps
+    # every (sublane, slot) group's window span minimal)
+    o = np.lexsort((srcp, dstp))
+    src_nnz, dstp, srcp = src_nnz[o], dstp[o], srcp[o]
+    first = np.concatenate(([True], dstp[1:] != dstp[:-1]))
+    rstart = np.nonzero(first)[0]
+    rid = np.cumsum(first) - 1
+    rank = np.arange(len(dstp), dtype=np.int64) - rstart[rid]
+
+    s_idx = dstp // 128
+    lane = dstp % 128
+    # split (sublane, rank) groups whose source span exceeds the window:
+    # entries are window-assigned greedily within each (sublane, rank) group
+    # (sorted by srcp); an entry farther than _WIN-128 from the group's
+    # current base opens a new slot appended after the natural ranks.
+    key = s_idx * (len(dstp) + 1) + rank
+    ko = np.lexsort((srcp, key))
+    key_s, src_s = key[ko], srcp[ko]
+    gfirst = np.concatenate(([True], key_s[1:] != key_s[:-1]))
+    gid = np.cumsum(gfirst) - 1
+    ngrp = int(gid[-1]) + 1 if len(gid) else 0
+    gmin = np.full(ngrp, np.iinfo(np.int64).max, np.int64)
+    if ngrp:
+        np.minimum.at(gmin, gid, src_s)
+    base_sl = (gmin[gid] // 128) if len(gid) else np.empty(0, np.int64)
+    overflow = (src_s - base_sl * 128) >= _WIN if len(gid) else np.empty(0, bool)
+    extra = np.zeros(len(key_s), np.int64)
+    if overflow.any():
+        # per group, give overflowing entries consecutive extra slot ids by
+        # their window bucket (rare path; loop over affected groups)
+        for g in np.unique(gid[overflow]):
+            m = gid == g
+            sp = src_s[m]
+            b0 = sp.min() // 128
+            bucket = (sp - b0 * 128) // (_WIN - 128)
+            extra[m] = bucket
+    W_nat = int(rank.max()) + 1 if len(rank) else 1
+    slot = np.empty(len(dstp), np.int64)
+    slot[ko] = key_s % (len(dstp) + 1) + extra * W_nat
+    W = int(slot.max()) + 1 if len(slot) else 1
+    if W > _WMAX:
+        return None
+
+    S = n_pad // 1024
+    SR = n_pad // 128
+    cols_a = np.zeros((SR, W, 128), np.int32)
+    vals_a = np.zeros((SR, W, 128), np.float32)
+    wb_a = np.zeros((SR, W), np.int64)
+    slot_src = np.full((SR, W, 128), -1, np.int64)
+    if len(dstp):
+        # window base per (sublane, slot): min source sublane, clamped
+        flat_sw = s_idx * W + slot
+        wmin = np.full(SR * W, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(wmin, flat_sw, srcp)
+        wmin[wmin == np.iinfo(np.int64).max] = 0
+        wb = np.minimum(wmin // 128, max(SR - 32, 0))
+        wb_a.reshape(-1)[:] = wb
+        lc = srcp - wb[flat_sw] * 128
+        assert (lc >= 0).all() and (lc < _WIN).all()
+        cols_a[s_idx, slot, lane] = lc.astype(np.int32)
+        vals_a[s_idx, slot, lane] = vals[src_nnz].astype(np.float32)
+        slot_src[s_idx, slot, lane] = src_nnz
+    invd_a = np.zeros(n_pad, np.float32)
+    have = slot_row >= 0
+    invd_a[have] = 1.0 / vals[slot_row[have]].astype(np.float32)
+
+    # sort-permutation keys.  b -> padded: element i of concat(b, zeros)
+    # lands at padded position key_b[i]; sorting by key realizes the scatter.
+    key_b = np.empty(n_pad, np.int64)
+    key_b[:n] = pos
+    pad_slots = np.setdiff1d(np.arange(n_pad, dtype=np.int64), pos,
+                             assume_unique=True)
+    key_b[n:] = pad_slots
+    # padded -> natural: padded slot j sorts to output rank key_x[j];
+    # real slots get their natural row id, pads sort to the tail (sliced off)
+    key_x = np.empty(n_pad, np.int64)
+    key_x[pos] = np.arange(n, dtype=np.int64)
+    key_x[pad_slots] = np.arange(n, n_pad, dtype=np.int64)
+
+    return FusedSptrsvPlan(
+        cols=jnp.asarray(cols_a.reshape(S, 8, W, 128)),
+        vals=jnp.asarray(vals_a.reshape(S, 8, W, 128)),
+        invd=jnp.asarray(invd_a.reshape(S, 8, 128)),
+        wb=jnp.asarray(wb_a.reshape(S, 8, W).astype(np.int32)),
+        sort_key_b=jnp.asarray(key_b.astype(np.int32)),
+        sort_key_x=jnp.asarray(key_x.astype(np.int32)),
+        n=n, n_pad=n_pad, W=W,
+        slot_src=slot_src.reshape(-1), slot_row=slot_row)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "SR", "W", "interpret"))
+def _fused_call(wb, cols, vals, invd, b2, *, S, SR, W, interpret):
+    def kernel(wb_ref, cols_ref, vals_ref, invd_ref, b_ref, out_ref, x_scr):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            x_scr[:, :] = jnp.zeros_like(x_scr)
+
+        rows_out = []
+        for s in range(8):
+            acc = jnp.zeros((1, 128), jnp.float32)
+            for w in range(W):
+                base = wb_ref[g, s, w]
+                xwin = x_scr[pl.ds(base, 32), :]
+                xp = _bf16_planes3(xwin)
+                lc = cols_ref[0, s, w, :].reshape(1, 128)
+                lo = lc % 128
+                hi = lc // 128
+                oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) == lo
+                      ).astype(jnp.bfloat16)
+                dn = (((1,), (0,)), ((), ()))
+                u = sum(jax.lax.dot_general(p, oh, dn,
+                                            preferred_element_type=jnp.float32)
+                        for p in xp)                       # (32,128)
+                xg = _sublane_gather(u, hi, 32, 128)       # (1,128)
+                acc = acc + vals_ref[0, s, w, :].reshape(1, 128) * xg
+            xs = (b_ref[s:s + 1, :] - acc) * invd_ref[0, s, :].reshape(1, 128)
+            x_scr[pl.ds(g * 8 + s, 1), :] = xs
+            rows_out.append(xs)
+        out_ref[:, :] = jnp.concatenate(rows_out, axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 8, W, 128), lambda g, wb: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, W, 128), lambda g, wb: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g, wb: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g, wb: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, wb: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SR, 128), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SR, 128), jnp.float32),
+        interpret=interpret,
+    )(wb, cols, vals, invd, b2)
+
+
+def fused_sptrsv_solve(plan: FusedSptrsvPlan, b, interpret: bool = False):
+    """x with tri(A) x = b via the fused kernel; b natural order."""
+    bfull = jnp.concatenate(
+        [b.astype(jnp.float32), jnp.zeros(plan.n_pad - plan.n, jnp.float32)])
+    _, bp = jax.lax.sort((plan.sort_key_b, bfull), num_keys=1)
+    b2 = bp.reshape(plan.n_pad // 128, 128)
+    x2 = _fused_call(plan.wb, plan.cols, plan.vals, plan.invd, b2,
+                     S=plan.num_steps, SR=plan.n_pad // 128, W=plan.W,
+                     interpret=interpret)
+    _, x = jax.lax.sort((plan.sort_key_x, x2.reshape(plan.n_pad)), num_keys=1)
+    return x[: plan.n].astype(b.dtype)
