@@ -247,6 +247,68 @@ def bench_sptrsv(K):
     return rows
 
 
+def bench_solvers(K):
+    """Solver-level rows — PCG + symmetric-GS preconditioner
+    (perf_test/sparse/KokkosSparse_pcg.cpp) and restarted GMRES + ILU(0)
+    LUPrec (perf_test/sparse gmres + example/gmres/test_prec).  Per-iteration
+    time via chained-in-jit slope; iteration counts from a real tolerance
+    solve so convergence behavior is also recorded."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import SpmvHandle
+    from tpukk.sparse.gauss_seidel import GsHandle, gauss_seidel_numeric, gauss_seidel_symbolic
+    from tpukk.sparse.gmres import GmresHandle, Ortho, _arnoldi_cycle, gmres
+    from tpukk.sparse.pcg import pcg, pcg_initial_state, pcg_iteration_body
+    from tpukk.sparse.preconditioner import GsPrec, LUPrec
+    from tpukk.sparse.spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
+
+    rows = {}
+    A = generate_structured_laplacian(400, 400, dtype=np.float32)
+    b = jax.device_put(
+        np.random.default_rng(1).standard_normal(A.nrows).astype(np.float32))
+
+    # --- PCG + symmetric GS ---
+    gh = GsHandle()
+    gauss_seidel_symbolic(gh, A)
+    gauss_seidel_numeric(gh, A)
+    prec = GsPrec(gh, A, sweeps=1)
+    Ah = SpmvHandle(A)
+    body = pcg_iteration_body(Ah, prec)
+    state0 = jax.jit(lambda bb: pcg_initial_state(Ah, prec, bb, jnp.zeros_like(bb)))(b)
+
+    def mk(k):
+        return jax.jit(lambda st: jax.lax.scan(body, st, None, length=k)[0])
+
+    t_it = chain_time(mk, (state0,), K)
+    _, stats = pcg(Ah, b, tol=1e-6, max_iters=400, prec=prec, check_every=25)
+    rows["pcg_gs_400"] = dict(
+        time_us=t_it * 1e6, gnnz_s=A.nnz / t_it / 1e9,
+        iters=float(stats.num_iters), solve_ms=stats.num_iters * t_it * 1e3)
+
+    # --- GMRES(30) + ILU(0) ---
+    ih = SpilukHandle(fill_level=0)
+    spiluk_symbolic(ih, A)
+    L, U = spiluk_numeric(ih, A)
+    lu = LUPrec(L, U)
+    m = 30
+    cyc = lambda xx, bb: _arnoldi_cycle(Ah, lu, bb, xx, m, Ortho.CGS2)[0]
+
+    def mkg(k):
+        return jax.jit(lambda xx, bb: jax.lax.fori_loop(
+            0, k, lambda i, x: cyc(x, bb), xx))
+
+    Kc = max(2, K // 10)
+    t_cyc = chain_time(mkg, (jnp.zeros_like(b), b), Kc)
+    ghd = GmresHandle(m=m, tol=1e-6, max_restarts=20)
+    gmres(ghd, Ah, b, prec=lu)
+    rows["gmres30_ilu0_400"] = dict(
+        time_us=t_cyc / m * 1e6, gnnz_s=A.nnz / (t_cyc / m) / 1e9,
+        iters=float(ghd.num_iters), solve_ms=ghd.num_iters * t_cyc / m * 1e3)
+    return rows
+
+
 def bench_spgemm(n_side, K=10):
     """Symbolic one-shot (host phase, wall time) + chained numeric reuse —
     the same-sparsity handle-reuse pattern of KokkosSparse_spgemm.cpp."""
@@ -311,8 +373,10 @@ def main():
     results.update(bench_spgemm(args.spgemm_size))
     results.update(bench_spgemm_dia(max(25, args.chain // 8)))
     results.update(bench_sptrsv(max(10, args.chain // 16)))
+    results.update(bench_solvers(max(20, args.chain // 8)))
 
-    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "gpair_s", "levels"]
+    keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "gpair_s", "levels",
+            "iters", "solve_ms"]
     print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in keys))
     for name, m in results.items():
         cells = [f"{m.get(k, float('nan')):12.2f}" for k in keys]

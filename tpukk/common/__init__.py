@@ -10,6 +10,7 @@ from .utils import (
     inclusive_scan,
     inverse_permutation,
     permute,
+    permute_via_sort,
     round_up,
     segment_offsets_from_sizes,
     sizes_from_offsets,

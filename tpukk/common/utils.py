@@ -8,6 +8,7 @@ which is deliberately host-resident (symbolic phases return concrete sizes).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,6 +16,7 @@ __all__ = [
     "exclusive_scan",
     "inclusive_scan",
     "permute",
+    "permute_via_sort",
     "inverse_permutation",
     "segment_offsets_from_sizes",
     "sizes_from_offsets",
@@ -37,6 +39,22 @@ def inclusive_scan(x, dtype=None):
 def permute(x, perm):
     """y[i] = x[perm[i]] (gather form — TPUs prefer gathers over scatters)."""
     return jnp.take(x, perm, axis=0)
+
+
+def permute_via_sort(x, inv_perm_keys):
+    """y = x[perm] realized as a key-sort: element i carries key
+    inv_perm[i], so after sorting position j holds x[perm[j]].
+
+    On TPU a variadic `lax.sort` is ~4.6x faster than `jnp.take` for large
+    permutation gathers (no tile locality either way; sort is fully
+    vectorized while take scalarizes) — measured on v5e, see
+    docs/PERF_NOTES.md and sparse/sptrsv_pallas.py which established the
+    trick.  `inv_perm_keys` should be a device i32 array.
+    """
+    if x.ndim == 1:
+        return jax.lax.sort((inv_perm_keys, x), num_keys=1)[1]
+    kk = jnp.broadcast_to(inv_perm_keys[:, None], x.shape)
+    return jax.lax.sort((kk, x), dimension=0, num_keys=1)[1]
 
 
 def inverse_permutation(perm):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import check
+from ..common import check, permute_via_sort
 from ..containers import CsrMatrix
 from ..graph.coloring import ColoringAlgorithm, color_sets, graph_color
 from .spmv import SpmvAlgorithm, SpmvHandle
@@ -310,14 +310,17 @@ def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
             if direction in ("backward", "symmetric"):
                 x = _twostage_half_sweep(handle, x, b, False)
         return x
-    # POINT: work in permuted space
+    # POINT: work in permuted space.  Permutations ride on lax.sort with the
+    # precomputed keys (~4.6x faster than jnp.take on TPU for large vectors;
+    # see common.utils.permute_via_sort) — the inverse permutation IS the
+    # forward sort key and vice versa.
     order = jnp.asarray(handle.order)
     inv_order = jnp.asarray(handle.inv_order)
-    xp = jnp.take(x, order)
-    bp = jnp.take(b, order)
+    xp = permute_via_sort(x, inv_order)
+    bp = permute_via_sort(b, inv_order)
     for _ in range(num_sweeps):
         if direction in ("forward", "symmetric"):
             xp = _point_half_sweep(handle, xp, bp, True)
         if direction in ("backward", "symmetric"):
             xp = _point_half_sweep(handle, xp, bp, False)
-    return jnp.take(xp, inv_order)
+    return permute_via_sort(xp, order)

@@ -14,7 +14,7 @@ import numpy as np
 from .preconditioner import IdentityPrec, Preconditioner
 from .spmv import SpmvHandle
 
-__all__ = ["PcgStats", "pcg"]
+__all__ = ["PcgStats", "pcg", "pcg_iteration_body", "pcg_initial_state"]
 
 
 @dataclasses.dataclass
@@ -24,35 +24,45 @@ class PcgStats:
     converged: bool
 
 
+def pcg_iteration_body(Ah: SpmvHandle, prec: Preconditioner):
+    """One PCG iteration as a lax.scan body over state (x, r, p, rz) —
+    shared by pcg() and the solver perf rows (bench_suite)."""
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = Ah(p)
+        pAp = jnp.sum(jnp.conj(p) * Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec.apply(r)
+        rz_new = jnp.sum(jnp.conj(r) * z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    return body
+
+
+def pcg_initial_state(Ah: SpmvHandle, prec: Preconditioner, b, x):
+    r = b - Ah(x)
+    z = prec.apply(r)
+    return (x, r, z, jnp.sum(jnp.conj(r) * z))
+
+
 def pcg(A, b, x0=None, tol: float = 1e-8, max_iters: int = 500,
         prec: Optional[Preconditioner] = None, check_every: int = 10):
     Ah = A if isinstance(A, SpmvHandle) else SpmvHandle(A)
     prec = prec or IdentityPrec()
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
-    r = b - Ah(x)
-    z = prec.apply(r)
-    p = z
-    rz = jnp.sum(jnp.conj(r) * z)
     bnorm = float(np.sqrt(np.abs(np.asarray(jnp.sum(jnp.conj(b) * b))))) or 1.0
+    body = pcg_iteration_body(Ah, prec)
 
     @jax.jit
     def block(state):
-        def body(carry, _):
-            x, r, p, rz = carry
-            Ap = Ah(p)
-            pAp = jnp.sum(jnp.conj(p) * Ap)
-            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = prec.apply(r)
-            rz_new = jnp.sum(jnp.conj(r) * z)
-            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-            p = z + beta * p
-            return (x, r, p, rz_new), None
-
         return jax.lax.scan(body, state, None, length=check_every)[0]
 
-    state = (x, r, p, rz)
+    state = pcg_initial_state(Ah, prec, b, x)
     iters = 0
     rel = float("inf")
     while iters < max_iters:

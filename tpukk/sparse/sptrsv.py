@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import check
+from ..common import check, permute_via_sort
 from ..containers import CsrMatrix
 from .sptrsv_supernodal import build_supernodal_plan, supernodal_solve
 
@@ -184,7 +184,7 @@ def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
         return fused_sptrsv_solve(handle.fused_plan, b)
     order = jnp.asarray(handle.order)
     inv_order = jnp.asarray(handle.inv_order)
-    bp = jnp.take(b, order)
+    bp = permute_via_sort(b, inv_order)
     xp = jnp.zeros_like(bp)
     cols_cat, vals_cat, invd_cat = (
         handle.cols_cat, handle.vals_cat, handle.invd_cat)
@@ -199,4 +199,4 @@ def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
         ax = jnp.sum(vls * jnp.take(xp, cols, axis=0), axis=1)
         xnew = (invd * (bb - ax)).astype(xp.dtype)
         xp = jax.lax.dynamic_update_slice_in_dim(xp, xnew, blk.start, 0)
-    return jnp.take(xp, inv_order)
+    return permute_via_sort(xp, order)
