@@ -309,6 +309,48 @@ def bench_solvers(K):
     return rows
 
 
+def bench_graph():
+    """Graph rows — color time / #colors (perf_test/graph/KokkosGraph_color.cpp),
+    D2 color, MIS-2, triangle counting (perf_test/graph/_triangle.cpp).
+    These are one-shot symbolic-style phases (host planning + device
+    iteration), so wall time of a single run is the honest metric."""
+    from tpukk.containers import generate_diag_dominant_csr, generate_structured_laplacian
+    from tpukk.graph.coloring import ColoringAlgorithm, graph_color, graph_color_d2
+    from tpukk.graph.mis2 import graph_mis2
+    from tpukk.graph.triangle import triangle_count
+
+    rows = {}
+    A = generate_structured_laplacian(400, 400, dtype=np.float32)
+    graph_color(A, ColoringAlgorithm.VB)  # warm the jit cache (compile
+    # through the remote tunnel is ~50s and is never part of the reference's
+    # color-time metric; recoloring same-shaped graphs reuses the executable)
+    t0 = time.perf_counter()
+    colors = graph_color(A, ColoringAlgorithm.VB)
+    t = time.perf_counter() - t0
+    rows["color_vb_400"] = dict(time_us=t * 1e6, colors=float(colors.max()),
+                                mnnz_s=A.nnz / t / 1e6)
+    graph_color_d2(A, ColoringAlgorithm.VB)
+    t0 = time.perf_counter()
+    d2 = graph_color_d2(A, ColoringAlgorithm.VB)
+    t = time.perf_counter() - t0
+    rows["color_d2_400"] = dict(time_us=t * 1e6, colors=float(d2.max()))
+    t0 = time.perf_counter()
+    mis = graph_mis2(A)
+    t = time.perf_counter() - t0
+    rows["mis2_400"] = dict(time_us=t * 1e6, colors=float(len(mis)))
+    R = generate_diag_dominant_csr(30_000, 16, dtype=np.float32, seed=7)
+    Rs = R.to_scipy()
+    Rsym = ((Rs + Rs.T) != 0).astype(np.float32).tocsr()
+    from tpukk.containers import CsrMatrix
+    G = CsrMatrix.from_scipy(Rsym)
+    t0 = time.perf_counter()
+    nt = triangle_count(G)
+    t = time.perf_counter() - t0
+    rows["triangle_30k"] = dict(time_us=t * 1e6, gnnz_s=G.nnz / t / 1e9,
+                                colors=float(nt))
+    return rows
+
+
 def bench_spgemm(n_side, K=10):
     """Symbolic one-shot (host phase, wall time) + chained numeric reuse —
     the same-sparsity handle-reuse pattern of KokkosSparse_spgemm.cpp."""
@@ -374,9 +416,10 @@ def main():
     results.update(bench_spgemm_dia(max(25, args.chain // 8)))
     results.update(bench_sptrsv(max(10, args.chain // 16)))
     results.update(bench_solvers(max(20, args.chain // 8)))
+    results.update(bench_graph())
 
     keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "gpair_s", "levels",
-            "iters", "solve_ms"]
+            "iters", "solve_ms", "colors"]
     print(f"{'benchmark':24s} " + "  ".join(f"{k:>12s}" for k in keys))
     for name, m in results.items():
         cells = [f"{m.get(k, float('nan')):12.2f}" for k in keys]

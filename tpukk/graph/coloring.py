@@ -14,6 +14,7 @@ oracle.
 from __future__ import annotations
 
 import enum
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -62,23 +63,45 @@ def _serial_greedy(rm, ent, nrows) -> np.ndarray:
     return colors
 
 
-def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
-              max_rounds: int = 64) -> np.ndarray:
-    """Speculative parallel coloring on device."""
-    cols = jnp.asarray(cols_ell)
+@functools.partial(jax.jit, static_argnames=("max_colors", "max_rounds"))
+def _vb_run(cols, *, max_colors: int, max_rounds: int):
+    """Speculative parallel coloring, whole loop in ONE dispatch (per-round
+    host syncs cost 1-30ms each through a tunneled TPU; lax.while_loop keeps
+    it on device).  Module-level jit so repeated colorings of same-shaped
+    graphs reuse the compiled executable — a closure-jit here recompiled on
+    EVERY call (20-40s each through the remote-compile tunnel)."""
+    nrows = cols.shape[0]
     idx = jnp.arange(nrows, dtype=jnp.int32)
 
-    @jax.jit
+    n_words = (max_colors + 32) // 32  # forbidden set as 32-color bitmasks
+
     def one_round(colors):
-        # forbidden[v, c] = any neighbor of v has color c+1
+        # forbidden bitmask words per vertex: word j bit t set <=> some
+        # neighbor has color 32j+t.  (The VBBIT idea of
+        # Distance1ColorHandle.hpp:28-41 — and vastly cheaper for XLA than a
+        # (n, w, max_colors) one-hot tensor, which dominated compile time.)
         nbr_colors = jnp.where(cols >= 0,
                                jnp.take(colors, jnp.maximum(cols, 0)), 0)
         # drop self-loops
         nbr_colors = jnp.where(cols == idx[:, None], 0, nbr_colors)
-        forb = jax.nn.one_hot(nbr_colors, max_colors + 1, dtype=jnp.bool_)
-        forb = jnp.any(forb, axis=1)                      # (n, max_colors+1)
-        forb = forb.at[:, 0].set(True)                    # color 0 unusable
-        first_free = jnp.argmin(forb, axis=1).astype(jnp.int32)
+        w = cols.shape[1]
+        one = jnp.int32(1)
+        first_free = jnp.full(nrows, max_colors, jnp.int32)
+        found = jnp.zeros(nrows, jnp.bool_)
+        for j in range(n_words):
+            rel = nbr_colors - 32 * j                     # (n, w)
+            inb = (rel >= 0) & (rel < 32)
+            bits = jnp.where(inb, jnp.left_shift(one, jnp.where(inb, rel, 0)), 0)
+            word = functools.reduce(jnp.bitwise_or,
+                                    [bits[:, k] for k in range(w)])
+            if j == 0:
+                word = word | one                         # color 0 unusable
+            free = ~word
+            has = free != 0
+            lsb = free & (-free)
+            tz = jax.lax.population_count(lsb - 1)
+            first_free = jnp.where(~found & has, 32 * j + tz, first_free)
+            found = found | has
         colors = jnp.where(colors == 0, first_free, colors)
         # conflict detection: adjacent equal colors -> higher index recolors
         nbr_colors2 = jnp.where(cols >= 0,
@@ -90,21 +113,21 @@ def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
         colors = jnp.where(conflict, 0, colors)
         return colors
 
-    # whole speculative loop in ONE dispatch (per-round host syncs cost
-    # 1-30ms each through a tunneled TPU; lax.while_loop keeps it on device)
-    @jax.jit
-    def run():
-        def cond(state):
-            colors, it = state
-            return jnp.logical_and(it < max_rounds, jnp.any(colors == 0))
+    def cond(state):
+        colors, it = state
+        return jnp.logical_and(it < max_rounds, jnp.any(colors == 0))
 
-        def body(state):
-            colors, it = state
-            return one_round(colors), it + 1
+    def body(state):
+        colors, it = state
+        return one_round(colors), it + 1
 
-        return jax.lax.while_loop(cond, body, (jnp.zeros(nrows, jnp.int32), 0))[0]
+    return jax.lax.while_loop(cond, body, (jnp.zeros(nrows, jnp.int32), 0))[0]
 
-    return np.asarray(run())
+
+def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
+              max_rounds: int = 64) -> np.ndarray:
+    return np.asarray(_vb_run(jnp.asarray(cols_ell),
+                              max_colors=max_colors, max_rounds=max_rounds))
 
 
 def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:

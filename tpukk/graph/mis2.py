@@ -36,26 +36,25 @@ def graph_mis2(graph, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     prio = rng.permutation(n).astype(np.int64)
     state = np.zeros(n, np.int8)  # 0 undecided, 1 in set, -1 out
+    rm, ent = A2.indptr, A2.indices
+    rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])
+    not_self = ent != rows
     while (state == 0).any():
         undecided = state == 0
         # v joins if its priority beats all undecided distance<=2 neighbors
         cand_prio = np.where(undecided, prio, -1)
-        rm, ent = A2.indptr, A2.indices
-        rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])
-        vals = np.where(undecided[ent] & (ent != rows), prio[ent], -1)
+        vals = np.where(undecided[ent] & not_self, prio[ent], -1)
         nbr_best = np.full(n, -1, np.int64)
         np.maximum.at(nbr_best, rows, vals)
         win = undecided & (cand_prio > nbr_best)
         state[win] = 1
-        # neighbors (distance<=2) of winners are out
-        out = np.zeros(n, bool)
-        winners = np.nonzero(win)[0]
-        if winners.size:
-            reach = A2[winners].sum(axis=0)
-            out = np.asarray(reach).ravel() > 0
-        out &= state == 0
-        state[out] = -1
-        if not win.any() and (state == 0).any():
+        # neighbors (distance<=2) of winners are out: one O(nnz) CSR matvec
+        # (A2 symmetric) instead of per-round fancy row slicing + sum
+        if win.any():
+            out = (A2 @ win.astype(np.float64)) > 0
+            out &= state == 0
+            state[out] = -1
+        elif (state == 0).any():
             # tie-break stall (shouldn't happen with a permutation) — pick min index
             state[np.nonzero(state == 0)[0][0]] = 1
     return np.nonzero(state == 1)[0].astype(np.int32)
