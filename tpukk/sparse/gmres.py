@@ -114,11 +114,20 @@ def gmres(handle: GmresHandle, A, b, x0=None, prec: Optional[Preconditioner] = N
     bnorm = float(np.asarray(_norm(b)))
     if bnorm == 0:
         bnorm = 1.0
-    cycle = jax.jit(lambda x: _arnoldi_cycle(Ah, prec, b, x, m, handle.ortho))
+    # cache the jitted restart cycle on the handle — a fresh closure-jit per
+    # solve recompiled every call (~50s through a remote-compile tunnel);
+    # repeated solves with the same (A, prec, m, ortho, shapes) reuse it.
+    # Identity (`is`) checks keep strong refs so stale id() reuse can't alias.
+    ck = getattr(handle, "_cycle_cache", None)
+    if not (ck and ck[0] is Ah and ck[1] is prec and
+            ck[2] == (m, handle.ortho, b.shape, b.dtype)):
+        fn = jax.jit(lambda xx, bb: _arnoldi_cycle(Ah, prec, bb, xx, m, handle.ortho))
+        handle._cycle_cache = (Ah, prec, (m, handle.ortho, b.shape, b.dtype), fn)
+    cycle = handle._cycle_cache[3]
     iters = 0
     rel = float("inf")
     for _ in range(handle.max_restarts):
-        x, res_est = cycle(x)
+        x, res_est = cycle(x, b)
         iters += m
         # true residual check at restart boundary (cheap, robust)
         r = b - Ah(x)

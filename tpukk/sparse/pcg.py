@@ -56,11 +56,16 @@ def pcg(A, b, x0=None, tol: float = 1e-8, max_iters: int = 500,
     prec = prec or IdentityPrec()
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     bnorm = float(np.sqrt(np.abs(np.asarray(jnp.sum(jnp.conj(b) * b))))) or 1.0
-    body = pcg_iteration_body(Ah, prec)
-
-    @jax.jit
-    def block(state):
-        return jax.lax.scan(body, state, None, length=check_every)[0]
+    # cache the jitted iteration block on the SpmvHandle — a fresh
+    # closure-jit per solve recompiled every call (~50s through a
+    # remote-compile tunnel); identity checks hold strong refs.
+    ck = getattr(Ah, "_pcg_cache", None)
+    if not (ck and ck[0] is prec and ck[1] == (check_every, b.shape, b.dtype)):
+        body = pcg_iteration_body(Ah, prec)
+        fn = jax.jit(lambda state: jax.lax.scan(
+            body, state, None, length=check_every)[0])
+        Ah._pcg_cache = (prec, (check_every, b.shape, b.dtype), fn)
+    block = Ah._pcg_cache[2]
 
     state = pcg_initial_state(Ah, prec, b, x)
     iters = 0
