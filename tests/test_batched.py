@@ -1,5 +1,6 @@
 """Batched dense/sparse oracle tests — analog of batched/dense/unit_test/
 (106 files) condensed to the numpy-oracle pattern."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -226,3 +227,92 @@ def test_utv_solve_rank_deficient(rng):
     bc = rng.standard_normal((1, 5)).astype(np.float32)
     xc = solve_utv(U, T, V, perm, rank, bc)
     assert np.abs(C[0] @ np.asarray(xc[0]) - bc[0]).max() < 1e-3
+
+
+class TestBandStorage:
+    """Band-storage kernels (tpukk/batched/banded.py) vs scipy banded oracles
+    (cf. KokkosBatched_{Pbtrf,Pbtrs,Gbtrf,Gbtrs,Tbsv}.hpp)."""
+
+    def _spd_band(self, rng, n, kd):
+        A = np.zeros((n, n))
+        for i in range(n):
+            for j in range(max(0, i - kd), min(n, i + kd + 1)):
+                A[i, j] = rng.standard_normal() * 0.1
+        A = A + A.T + np.eye(n) * (2 * kd + 2)
+        Ab = np.zeros((kd + 1, n))
+        for i in range(kd + 1):
+            Ab[i, : n - i] = np.diag(A, -i)
+        return A, Ab
+
+    def test_pbtrf_pbtrs(self, rng):
+        import scipy.linalg as sla
+
+        from tpukk.batched import pbtrf_banded, pbtrs_banded
+
+        n, kd = 23, 4
+        A, Ab = self._spd_band(rng, n, kd)
+        L = np.asarray(pbtrf_banded(jnp.asarray(Ab)))
+        Lref = sla.cholesky_banded(Ab, lower=True)
+        assert np.abs(L - Lref).max() < 1e-10
+        b = rng.standard_normal(n)
+        x = np.asarray(pbtrs_banded(jnp.asarray(L), jnp.asarray(b)))
+        xr = sla.solveh_banded(Ab, b, lower=True)
+        assert np.abs(x - xr).max() < 1e-10
+        # batched axis
+        AbB = jnp.asarray(np.stack([Ab, Ab * 1.5]))
+        LB = np.asarray(pbtrf_banded(AbB))
+        assert LB.shape == (2, kd + 1, n)
+        assert np.abs(LB[0] - Lref).max() < 1e-10
+
+    def test_gbtrf_gbtrs(self, rng):
+        import scipy.linalg as sla
+
+        from tpukk.batched import gbtrf_banded, gbtrs_banded
+
+        n, kl, ku = 19, 2, 3
+        G = np.zeros((n, n))
+        for i in range(n):
+            for j in range(max(0, i - kl), min(n, i + ku + 1)):
+                G[i, j] = rng.standard_normal()
+        G += np.eye(n) * (kl + ku + 3)   # diagonally dominant (no pivoting)
+        Gb = np.zeros((kl + ku + 1, n))
+        for idx, d in enumerate(range(ku, -kl - 1, -1)):
+            dv = np.diag(G, d)
+            if d >= 0:
+                Gb[idx, d:d + len(dv)] = dv
+            else:
+                Gb[idx, : len(dv)] = dv
+        Lb, Ub = gbtrf_banded(jnp.asarray(Gb), kl, ku)
+        b = rng.standard_normal(n)
+        y = np.asarray(gbtrs_banded(Lb, Ub, jnp.asarray(b)))
+        yr = sla.solve_banded((kl, ku), Gb, b)
+        assert np.abs(y - yr).max() < 1e-9
+        # LU reconstruction
+        Lm = np.eye(n)
+        for i in range(1, kl + 1):
+            Lm += np.diag(np.asarray(Lb)[i - 1, : n - i], -i)
+        Um = np.zeros((n, n))
+        for t in range(ku + 1):
+            Um += np.diag(np.asarray(Ub)[t, : n - t], t)
+        assert np.abs(Lm @ Um - G).max() < 1e-10
+
+    def test_tbsv(self, rng):
+        import scipy.linalg as sla
+
+        from tpukk.batched import tbsv_banded
+
+        n, kd = 23, 4
+        A, _ = self._spd_band(rng, n, kd)
+        b = rng.standard_normal(n)
+        T = np.tril(A)
+        Tb = np.zeros((kd + 1, n))
+        for i in range(kd + 1):
+            Tb[i, : n - i] = np.diag(T, -i)
+        xt = np.asarray(tbsv_banded(jnp.asarray(Tb), jnp.asarray(b), lower=True))
+        assert np.abs(sla.solve_triangular(T, b, lower=True) - xt).max() < 1e-10
+        U2 = np.triu(A)
+        Ub2 = np.zeros((kd + 1, n))
+        for t in range(kd + 1):
+            Ub2[t, : n - t] = np.diag(U2, t)
+        xu = np.asarray(tbsv_banded(jnp.asarray(Ub2), jnp.asarray(b), lower=False))
+        assert np.abs(sla.solve_triangular(U2, b, lower=False) - xu).max() < 1e-10
