@@ -287,6 +287,26 @@ def bench_solvers(K):
         time_us=t_it * 1e6, gnnz_s=A.nnz / t_it / 1e9,
         iters=float(stats.num_iters), solve_ms=stats.num_iters * t_it * 1e3)
 
+    # --- PCG + two-stage GS (SpMV-built smoother: no permutations, the
+    # whole apply rides the DIA pallas kernel on structured matrices) ---
+    from tpukk.sparse.gauss_seidel import GsAlgorithm
+
+    gh2 = GsHandle(algorithm=GsAlgorithm.TWOSTAGE, inner_sweeps=2)
+    gauss_seidel_symbolic(gh2, A)
+    gauss_seidel_numeric(gh2, A)
+    prec2 = GsPrec(gh2, A, sweeps=1)
+    body2 = pcg_iteration_body(Ah, prec2)
+    state2 = jax.jit(lambda bb: pcg_initial_state(Ah, prec2, bb, jnp.zeros_like(bb)))(b)
+
+    def mk2(k):
+        return jax.jit(lambda st: jax.lax.scan(body2, st, None, length=k)[0])
+
+    t2 = chain_time(mk2, (state2,), K)
+    _, st2 = pcg(Ah, b, tol=1e-6, max_iters=400, prec=prec2, check_every=25)
+    rows["pcg_gs2stage_400"] = dict(
+        time_us=t2 * 1e6, gnnz_s=A.nnz / t2 / 1e9,
+        iters=float(st2.num_iters), solve_ms=st2.num_iters * t2 * 1e3)
+
     # --- GMRES(30) + ILU(0) ---
     ih = SpilukHandle(fill_level=0)
     spiluk_symbolic(ih, A)
