@@ -326,6 +326,23 @@ def bench_solvers(K):
     rows["gmres30_ilu0_400"] = dict(
         time_us=t_cyc / m * 1e6, gnnz_s=A.nnz / (t_cyc / m) / 1e9,
         iters=float(ghd.num_iters), solve_ms=ghd.num_iters * t_cyc / m * 1e3)
+
+    # --- GMRES(30) + ILU(0) with inexact Jacobi-sweep triangular solves
+    # (the apply is DIA SpMVs instead of two level-scheduled chains) ---
+    lu2 = LUPrec(L, U, jacobi_sweeps=2)
+    cyc2 = lambda xx, bb: _arnoldi_cycle(Ah, lu2, bb, xx, m, Ortho.CGS2)[0]
+
+    def mkg2(k):
+        return jax.jit(lambda xx, bb: jax.lax.fori_loop(
+            0, k, lambda i, x: cyc2(x, bb), xx))
+
+    t_cyc2 = chain_time(mkg2, (jnp.zeros_like(b), b), Kc)
+    gh2d = GmresHandle(m=m, tol=1e-6, max_restarts=20)
+    gmres(gh2d, Ah, b, prec=lu2)
+    rows["gmres30_ilu0jac2_400"] = dict(
+        time_us=t_cyc2 / m * 1e6, gnnz_s=A.nnz / (t_cyc2 / m) / 1e9,
+        iters=float(gh2d.num_iters),
+        solve_ms=gh2d.num_iters * t_cyc2 / m * 1e3)
     return rows
 
 

@@ -133,6 +133,29 @@ class TestGmres:
         assert s1.converged
         assert s1.num_iters <= s0.num_iters
 
+    def test_ilu_jacobi_sweep_apply(self, rng):
+        """Inexact Jacobi-sweep triangular solves in LUPrec: still a valid
+        fixed preconditioner — GMRES converges, and with enough sweeps the
+        apply matches the exact sptrsv apply."""
+        A = generate_diag_dominant_csr(120, 6, dtype=np.float64, seed=7)
+        b = rng.standard_normal(A.nrows)
+        hk = SpilukHandle(0)
+        spiluk_symbolic(hk, A)
+        L, U = spiluk_numeric(hk, A)
+        exact = LUPrec(L, U)
+        jac = LUPrec(L, U, jacobi_sweeps=3)
+        h0 = GmresHandle(m=10, tol=1e-9, max_restarts=40)
+        _, s0 = gmres(h0, A, b)
+        h1 = GmresHandle(m=10, tol=1e-9, max_restarts=40)
+        _, s1 = gmres(h1, A, b, prec=jac)
+        assert s1.converged
+        assert s1.num_iters <= s0.num_iters
+        # many sweeps -> the exact apply (diag-dominant factors contract fast)
+        jac_hi = LUPrec(L, U, jacobi_sweeps=60)
+        ya = np.asarray(exact.apply(b))
+        yb = np.asarray(jac_hi.apply(b))
+        assert np.abs(ya - yb).max() < 1e-8 * max(1.0, np.abs(ya).max())
+
     def test_singular_rhs_zero(self):
         A = generate_diag_dominant_csr(30, 3, dtype=np.float64, seed=8)
         b = np.zeros(A.nrows)

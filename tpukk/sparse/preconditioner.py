@@ -51,20 +51,63 @@ class JacobiPrec(Preconditioner):
         return self.inv_diag * x if x.ndim == 1 else self.inv_diag[:, None] * x
 
 
+class _JacobiTri:
+    """Inexact triangular solve by k Jacobi-Richardson sweeps:
+    x_{m+1} = D⁻¹(b − N x_m) with T = D + N — the inner-iteration idea of
+    the reference's two-stage GS (twostage_gauss_seidel_impl.hpp:120-256)
+    applied to the ILU apply.  The strict part N of an ILU factor of a
+    structured matrix is banded, so every sweep is a DIA pallas SpMV
+    (~10 us) instead of a level-by-level dependent chain."""
+
+    def __init__(self, T: CsrMatrix, sweeps: int):
+        import scipy.sparse as sps
+
+        Ts = T.to_scipy().tocsr()
+        d = Ts.diagonal()
+        self.inv_diag = jnp.asarray(
+            np.where(d != 0, 1.0 / d, 1.0).astype(T.host_values().dtype))
+        N = Ts.copy()
+        N.setdiag(0.0)
+        N.eliminate_zeros()
+        N.sort_indices()
+        self._hn = SpmvHandle(CsrMatrix.from_scipy(N))
+        self.sweeps = sweeps
+
+    def solve(self, b):
+        x = self.inv_diag * b
+        for _ in range(self.sweeps):
+            x = self.inv_diag * (b - self._hn(x))
+        return x
+
+
 class LUPrec(Preconditioner):
     """Apply (LU)⁻¹ via two sptrsv sweeps — cf. KokkosSparse_LUPrec.hpp
-    (the ILU-preconditioner composition of example/gmres/test_prec)."""
+    (the ILU-preconditioner composition of example/gmres/test_prec).
 
-    def __init__(self, L: CsrMatrix, U: CsrMatrix):
+    jacobi_sweeps=k switches to INEXACT triangular solves by k fixed
+    Jacobi-Richardson sweeps per factor: a fixed linear operator (so plain
+    GMRES/CG remain valid) whose apply is a handful of SpMVs instead of two
+    level-scheduled dependent chains — on TPU this trades a mild iteration
+    increase for a ~10x cheaper apply (see docs/PERF_NOTES.md)."""
+
+    def __init__(self, L: CsrMatrix, U: CsrMatrix,
+                 jacobi_sweeps: int | None = None):
         from .sptrsv import sptrsv_symbolic
 
         self._L, self._U = L, U
+        self._jl = self._ju = None
+        if jacobi_sweeps:
+            self._jl = _JacobiTri(L, jacobi_sweeps)
+            self._ju = _JacobiTri(U, jacobi_sweeps)
+            return
         self._hl = SptrsvHandle(lower=True)
         sptrsv_symbolic(self._hl, L)
         self._hu = SptrsvHandle(lower=False)
         sptrsv_symbolic(self._hu, U)
 
     def apply(self, x):
+        if self._jl is not None:
+            return self._ju.solve(self._jl.solve(x))
         y = sptrsv_solve(self._hl, self._L, x)
         return sptrsv_solve(self._hu, self._U, y)
 
