@@ -125,6 +125,84 @@ def bench_blas(n, K):
 
     t2 = chain_time(mk2, (Am,), 32)
     rows["gemm_2048"] = dict(time_us=t2 * 1e6, tflops=2 * m ** 3 / t2 / 1e12)
+
+    # dot (benchmarks/blas/blas1/KokkosBlas_dot_benchmark role): data-dependent
+    # chain x <- x * (x·x normalized) keeps the reduction on the critical path
+    def mk3(k):
+        def f(x):
+            def body(c, _):
+                d = jnp.dot(c, c)
+                return c * (0.999 + 1e-20 * d), None
+            return jax.lax.scan(body, x, None, length=k)[0]
+        return jax.jit(f)
+
+    t3 = chain_time(mk3, (x,), K)
+    rows["dot_16M"] = dict(time_us=t3 * 1e6, gbps=n * 4 / t3 / 1e9)
+
+    # gemv 4096x4096 (benchmarks/blas/blas2 role)
+    g = 4096
+    Ag = jax.device_put(rng.standard_normal((g, g)).astype(np.float32) / g)
+    xg = jax.device_put(rng.standard_normal(g).astype(np.float32))
+
+    def mk4(k):
+        return jax.jit(lambda a, v: jax.lax.scan(
+            lambda c, _: (a @ c * 0.5 + v, None), v, None, length=k)[0])
+
+    t4 = chain_time(mk4, (Ag, xg), K)
+    rows["gemv_4096"] = dict(time_us=t4 * 1e6, gbps=g * g * 4 / t4 / 1e9,
+                             gflops=2 * g * g / t4 / 1e9)
+    return rows
+
+
+def bench_spadd_spiluk(K):
+    """SpADD numeric reuse (perf_test/sparse/KokkosSparse_spadd.cpp role) and
+    SpILUK factor wall time per fill level (KokkosSparse_spiluk.cpp role)."""
+    import jax
+
+    from tpukk.containers import generate_diag_dominant_csr, generate_structured_laplacian
+    from tpukk.sparse.spadd import SpaddHandle, spadd_numeric, spadd_symbolic
+    from tpukk.sparse.spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
+
+    rows = {}
+    A = generate_structured_laplacian(400, 400, dtype=np.float32)
+    sp = A.to_scipy()
+    from tpukk.containers import CsrMatrix
+    B = CsrMatrix.from_scipy((sp + sp.T * 0.5).tocsr().astype(np.float32))
+    h = SpaddHandle(sorted_input=True)
+    t0 = time.perf_counter()
+    spadd_symbolic(h, A, B)
+    t_sym = time.perf_counter() - t0
+    C = spadd_numeric(h, 1.0, A, 2.0, B)
+    jax.block_until_ready(C.values)
+
+    def mk(k):
+        def f(av):
+            def body(i, v):
+                out = spadd_numeric(h, 1.0,
+                                    CsrMatrix.from_arrays(A.row_map, A.entries, v,
+                                                          A.nrows, A.ncols),
+                                    2.0, B)
+                return v * 0.5 + out.values[: v.shape[0]] * 1e-20
+            return jax.lax.fori_loop(0, k, body, av)
+        return jax.jit(f)
+
+    t = chain_time(mk, (A.values,), K)
+    rows["spadd_400"] = dict(time_us=t * 1e6, symbolic_s=t_sym,
+                             gnnz_s=(A.nnz + B.nnz) / t / 1e9)
+
+    D = generate_diag_dominant_csr(50_000, 12, dtype=np.float32, seed=3)
+    for k in (0, 1):
+        hk = SpilukHandle(fill_level=k)
+        t0 = time.perf_counter()
+        nnz = spiluk_symbolic(hk, D)
+        t_sym = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        L, U = spiluk_numeric(hk, D)
+        jax.block_until_ready(U.values)
+        t_num = time.perf_counter() - t0
+        rows[f"spiluk_k{k}_50k"] = dict(
+            time_us=t_num * 1e6, symbolic_s=t_sym,
+            gnnz_s=nnz / max(t_num, 1e-12) / 1e9)
     return rows
 
 
@@ -388,6 +466,41 @@ def bench_graph():
     return rows
 
 
+def bench_spmv_f64(K):
+    """BASELINE config 1 is 'SpMV double CSR' — f64 on TPU is software-
+    emulated by XLA (~1/10+ throughput); report the honest rate on the same
+    1000x1000 Laplacian through the XLA DIA path (the pallas kernels are
+    f32/bf16; f64 correctness parity lives in the CPU test sweep)."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import SpmvAlgorithm, SpmvHandle, spmv_impl
+
+    try:
+        A = generate_structured_laplacian(1000, 1000, dtype=np.float64)
+        h = SpmvHandle(A, SpmvAlgorithm.DIA)
+        plan = h._plan("dia")
+        rng = np.random.default_rng(0)
+        x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01))
+
+        def mk(k):
+            return jax.jit(lambda p, x: jax.lax.scan(
+                lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), x, None,
+                length=k)[0])
+
+        t = chain_time(mk, (plan, x0), K)
+        useful = A.nnz * 12 + (A.nrows + 1) * 4 + 2 * A.nrows * 8
+        return {"spmv_dia_f64": dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                     gflops=2 * A.nnz / t / 1e9)}
+    except Exception as e:  # f64 unsupported on some backends — report, skip
+        print(f"spmv_dia_f64 skipped: {type(e).__name__}: {e}")
+        return {}
+
+
 def bench_spgemm(n_side, K=10):
     """Symbolic one-shot (host phase, wall time) + chained numeric reuse —
     the same-sparsity handle-reuse pattern of KokkosSparse_spgemm.cpp."""
@@ -454,6 +567,8 @@ def main():
     results.update(bench_sptrsv(max(10, args.chain // 16)))
     results.update(bench_solvers(max(20, args.chain // 8)))
     results.update(bench_graph())
+    results.update(bench_spadd_spiluk(max(20, args.chain // 8)))
+    results.update(bench_spmv_f64(max(10, args.chain // 16)))
 
     keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "gpair_s", "levels",
             "iters", "solve_ms", "colors"]

@@ -30,8 +30,9 @@ class SpaddHandle:
         self.is_symbolic_called = False
         self.row_map_c = None
         self.entries_c = None
-        self.a_pos = None
-        self.b_pos = None
+        self.sort_key = None   # slot plan (2*c_idx / 2*c_idx+1 / pads)
+        self.n_pad = 0
+        self.nnz_c = 0
         self.shape = None
 
 
@@ -56,23 +57,23 @@ def spadd_symbolic(handle: SpaddHandle, A: CsrMatrix, B: CsrMatrix):
     row_map_c = np.zeros(n + 1, np.int32)
     np.add.at(row_map_c[1:], rows_c, 1)
     row_map_c = np.cumsum(row_map_c).astype(np.int32)
-    # position maps via searchsorted (A/B keys must be unique per matrix)
-    a_sorted_order = np.argsort(a_keys, kind="stable")
-    b_sorted_order = np.argsort(b_keys, kind="stable")
-    a_pos = np.full(nnz_c, -1, np.int64)
-    b_pos = np.full(nnz_c, -1, np.int64)
-    ia = np.searchsorted(a_keys[a_sorted_order], uniq)
-    hit_a = (ia < a_keys.size)
-    hit_a[hit_a] &= a_keys[a_sorted_order][ia[hit_a]] == uniq[hit_a]
-    a_pos[hit_a] = a_sorted_order[ia[hit_a]]
-    ib = np.searchsorted(b_keys[b_sorted_order], uniq)
-    hit_b = ib < b_keys.size
-    hit_b[hit_b] &= b_keys[b_sorted_order][ib[hit_b]] == uniq[hit_b]
-    b_pos[hit_b] = b_sorted_order[ib[hit_b]]
+    # slot plan: contribution of A entry j lands in slot 2·c_idx, of B entry
+    # in 2·c_idx+1; numeric is then ONE keyed lax.sort (scatter-by-sort, see
+    # common.utils.permute_via_sort — jnp.take gathers here cost ~13 ms at
+    # 800k nnz) followed by a pairwise reshape-sum.
+    c_of_a = np.searchsorted(uniq, a_keys)
+    c_of_b = np.searchsorted(uniq, b_keys)
+    slot = np.concatenate([2 * c_of_a, 2 * c_of_b + 1])
+    n_tot = 2 * nnz_c
+    used = np.zeros(n_tot, bool)
+    used[slot] = True
+    free = np.nonzero(~used)[0]
+    handle.sort_key = jnp.asarray(
+        np.concatenate([slot, free]).astype(np.int32))
+    handle.n_pad = int(free.size)
+    handle.nnz_c = nnz_c
     handle.row_map_c = row_map_c
     handle.entries_c = cols_c
-    handle.a_pos = jnp.asarray(a_pos.astype(np.int32))
-    handle.b_pos = jnp.asarray(b_pos.astype(np.int32))
     handle.shape = A.shape
     handle.is_symbolic_called = True
     return row_map_c
@@ -80,10 +81,12 @@ def spadd_symbolic(handle: SpaddHandle, A: CsrMatrix, B: CsrMatrix):
 
 def spadd_numeric(handle: SpaddHandle, alpha, A: CsrMatrix, beta, B: CsrMatrix) -> CsrMatrix:
     check(handle.is_symbolic_called, "spadd_numeric: call spadd_symbolic first")
-    a_take = jnp.take(A.values, jnp.maximum(handle.a_pos, 0))
-    b_take = jnp.take(B.values, jnp.maximum(handle.b_pos, 0))
-    vals = (alpha * jnp.where(handle.a_pos >= 0, a_take, 0)
-            + beta * jnp.where(handle.b_pos >= 0, b_take, 0)).astype(A.dtype)
+    v = jnp.concatenate([
+        (alpha * A.values).astype(A.dtype),
+        (beta * B.values).astype(A.dtype),
+        jnp.zeros(handle.n_pad, A.dtype)])
+    _, vs = jax.lax.sort((handle.sort_key, v), num_keys=1)
+    vals = vs.reshape(handle.nnz_c, 2).sum(axis=1).astype(A.dtype)
     return CsrMatrix.from_arrays(
         jnp.asarray(handle.row_map_c), jnp.asarray(handle.entries_c), vals,
         nrows=handle.shape[0], ncols=handle.shape[1])
