@@ -466,6 +466,55 @@ def bench_graph():
     return rows
 
 
+def bench_spmv_struct3d(K):
+    """3-D 7-point FD stencil SpMV, 100³ grid (the struct-grid perf case of
+    perf_test/sparse/KokkosSparse_spmv_struct.cpp) — routes through
+    spmv_struct's stencil check into the fused DIA pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import SpmvAlgorithm, SpmvHandle, spmv_pallas
+    from tpukk.sparse.spmv_struct import spmv_struct, structured_stencil_offsets
+
+    A = generate_structured_laplacian(100, 100, 100, dtype=np.float32)
+    # entry-point validation (stencil offsets subset check) once
+    x = jnp.ones(A.ncols, jnp.float32)
+    jax.block_until_ready(spmv_struct(A, (100, 100, 100), x))
+    h = SpmvHandle(A, SpmvAlgorithm.DIA)
+    rng = np.random.default_rng(0)
+    useful = A.nnz * 8 + (A.nrows + 1) * 4 + 2 * A.nrows * 4
+    if spmv_pallas.supports_pallas():
+        plan = h._plan("dia_pallas")
+        x0 = jax.device_put(
+            (rng.standard_normal(plan.n_pad + plan.W) * 0.01).astype(np.float32))
+
+        def body(p, c):
+            y = spmv_pallas._dia_call(c, *p.dlist, offsets=p.offsets,
+                                      chunk=p.chunk, interpret=False)
+            return jnp.pad(y * 0.125, (0, p.W))
+
+        def mk(k):
+            return jax.jit(lambda p, xx: jax.lax.scan(
+                lambda c, _: (body(p, c), None), xx, None, length=k)[0])
+
+        t = chain_time(mk, (plan, x0), K)
+    else:
+        from tpukk.sparse import spmv_impl
+
+        plan = h._plan("dia")
+        x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(np.float32))
+
+        def mk(k):
+            return jax.jit(lambda p, xx: jax.lax.scan(
+                lambda c, _: (spmv_impl.apply_dia(p, c) * 0.125, None), xx,
+                None, length=k)[0])
+
+        t = chain_time(mk, (plan, x0), max(10, K // 4))
+    return {"spmv_struct3d_7pt_1M": dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                         gflops=2 * A.nnz / t / 1e9)}
+
+
 def bench_spmv_f64(K):
     """BASELINE config 1 is 'SpMV double CSR' — f64 on TPU is software-
     emulated by XLA (~1/10+ throughput); report the honest rate on the same
@@ -568,6 +617,7 @@ def main():
     results.update(bench_solvers(max(20, args.chain // 8)))
     results.update(bench_graph())
     results.update(bench_spadd_spiluk(max(20, args.chain // 8)))
+    results.update(bench_spmv_struct3d(max(25, args.chain // 8)))
     results.update(bench_spmv_f64(max(10, args.chain // 16)))
 
     keys = ["time_us", "gbps", "gflops", "tflops", "gnnz_s", "gpair_s", "levels",

@@ -142,3 +142,26 @@ def test_point_onehot_block_path_matches_ell(rng, monkeypatch):
     h.blocks = [dataclasses.replace(blk, oh_plan=None) for blk in h.blocks]
     x2 = gsmod._point_half_sweep(h, x0, b, True)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=2e-6, atol=2e-6)
+
+
+def test_multivector_apply(rng):
+    """Rank-2 apply sweeps each column like per-column rank-1 applies
+    (the reference's batched multi-vector GS apply)."""
+    import jax.numpy as jnp
+
+    from tpukk.containers import generate_diag_dominant_csr
+    from tpukk.sparse.gauss_seidel import (GsHandle, gauss_seidel_apply,
+                                           gauss_seidel_numeric,
+                                           gauss_seidel_symbolic)
+
+    A = generate_diag_dominant_csr(60, 5, dtype=np.float64, seed=11)
+    h = GsHandle()
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A)
+    B = rng.standard_normal((A.nrows, 3))
+    X2 = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(B),
+                                       num_sweeps=2))
+    for j in range(3):
+        xj = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(B[:, j]),
+                                           num_sweeps=2))
+        np.testing.assert_allclose(X2[:, j], xj, rtol=1e-12, atol=1e-12)

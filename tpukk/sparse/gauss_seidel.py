@@ -299,8 +299,16 @@ def symmetric_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
 
 def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
                        num_sweeps: int = 1, direction: str = "symmetric"):
-    """x may be None (zero initial guess, the init_zero_x_vector flag)."""
+    """x may be None (zero initial guess, the init_zero_x_vector flag).
+    Rank-2 x/b (multivector, the reference's batched apply —
+    cluster_gauss_seidel_impl.hpp 16-wide) sweeps each column."""
     check(handle.is_numeric_called, "gauss_seidel_apply: numeric first")
+    if b.ndim == 2:
+        cols = [gauss_seidel_apply(
+            handle, A, None if x is None else x[:, j], b[:, j],
+            num_sweeps=num_sweeps, direction=direction)
+            for j in range(b.shape[1])]
+        return jnp.stack(cols, axis=1)
     if x is None:
         x = jnp.zeros_like(b)
     if handle.algorithm == GsAlgorithm.TWOSTAGE:
