@@ -120,3 +120,43 @@ class TestDistPcg:
         assert float(rel) < 1e-8
         r = A.to_scipy() @ np.asarray(x)[:A.nrows] - b[:A.nrows]
         assert np.linalg.norm(r) / np.linalg.norm(b[:A.nrows]) < 1e-7
+
+
+class TestDistGmres:
+    def test_allgather_schedule(self, mesh, rng):
+        from tpukk.dist import dist_gmres, partition_rows, shard_partition
+        from tpukk.containers import generate_diag_dominant_csr
+
+        A = generate_diag_dominant_csr(120, 6, dtype=np.float64, seed=5)
+        plan = shard_partition(partition_rows(A, mesh.devices.size), mesh)
+        b = rng.standard_normal(A.nrows)
+        bp = _pad(b, plan.padded_rows)
+        x, iters, rel = dist_gmres(plan, jnp.asarray(bp), mesh, m=20,
+                                   tol=1e-10, max_restarts=30)
+        assert rel <= 1e-10
+        xr = np.asarray(x)[: A.nrows]
+        ref = A.to_scipy() @ xr - b
+        assert np.abs(ref).max() < 1e-8 * max(1, np.abs(b).max())
+
+    def test_halo_schedule_jacobi_prec(self, mesh, rng):
+        from tpukk.dist import build_halo_plan, dist_gmres, shard_halo_plan
+
+        A = generate_structured_laplacian(16, 12, dtype=np.float64)
+        sp = A.to_scipy().tocsr()
+        sp.setdiag(sp.diagonal() + 1.0)
+        from tpukk.containers import CsrMatrix
+        M = CsrMatrix.from_scipy(sp)
+        plan = build_halo_plan(M, mesh.devices.size)
+        rpp = plan.rows_per_part
+        plan = shard_halo_plan(plan, mesh)
+        b = rng.standard_normal(M.nrows)
+        bp = _pad(b, mesh.devices.size * rpp)
+        d = sp.diagonal()
+        invd = _pad(1.0 / d, mesh.devices.size * rpp)
+        x, iters, rel = dist_gmres(plan, jnp.asarray(bp), mesh, m=25,
+                                   tol=1e-9, max_restarts=40,
+                                   inv_diag=jnp.asarray(invd))
+        assert rel <= 1e-9
+        xr = np.asarray(x)[: M.nrows]
+        res = sp @ xr - b
+        assert np.abs(res).max() < 1e-7 * max(1, np.abs(b).max())

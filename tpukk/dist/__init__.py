@@ -9,6 +9,7 @@ from .spgemm import (
 )
 from .spmv import (
     dist_cg_step,
+    dist_gmres,
     dist_pcg,
     dist_dot,
     dist_spmv,

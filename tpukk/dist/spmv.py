@@ -19,7 +19,7 @@ from .halo import HaloPlan
 from .partition import RowPartition, partition_rows
 
 __all__ = ["shard_partition", "dist_spmv", "dist_dot", "dist_cg_step",
-           "shard_halo_plan", "dist_spmv_halo", "dist_pcg"]
+           "shard_halo_plan", "dist_spmv_halo", "dist_pcg", "dist_gmres"]
 
 
 def shard_partition(plan: RowPartition, mesh: Mesh, axis: str = "parts"):
@@ -168,3 +168,42 @@ def dist_pcg(plan, b_padded, mesh: Mesh, tol: float = 1e-8,
         return x, k, jnp.sqrt(rr / jnp.where(bb == 0, 1.0, bb))
 
     return solve(b_padded)
+
+
+def dist_gmres(plan, b_padded, mesh: Mesh, m: int = 30, tol: float = 1e-8,
+               max_restarts: int = 10, inv_diag=None, axis: str = "parts"):
+    """Distributed restarted GMRES(m) on row-sharded vectors.
+
+    The Arnoldi cycle is the single-device one (sparse/gmres._arnoldi_cycle —
+    pure jnp ops): the SpMV is the shard_map'd distributed schedule
+    (all-gather RowPartition or halo-plan all_to_all), and GSPMD partitions
+    the (m+1, N) Krylov basis over the mesh axis, inserting psums for the
+    orthogonalization dots.  `inv_diag` (row-sharded) enables Jacobi
+    preconditioning.  Returns (x_padded, iters, rel_res)."""
+    import numpy as np
+
+    from ..sparse.gmres import Ortho, _arnoldi_cycle
+
+    spmv_fn = dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
+
+    class _Prec:
+        def apply(self, r):
+            return r if inv_diag is None else inv_diag * r
+
+    Ah = lambda v: spmv_fn(plan, v, mesh, axis)
+    prec = _Prec()
+    spec = NamedSharding(mesh, P(axis))
+    b = jax.device_put(jnp.asarray(b_padded), spec)
+    m = min(m, int(b.shape[0]) - 1)
+    cycle = jax.jit(lambda xx, bb: _arnoldi_cycle(Ah, prec, bb, xx, m, Ortho.CGS2))
+    bnorm = float(np.sqrt(np.asarray(dist_dot(b, b, mesh, axis)))) or 1.0
+    x = jnp.zeros_like(b)
+    iters, rel = 0, float("inf")
+    for _ in range(max_restarts):
+        x, _ = cycle(x, b)
+        iters += m
+        r = b - Ah(x)
+        rel = float(np.sqrt(np.asarray(dist_dot(r, r, mesh, axis)))) / bnorm
+        if rel <= tol:
+            break
+    return x, iters, rel
