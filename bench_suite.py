@@ -466,6 +466,56 @@ def bench_graph():
     return rows
 
 
+def bench_spmv_bsr(K, b=8):
+    """BSR SpMV via batched MXU block contraction
+    (perf_test/sparse/KokkosSparse_spmv_bsr.cpp role): 2D Laplacian block
+    graph, 8x8 blocks, 200k scalar rows."""
+    import jax
+    import scipy.sparse as sps
+
+    from tpukk.containers import BsrMatrix, generate_structured_laplacian
+    from tpukk.sparse import spmv_impl
+
+    G = generate_structured_laplacian(158, 158, dtype=np.float32)  # ~25k block rows
+    sp = G.to_scipy().tocsr()
+    rng = np.random.default_rng(4)
+    nb = sp.nnz
+    blocks = (rng.standard_normal((nb, b, b)) * 0.05).astype(np.float32)
+    bsr = sps.bsr_matrix((blocks, sp.indices, sp.indptr),
+                         shape=(sp.shape[0] * b, sp.shape[1] * b))
+    A = BsrMatrix.from_scipy_bsr(bsr)
+    x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01).astype(np.float32))
+    nnz = nb * b * b
+    useful = nnz * 4 + nb * 4 + (A.n_block_rows + 1) * 4 + 2 * A.nrows * 4
+    out = {}
+
+    # public AUTO route (banded block graph -> scalar-DIA streaming kernel)
+    from tpukk.sparse import SpmvHandle
+
+    h = SpmvHandle(A)
+
+    def mkh(k):
+        return jax.jit(lambda xx: jax.lax.scan(
+            lambda c, _: (h.matvec(c) * 0.125, None), xx, None, length=k)[0])
+
+    t = chain_time(mkh, (x0,), K)
+    out["spmv_bsr8_200k"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                 gflops=2 * nnz / t / 1e9)
+
+    # explicit block gather+contract path (the generic unstructured route)
+    rows = spmv_impl.build_bsr_rows(A)
+
+    def mk(k):
+        return jax.jit(lambda r, xx: jax.lax.scan(
+            lambda c, _: (spmv_impl.apply_bsr(A, r, c) * 0.125, None), xx,
+            None, length=k)[0])
+
+    t = chain_time(mk, (rows, x0), max(5, K // 5))
+    out["spmv_bsr8_block_gather"] = dict(time_us=t * 1e6, gbps=useful / t / 1e9,
+                                         gflops=2 * nnz / t / 1e9)
+    return out
+
+
 def bench_spmv_struct3d(K):
     """3-D 7-point FD stencil SpMV, 100³ grid (the struct-grid perf case of
     perf_test/sparse/KokkosSparse_spmv_struct.cpp) — routes through
@@ -617,6 +667,7 @@ def main():
     results.update(bench_solvers(max(20, args.chain // 8)))
     results.update(bench_graph())
     results.update(bench_spadd_spiluk(max(20, args.chain // 8)))
+    results.update(bench_spmv_bsr(max(25, args.chain // 8)))
     results.update(bench_spmv_struct3d(max(25, args.chain // 8)))
     results.update(bench_spmv_f64(max(10, args.chain // 16)))
 

@@ -1,6 +1,7 @@
 """SpMV oracle tests — analog of sparse/unit_test/Test_Sparse_spmv.hpp:
 sequential host reference (scipy) + scaled-eps tolerance (:76-181), mode
 N/T/C coverage, multivector (:211), alpha/beta sweep."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -176,3 +177,32 @@ def test_onehot_spmm_interpret(rng):
             plan = build_onehot_spmv_plan(A, layout=layout)
             Y = np.asarray(onehot_spmm(plan, jnp.asarray(X), interpret=True))
             _check(Y, ref, np.float32)
+
+
+def test_bsr_banded_routes_to_dia(rng):
+    """AUTO on a banded block graph routes through the scalar-DIA expansion
+    (the MXU/streaming analog of SPMV_BSR_TC special-casing) and matches the
+    scipy BSR product exactly."""
+    import scipy.sparse as sps
+
+    from tpukk.containers import BsrMatrix, generate_structured_laplacian
+    from tpukk.sparse import SpmvAlgorithm, SpmvHandle
+
+    G = generate_structured_laplacian(12, 12, dtype=np.float32)
+    sp = G.to_scipy().tocsr()
+    b = 4
+    blocks = (rng.standard_normal((sp.nnz, b, b)) * 0.1).astype(np.float32)
+    bsr = sps.bsr_matrix((blocks, sp.indices, sp.indptr),
+                         shape=(sp.shape[0] * b, sp.shape[1] * b))
+    A = BsrMatrix.from_scipy_bsr(bsr)
+    h = SpmvHandle(A)
+    assert h.algorithm == SpmvAlgorithm.DIA
+    x = rng.standard_normal(A.ncols).astype(np.float32)
+    y = np.asarray(h(jnp.asarray(x)))
+    ref = bsr.tocsr() @ x
+    assert np.abs(y - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+    # explicit BSR algorithm still uses the block gather path
+    hb = SpmvHandle(A, SpmvAlgorithm.BSR)
+    assert hb.algorithm == SpmvAlgorithm.BSR
+    yb = np.asarray(hb(jnp.asarray(x)))
+    assert np.abs(yb - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())

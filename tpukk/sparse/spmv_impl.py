@@ -228,7 +228,10 @@ def detect_dia_offsets(A: CsrMatrix, max_diags: int = 32) -> Optional[np.ndarray
 
 def build_dia_plan(A: CsrMatrix, offsets: Optional[np.ndarray] = None) -> DiaPlan:
     if offsets is None:
-        offsets = detect_dia_offsets(A)
+        # explicit DIA requests accept wider bands than the AUTO gate (a
+        # b-block banded BSR expands to (2b-1) scalar diagonals per block
+        # diagonal — the BSR->DIA route needs ~75-128)
+        offsets = detect_dia_offsets(A, max_diags=256)
         if offsets is None:
             raise ValueError("build_dia_plan: matrix is not banded enough; use ELL")
     rm = A.host_row_map()

@@ -119,7 +119,18 @@ class DiaPallasPlan:
 
 
 def build_dia_pallas_plan(dia_plan, chunk: int = 128 * 1024) -> DiaPallasPlan:
-    return DiaPallasPlan(dia_plan, chunk)
+    # scale the chunk so the per-step VMEM residency (k diagonal blocks + the
+    # x window, f32) stays within the ~16 MB scoped-vmem budget — wide bands
+    # (e.g. the BSR->scalar-DIA route: (2b-1) diagonals per block diagonal)
+    # otherwise OOM the stack at the default 128k chunk
+    k = len(dia_plan.offsets)
+    budget_elems = (6 * 1024 * 1024) // 4
+    c = min(chunk, max(1, budget_elems // (k + 2)) // 1024 * 1024)
+    span = int(max(dia_plan.offsets)) - int(min(dia_plan.offsets))
+    from ..common import round_up as _ru
+
+    c = max(c, _ru(span + 129, 1024))
+    return DiaPallasPlan(dia_plan, c)
 
 
 def dia_spmv(plan, x, interpret: bool = False):
