@@ -318,11 +318,16 @@ void tpukk_spgemm_pairs(int64_t n, const int32_t* rmA, const int32_t* ciA,
                         int64_t bcols, const int32_t* rmB, const int32_t* ciB,
                         const int32_t* row_map_c, int32_t* entries_c,
                         int32_t* a_idx, int32_t* b_idx, int32_t* c_idx) {
-  std::vector<int64_t> marker(bcols, -1);
-  std::vector<int32_t> rowcols;
-  std::vector<int64_t> cnt, off;
-  // global pair offset per C entry = prefix over per-entry pair counts
-  // (computed row-locally; rows are independent)
+  // O(1) column -> local slot map; the sorted unique row pattern is
+  // extracted from a per-row column BITMAP (epoch-reset words + ctz scan)
+  // instead of std::sort — the comparison sort dominated at 50M pairs.
+  std::vector<int64_t> loc_of(bcols, 0);
+  const int64_t nwords = (bcols + 63) >> 6;
+  std::vector<uint64_t> bits(nwords, 0);
+  std::vector<int64_t> wepoch(nwords, -1);
+  std::vector<int32_t> touched;
+  touched.reserve(nwords);
+  std::vector<int64_t> cnt, off, cur;
   std::vector<int64_t> pair_base(n + 1, 0);
   for (int64_t i = 0; i < n; ++i) {
     int64_t p = 0;
@@ -331,41 +336,58 @@ void tpukk_spgemm_pairs(int64_t n, const int32_t* rmA, const int32_t* ciA,
     pair_base[i + 1] = pair_base[i] + p;
   }
   for (int64_t i = 0; i < n; ++i) {
-    // pattern of row i (sorted)
-    rowcols.clear();
+    // mark the row pattern in the bitmap
+    touched.clear();
+    int64_t npairs_row = pair_base[i + 1] - pair_base[i];
     for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
       int32_t k = ciA[ap];
       for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
         int32_t c = ciB[bp];
-        if (marker[c] != i) {
-          marker[c] = i;
-          rowcols.push_back(c);
+        int64_t w = c >> 6;
+        if (wepoch[w] != i) {
+          wepoch[w] = i;
+          bits[w] = 0;
+          touched.push_back((int32_t)w);
         }
+        bits[w] |= (uint64_t)1 << (c & 63);
       }
     }
-    std::sort(rowcols.begin(), rowcols.end());
+    // extract sorted unique columns: scan all words when the row is dense
+    // enough, else sort the (much shorter) touched-word list
     int64_t r0 = row_map_c[i];
-    for (size_t t = 0; t < rowcols.size(); ++t) entries_c[r0 + t] = rowcols[t];
-    // per-entry pair counts -> local offsets
-    size_t w = rowcols.size();
-    cnt.assign(w, 0);
-    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
-      int32_t k = ciA[ap];
-      for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
-        size_t loc = std::lower_bound(rowcols.begin(), rowcols.end(), ciB[bp]) -
-                     rowcols.begin();
-        cnt[loc]++;
+    size_t w_out = 0;
+    auto emit_word = [&](int64_t w) {
+      uint64_t m = bits[w];
+      while (m) {
+        int b = __builtin_ctzll(m);
+        m &= m - 1;
+        int32_t col = (int32_t)((w << 6) | b);
+        entries_c[r0 + w_out] = col;
+        loc_of[col] = (int64_t)w_out;
+        ++w_out;
       }
+    };
+    if (npairs_row * 8 >= nwords) {
+      for (int64_t w = 0; w < nwords; ++w)
+        if (wepoch[w] == i) emit_word(w);
+    } else {
+      std::sort(touched.begin(), touched.end());
+      for (int32_t w : touched) emit_word(w);
     }
-    off.assign(w + 1, 0);
-    for (size_t t = 0; t < w; ++t) off[t + 1] = off[t] + cnt[t];
+    // per-entry pair counts -> local offsets
+    cnt.assign(w_out, 0);
+    for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
+      int32_t k = ciA[ap];
+      for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) cnt[loc_of[ciB[bp]]]++;
+    }
+    off.assign(w_out + 1, 0);
+    for (size_t t = 0; t < w_out; ++t) off[t + 1] = off[t] + cnt[t];
     int64_t base = pair_base[i];
-    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    cur.assign(off.begin(), off.end() - 1);
     for (int32_t ap = rmA[i]; ap < rmA[i + 1]; ++ap) {
       int32_t k = ciA[ap];
       for (int32_t bp = rmB[k]; bp < rmB[k + 1]; ++bp) {
-        size_t loc = std::lower_bound(rowcols.begin(), rowcols.end(), ciB[bp]) -
-                     rowcols.begin();
+        size_t loc = (size_t)loc_of[ciB[bp]];
         int64_t slot = base + cur[loc]++;
         a_idx[slot] = ap;
         b_idx[slot] = bp;
