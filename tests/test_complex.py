@@ -26,15 +26,18 @@ def cmat(rng):
 
 
 class TestComplexSparse:
-    @pytest.mark.parametrize("mode", ["N", "T", "C"])
+    @pytest.mark.parametrize("mode", ["N", "T", "C", "H"])
     def test_spmv_modes(self, rng, cmat, mode):
+        # reference mode taxonomy (KokkosSparse_spmv.hpp:126): C = conjugate
+        # WITHOUT transpose, H = conjugate transpose
         from tpukk.sparse import spmv
         sp, D = cmat
         A = CsrMatrix.from_scipy(sp)
         x = jnp.asarray(rng.standard_normal(50) + 1j * rng.standard_normal(50))
         y = np.asarray(spmv(A, x, mode=mode))
         ref = {"N": D @ np.asarray(x), "T": D.T @ np.asarray(x),
-               "C": D.conj().T @ np.asarray(x)}[mode]
+               "C": D.conj() @ np.asarray(x),
+               "H": D.conj().T @ np.asarray(x)}[mode]
         np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
 
     def test_spgemm_spadd(self, cmat):

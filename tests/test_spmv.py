@@ -42,12 +42,17 @@ def test_spmv_alpha_beta(alpha, beta, rng):
     _check(spmv(A, x, alpha=alpha, beta=beta, y=y, algorithm=SpmvAlgorithm.ELL), ref, np.float64)
 
 
-@pytest.mark.parametrize("mode", ["T", "C"])
+@pytest.mark.parametrize("mode", ["T", "H"])
 def test_spmv_transpose(mode, rng):
+    # real scalars: T and H (conjugate transpose) coincide; C = conjugate
+    # without transpose (KokkosSparse_spmv.hpp:126) is the N shape
     A = generate_random_csr(60, 40, 5, seed=7, dtype=np.float64)
     x = rng.standard_normal(A.nrows)
     ref = A.to_scipy().T @ x
     _check(spmv(A, x, mode=mode, algorithm=SpmvAlgorithm.ELL), ref, np.float64)
+    xc = rng.standard_normal(A.ncols)
+    _check(spmv(A, xc, mode="C", algorithm=SpmvAlgorithm.ELL),
+           A.to_scipy() @ xc, np.float64)
 
 
 def test_spmm_multivector(rng):

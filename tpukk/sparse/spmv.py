@@ -6,9 +6,11 @@ handle in sparse/src/KokkosSparse_spmv_handle.hpp.
     h = SpmvHandle(A, algorithm=...)    # reusable plan (symbolic phase)
     y = h(x)                            # numeric phase, jit-friendly
 
-Modes 'N'/'T'/'C' follow the reference; transpose modes materialize Aᵀ at plan
-time instead of scatter+atomics (SURVEY.md §2.10: TPUs have no fast global
-atomics; the reference also recommends materialization for repeated use,
+Modes follow the reference taxonomy (KokkosSparse_spmv.hpp:126: 'N' no
+transpose, 'T' transpose, 'C' conjugate WITHOUT transpose, 'H' conjugate
+transpose).  Transpose modes materialize Aᵀ at plan time instead of
+scatter+atomics (SURVEY.md §2.10: TPUs have no fast global atomics; the
+reference also recommends materialization for repeated use,
 KokkosSparse_spmv_impl.hpp:381-511 being the atomics path we reject).
 """
 from __future__ import annotations
@@ -79,6 +81,7 @@ class SpmvHandle:
         self.algorithm = algorithm
         self._plans = {}
         self._transposed: Optional["SpmvHandle"] = None
+        self._conjugated: Optional["SpmvHandle"] = None
 
     # -- plan construction (symbolic phase, host-side, cached) ----------
     def _plan(self, key):
@@ -122,6 +125,16 @@ class SpmvHandle:
             self._transposed = SpmvHandle(_transpose(self.A), self.algorithm)
         return self._transposed
 
+    def conjugated(self) -> "SpmvHandle":
+        """Handle on conj(A) — identical plan shapes, conjugated values."""
+        if self._conjugated is None:
+            if not jnp.iscomplexobj(self.A.values):
+                self._conjugated = self
+            else:
+                self._conjugated = SpmvHandle(
+                    self.A.with_values(jnp.conj(self.A.values)), self.algorithm)
+        return self._conjugated
+
     # -- numeric phase --------------------------------------------------
     def matvec(self, x):
         """op-free A·x (or A·X for multivector)."""
@@ -160,14 +173,13 @@ class SpmvHandle:
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None, mode: str = "N"):
         m = mode.upper()
-        check(m in ("N", "T", "C"), f"spmv: invalid mode '{mode}'")
+        check(m in ("N", "T", "C", "H"), f"spmv: invalid mode '{mode}'")
         h = self
-        if m in ("T", "C"):
+        if m in ("T", "H"):
             h = self.transposed()
-            if m == "C" and jnp.iscomplexobj(self.A.values):
-                # conj(A)ᵀ x = conj(Aᵀ conj(x)) for real alpha — materialize
-                # conjugated values instead to keep one code path.
-                h = SpmvHandle(h.A.with_values(jnp.conj(h.A.values)), h.algorithm)
+        if m in ("C", "H"):
+            # materialize conjugated values (cached) to keep one code path
+            h = h.conjugated()
         _check_dims(h.A, x, y, m)
         ax = h.matvec(x)
         if y is None or _is_zero(beta):
