@@ -316,3 +316,81 @@ class TestBandStorage:
             Ub2[t, : n - t] = np.diag(U2, t)
         xu = np.asarray(tbsv_banded(jnp.asarray(Ub2), jnp.asarray(b), lower=False))
         assert np.abs(sla.solve_triangular(U2, b, lower=False) - xu).max() < 1e-10
+
+
+class TestGeneralEig:
+    """General nonsymmetric eigendecomposition — oracle = numpy.linalg.eig
+    (reference: KokkosBatched_Eigendecomposition, Hessenberg + QR to Schur,
+    er/ei + left/right eigenvectors)."""
+
+    @staticmethod
+    def _match_multisets(got, ref, tol):
+        # pair greedily by nearest distance (sort keys are unstable when real
+        # parts agree to 1 ulp)
+        ref = list(ref)
+        for g in got:
+            j = int(np.argmin([abs(g - r) for r in ref]))
+            assert abs(g - ref[j]) < tol, (g, ref[j])
+            ref.pop(j)
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 6, 12])
+    def test_eig_random(self, rng, n):
+        from tpukk.batched import eig
+
+        A = rng.standard_normal((3, n, n))
+        w, VL, VR = eig(jnp.asarray(A))
+        w, VL, VR = np.asarray(w), np.asarray(VL), np.asarray(VR)
+        for b in range(3):
+            self._match_multisets(w[b], np.linalg.eigvals(A[b]),
+                                  1e-8 * max(1, np.abs(A[b]).sum()))
+            for i in range(n):
+                assert np.linalg.norm(A[b] @ VR[b][:, i] - w[b, i] * VR[b][:, i]) < 1e-10 * n
+                assert np.linalg.norm(np.conj(VL[b][:, i]) @ A[b] - w[b, i] * np.conj(VL[b][:, i])) < 1e-10 * n
+
+    def test_schur_similarity(self, rng):
+        from tpukk.batched import schur
+
+        A = rng.standard_normal((2, 7, 7))
+        T, Z = schur(jnp.asarray(A))
+        T, Z = np.asarray(T), np.asarray(Z)
+        for b in range(2):
+            assert np.abs(np.tril(T[b], -1)).max() < 1e-12
+            assert np.abs(Z[b] @ T[b] @ Z[b].conj().T - A[b]).max() < 1e-10
+            assert np.abs(Z[b].conj().T @ Z[b] - np.eye(7)).max() < 1e-12
+
+    def test_eig_complex_input(self, rng):
+        from tpukk.batched import eigenvalues
+
+        A = (rng.standard_normal((2, 5, 5)) + 1j * rng.standard_normal((2, 5, 5)))
+        w = np.asarray(eigenvalues(jnp.asarray(A)))
+        for b in range(2):
+            self._match_multisets(w[b], np.linalg.eigvals(A[b]), 1e-9)
+
+    def test_eigendecomposition_pairs_adjacent(self, rng):
+        from tpukk.batched import eigendecomposition
+
+        # real matrix with complex pairs: er/ei store a+bi, a-bi consecutively
+        # (Eigendecomposition_Decl.hpp convention)
+        A = rng.standard_normal((1, 6, 6))
+        er, ei, UL, UR = eigendecomposition(jnp.asarray(A))
+        er, ei = np.asarray(er)[0], np.asarray(ei)[0]
+        i = 0
+        while i < 6:
+            if abs(ei[i]) > 1e-10:
+                assert abs(er[i] - er[i + 1]) < 1e-8
+                assert abs(ei[i] + ei[i + 1]) < 1e-8
+                assert ei[i] > 0  # a+bi first
+                i += 2
+            else:
+                i += 1
+
+    def test_eig_f32(self, rng):
+        from tpukk.batched import eig
+
+        A = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        w, _, VR = eig(jnp.asarray(A))
+        w, VR = np.asarray(w), np.asarray(VR)
+        for b in range(2):
+            for i in range(4):
+                r = np.linalg.norm(A[b] @ VR[b][:, i] - w[b, i] * VR[b][:, i])
+                assert r < 1e-4
