@@ -137,3 +137,18 @@ def test_triangle_count_random_vs_dense():
     expected = int(np.trace(d @ d @ d) // 6)
     assert triangle_count(A) == expected
     assert triangle_count_per_row(A).sum() == expected
+
+
+def test_coloring_algorithm_aliases(rng):
+    # VBBIT/VBD/VBDBIT/EB accepted (Distance1ColorHandle.hpp taxonomy) and
+    # deterministic: identical colors across variants and repeat runs
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.graph import ColoringAlgorithm, graph_color, verify_coloring
+
+    A = generate_structured_laplacian(12, 12, dtype=np.float64)
+    base = graph_color(A, ColoringAlgorithm.VB)
+    for alg in [ColoringAlgorithm.VBBIT, ColoringAlgorithm.VBD,
+                ColoringAlgorithm.VBDBIT, ColoringAlgorithm.EB]:
+        c = graph_color(A, alg)
+        assert verify_coloring(A, c)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(base))

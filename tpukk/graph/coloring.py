@@ -28,8 +28,19 @@ __all__ = ["ColoringAlgorithm", "graph_color", "graph_color_d2", "verify_colorin
 
 
 class ColoringAlgorithm(enum.Enum):
+    """Taxonomy of Distance1ColorHandle.hpp:28-41.  On TPU every variant is
+    deterministic by construction (sorted masked vector ops, index-order
+    conflict demotion), so the reference's determinism-only variants (VBD,
+    VBDBIT) and bit-mask forbidden-set variants (VBBIT) coincide with VB —
+    they are accepted as distinct enum values for API parity and all route
+    to the same kernel.  EB (edge-based, atomics-driven) is realized by the
+    same vertex-based iteration (SURVEY §2.10: atomics-free reformulation)."""
     SERIAL = "serial"
     VB = "vb"        # speculative parallel, deterministic conflict resolution
+    VBBIT = "vbbit"  # == VB here (the kernel already uses bitmask forbidden sets)
+    VBD = "vbd"      # == VB (deterministic is the default on TPU)
+    VBDBIT = "vbdbit"
+    EB = "eb"        # vertex-based realization of the edge-based variant
 
 
 def _adjacency(graph) -> tuple:
