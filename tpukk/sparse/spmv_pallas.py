@@ -277,6 +277,20 @@ def _bf16_planes3(a):
     return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
+def _gather_rows(X, lo, hi, SR):
+    """xg[s,l] = X[hi[s,l], lo[s,l]] for X (SR,128), idx (8,128): per-row
+    broadcast + LANE-axis dynamic_gather + select.  Pure VPU, pure f32 —
+    Mosaic supports take_along_axis on the lane axis (probed on v5e), which
+    replaces the (128,CH) one-hot lane-route matmuls of kernel v3/v4 and
+    drops the bf16 plane splits entirely."""
+    xg = jnp.zeros(lo.shape, jnp.float32)
+    for r in range(SR):
+        row = jnp.broadcast_to(X[r:r + 1, :], lo.shape)
+        t = jnp.take_along_axis(row, lo, axis=1)
+        xg = jnp.where(hi == r, t, xg)
+    return xg
+
+
 def _sublane_gather(u, hi, SR, CH):
     """xg[0, j] = u[hi_j, j] for u (SR, CH): per-vreg sublane dynamic_gather
     over SR//8 blocks + masked combine (Mosaic supports take_along_axis only
@@ -427,8 +441,9 @@ class DlSpmvPlan:
     def __init__(self, A, *, _fields=None):
         if _fields is not None:
             (self.locc, self.vals, self.rhi, self.dst_ids, self.src_ids,
-             self.first, self.nrows, self.ncols, self.n_dst_tiles,
-             self.n_src_tiles, self.num_steps, self.pad_ratio) = _fields
+             self.first, self.dst_ss, self.first_ss, self.nrows, self.ncols,
+             self.n_dst_tiles, self.n_src_tiles, self.num_steps, self.n_ss,
+             self.batch, self.pad_ratio) = _fields
             return
         TD, TS = _OH_DST, _OH_SRC
         rm = np.asarray(A.host_row_map(), dtype=np.int64)
@@ -481,24 +496,60 @@ class DlSpmvPlan:
             locc_a[step_e, srow, lc_s] = locc_s.astype(np.int32)
             vals_a[step_e, srow, lc_s] = vals_s
             rhi_a[step_e, srow, lc_s] = rhi_s.astype(np.int32)
+
+        # ---- super-step schedule (kernel v6): B chunks of ONE dst tile per
+        # grid step, amortizing the ~0.25us fixed per-step cost (measured
+        # no-gather floor on v5e).  Needs x fully VMEM-resident for per-chunk
+        # window slices; otherwise B=1 (per-step windowed kernel).
+        counts = np.diff(np.concatenate((
+            np.nonzero(np.concatenate(([1], (sdst[1:] != sdst[:-1])
+                                       .astype(np.int64))))[0], [S])))
+        resident = ns * TS * 4 <= _X_VMEM_CAP
+        B = 1
+        if resident and S:
+            best = float("inf")
+            for cand in (1, 2, 4, 8, 16):
+                nss_c = int(np.ceil(counts / cand).sum())
+                cost = nss_c * (_DL_FIX_US + cand * _DL_VAR_US)
+                if cost < best:
+                    best, B = cost, cand
+        if B > 1:
+            padc = (-counts) % B
+            tot = counts + padc
+            starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+            gb = np.concatenate(([0], np.cumsum(counts)))
+            gid = np.repeat(np.arange(len(counts)), tot)
+            within = np.arange(int(tot.sum()), dtype=np.int64) - starts[gid]
+            cidx = np.where(within < counts[gid], gb[gid] + within, S)
+            locc_a = np.concatenate([locc_a, np.zeros((1, 8, 128), np.int32)])[cidx]
+            vals_a = np.concatenate([vals_a, np.zeros((1, 8, 128), np.float32)])[cidx]
+            rhi_a = np.concatenate([rhi_a, np.zeros((1, 8, 128), np.int32)])[cidx]
+            ssrc = np.concatenate([ssrc, [0]])[cidx]
+            sdst = sdst[gb[gid]]
+            S = len(cidx)
         first = np.ones(S, np.int32)
         first[1:] = (sdst[1:] != sdst[:-1]).astype(np.int32)
+        n_ss = S // B
         self.locc = jnp.asarray(locc_a.reshape(S * 8, 128))
         self.vals = jnp.asarray(vals_a.reshape(S * 8, 128))
         self.rhi = jnp.asarray(rhi_a.reshape(S * 8, 128))
         self.dst_ids = jnp.asarray(sdst.astype(np.int32))
         self.src_ids = jnp.asarray(ssrc.astype(np.int32))
         self.first = jnp.asarray(first)
+        self.dst_ss = jnp.asarray(sdst[::B].astype(np.int32))
+        self.first_ss = jnp.asarray(first[::B])
         self.nrows, self.ncols = n, m
         self.n_dst_tiles, self.n_src_tiles = nd, ns
         self.num_steps = S
+        self.n_ss = n_ss
+        self.batch = B
         self.pad_ratio = S * 1024 / max(1, nnz)
 
     def tree_flatten(self):
         aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
-               self.num_steps, self.pad_ratio)
+               self.num_steps, self.n_ss, self.batch, self.pad_ratio)
         return (self.locc, self.vals, self.rhi, self.dst_ids, self.src_ids,
-                self.first), aux
+                self.first, self.dst_ss, self.first_ss), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -507,9 +558,16 @@ class DlSpmvPlan:
 
 jax.tree_util.register_pytree_node_class(DlSpmvPlan)
 
-# per-step cost on v5e (us): measured 0.64-0.85 flat / 0.39-0.48 dst-lane
+# per-step cost on v5e (us): measured 0.64-0.85 flat; dst-lane v6 (lane-axis
+# dynamic_gather + B-chunk super-steps) ~0.09-0.11 us/chunk at B=8
 _FLAT_STEP_COST = 0.80
-_DL_STEP_COST = 0.48
+_DL_STEP_COST = 0.10
+# v6 super-step cost model: n_ss * (FIX + B*VAR), fitted to v5e slope
+# measurements (B=8/16 on lap1000 + rand100k: per-ss 0.68us@B=8, 1.21@B=16)
+_DL_FIX_US = 0.15
+_DL_VAR_US = 0.066
+# x must be fully VMEM-resident for per-chunk window slices (f32 bytes)
+_X_VMEM_CAP = 8 * 2 ** 20
 # XLA's take runs at ~120 M elem/s on v5e => ~8.5us per 1024 gathers; the
 # one-hot kernel only wins while padded-step cost stays below that.
 _XLA_GATHER_STEP_COST = 8.5
@@ -643,20 +701,10 @@ def _dl_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
     def kernel(dst_ref, src_ref, first_ref, rhi_ref, locc_ref, v_ref,
                x_ref, y_ref):
         g = pl.program_id(0)
-        xp = _bf16_planes3(x_ref[:])
+        X = x_ref[:]                                           # (SR,128)
         locc2, vals2, rhi2 = locc_ref[:], v_ref[:], rhi_ref[:]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        pv_rows = []
-        for s in range(8):
-            lo = locc2[s:s + 1, :] % 128
-            hi = locc2[s:s + 1, :] // 128
-            oh = (iota == lo).astype(jnp.bfloat16)            # (128,128)
-            u = sum(jax.lax.dot_general(p, oh, dn,
-                                        preferred_element_type=jnp.float32)
-                    for p in xp)                               # (SR,128)
-            xg = _sublane_gather(u, hi, SR, 128)               # (1,128)
-            pv_rows.append(vals2[s:s + 1, :] * xg)             # pure f32
-        pv = jnp.concatenate(pv_rows, axis=0)                  # (8,128)
+        xg = _gather_rows(X, locc2 % 128, locc2 // 128, SR)    # (8,128)
+        pv = vals2 * xg                                        # pure f32
         crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0, keepdims=True)
                  for d in range(8)]
         contrib = jnp.concatenate(crows, axis=0)               # (8,128)
@@ -693,6 +741,66 @@ def _dl_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
     return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "nrows",
+                                             "interpret"))
+def _dl_call_batched(dst_ss, src_ids, first_ss, rhi, locc, vals, x, *,
+                     nd, ns, n_ss, B, nrows, interpret):
+    """Kernel v6: one grid step = B chunks of ONE dst tile.  x is fully
+    VMEM-resident (plan builder guarantees ns*TS*4 <= _X_VMEM_CAP); each
+    chunk slices its (SR,128) window with pl.ds.  Amortizes the ~0.25us
+    fixed grid-step cost measured on v5e (3-4x over the per-chunk grid)."""
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, rhi_ref, locc_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            src = src_ref[g * B + j]
+            X = x_ref[pl.ds(src * SR, SR), :]
+            locc2 = locc_ref[j * 8:(j + 1) * 8, :]
+            vals2 = v_ref[j * 8:(j + 1) * 8, :]
+            rhi2 = rhi_ref[j * 8:(j + 1) * 8, :]
+            xg = _gather_rows(X, locc2 % 128, locc2 // 128, SR)
+            pv = vals2 * xg
+            crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0,
+                             keepdims=True) for d in range(8)]
+            acc = acc + jnp.concatenate(crows, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = y_ref[:, :] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x fully resident
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, src_ids, first_ss, rhi, locc, vals, x2)
+    return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "num_steps", "nrows",
                                              "nrhs", "interpret"))
 def _dl_mm_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
@@ -709,22 +817,11 @@ def _dl_mm_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
                x_ref, y_ref):
         g = pl.program_id(0)
         locc2, vals2, rhi2 = locc_ref[:], v_ref[:], rhi_ref[:]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        ohs, his = [], []
-        for s in range(8):    # one-hots shared across all RHS columns
-            lo = locc2[s:s + 1, :] % 128
-            his.append(locc2[s:s + 1, :] // 128)
-            ohs.append((iota == lo).astype(jnp.bfloat16))
+        lo = locc2 % 128
+        hi = locc2 // 128
         for c in range(k):
-            xp = _bf16_planes3(x_ref[c])
-            pv_rows = []
-            for s in range(8):
-                u = sum(jax.lax.dot_general(p, ohs[s], dn,
-                                            preferred_element_type=jnp.float32)
-                        for p in xp)
-                xg = _sublane_gather(u, his[s], SR, 128)
-                pv_rows.append(vals2[s:s + 1, :] * xg)
-            pv = jnp.concatenate(pv_rows, axis=0)
+            xg = _gather_rows(x_ref[c], lo, hi, SR)
+            pv = vals2 * xg
             crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0,
                              keepdims=True) for d in range(8)]
             contrib = jnp.concatenate(crows, axis=0)
@@ -764,6 +861,12 @@ def _dl_mm_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
 def onehot_spmv(plan, x, interpret: bool = False):
     """y = A·x via the tiled one-hot kernel (vector x, f32)."""
     if isinstance(plan, DlSpmvPlan):
+        if getattr(plan, "batch", 1) > 1:
+            return _dl_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
+                                    plan.rhi, plan.locc, plan.vals, x,
+                                    nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                                    n_ss=plan.n_ss, B=plan.batch,
+                                    nrows=plan.nrows, interpret=interpret)
         return _dl_call(plan.dst_ids, plan.src_ids, plan.first,
                         plan.rhi, plan.locc, plan.vals, x,
                         nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
