@@ -33,7 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spmv_pallas import _bf16_planes3, _sublane_gather, _dl_schedule
+from .spmv_pallas import (_bf16_planes3, _sublane_gather, _dl_schedule,
+                          _gather_rows)
 
 __all__ = ["OnehotPairPlan", "DlPairPlan", "build_onehot_pair_plan",
            "onehot_pair_numeric"]
@@ -143,8 +144,9 @@ class DlPairPlan:
     def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c, *, _fields=None):
         if _fields is not None:
             (self.a_loc, self.b_loc, self.crhi, self.at_ids, self.bt_ids,
-             self.ct_ids, self.first, self.na_blocks, self.nb_blocks,
-             self.nc_tiles, self.nnz_c, self.num_steps, self.pad_ratio) = _fields
+             self.ct_ids, self.first, self.ct_ss, self.first_ss,
+             self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
+             self.num_steps, self.n_ss, self.batch, self.pad_ratio) = _fields
             return
         a_idx = np.asarray(a_idx, dtype=np.int64)
         b_idx = np.asarray(b_idx, dtype=np.int64)
@@ -192,6 +194,36 @@ class DlPairPlan:
             a_loc[step_e, srow, lc_s] = aloc_s.astype(np.int32)
             b_loc[step_e, srow, lc_s] = bloc_s.astype(np.int32)
             crhi_a[step_e, srow, lc_s] = crhi_s.astype(np.int32)
+
+        # super-step schedule (kernel v6, see spmv_pallas): B chunks of one
+        # C tile per grid step when BOTH padded value blocks fit VMEM
+        counts = np.diff(np.concatenate((
+            np.nonzero(np.concatenate(([1], (sct[1:] != sct[:-1])
+                                       .astype(np.int64))))[0], [S])))
+        resident = (na + nb) * _BLK * 4 <= _VALS_VMEM_CAP
+        B = 1
+        if resident and S:
+            best = float("inf")
+            for cand in (1, 2, 4, 8, 16):
+                nss_c = int(np.ceil(counts / cand).sum())
+                cost = nss_c * (_DL_FIX_US + cand * _DL_VAR_US)
+                if cost < best:
+                    best, B = cost, cand
+        if B > 1:
+            padc = (-counts) % B
+            tot = counts + padc
+            starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+            gb = np.concatenate(([0], np.cumsum(counts)))
+            gid = np.repeat(np.arange(len(counts)), tot)
+            within = np.arange(int(tot.sum()), dtype=np.int64) - starts[gid]
+            cidx = np.where(within < counts[gid], gb[gid] + within, S)
+            a_loc = np.concatenate([a_loc, np.zeros((1, 8, 128), np.int32)])[cidx]
+            b_loc = np.concatenate([b_loc, np.zeros((1, 8, 128), np.int32)])[cidx]
+            crhi_a = np.concatenate([crhi_a, np.full((1, 8, 128), -1, np.int32)])[cidx]
+            sat = np.concatenate([sat, [0]])[cidx]
+            sbt = np.concatenate([sbt, [0]])[cidx]
+            sct = sct[gb[gid]]
+            S = len(cidx)
         first = np.ones(S, np.int32)
         first[1:] = (sct[1:] != sct[:-1]).astype(np.int32)
         self.a_loc = jnp.asarray(a_loc.reshape(S * 8, 128))
@@ -201,16 +233,20 @@ class DlPairPlan:
         self.bt_ids = jnp.asarray(sbt.astype(np.int32))
         self.ct_ids = jnp.asarray(sct.astype(np.int32))
         self.first = jnp.asarray(first)
+        self.ct_ss = jnp.asarray(sct[::B].astype(np.int32))
+        self.first_ss = jnp.asarray(first[::B])
         self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
         self.nnz_c = nnz_c
         self.num_steps = S
+        self.n_ss = S // B
+        self.batch = B
         self.pad_ratio = S * 1024 / max(1, P)
 
     def tree_flatten(self):
         aux = (self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
-               self.num_steps, self.pad_ratio)
+               self.num_steps, self.n_ss, self.batch, self.pad_ratio)
         return (self.a_loc, self.b_loc, self.crhi, self.at_ids, self.bt_ids,
-                self.ct_ids, self.first), aux
+                self.ct_ids, self.first, self.ct_ss, self.first_ss), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -221,7 +257,13 @@ jax.tree_util.register_pytree_node_class(DlPairPlan)
 
 # per-step cost on v5e (us), for the layout choice (measured lap300/rand50k)
 _FLAT_PAIR_COST = 0.83
-_DL_PAIR_COST = 0.52
+_DL_PAIR_COST = 0.12
+# v6 super-step cost model (shared shape with spmv_pallas; two gathers per
+# chunk instead of one, hence the larger VAR)
+_DL_FIX_US = 0.15
+_DL_VAR_US = 0.11
+# both padded value blocks must fit VMEM for the batched kernel (f32 bytes)
+_VALS_VMEM_CAP = 8 * 2 ** 20
 
 
 def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int,
@@ -357,31 +399,16 @@ def _dl_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, crhi,
                  (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
     bv = jnp.pad(b_vals.astype(jnp.float32),
                  (0, nb * _BLK - b_vals.shape[0])).reshape(nb * _SR, 128)
-    dn = (((1,), (0,)), ((), ()))
 
     def kernel(at_ref, bt_ref, ct_ref, first_ref, aloc_ref, bloc_ref,
                crhi_ref, av_ref, bv_ref, c_ref):
         g = pl.program_id(0)
-        ap = _bf16_planes3(av_ref[:])
-        bp = _bf16_planes3(bv_ref[:])
         aloc2, bloc2, crhi2 = aloc_ref[:], bloc_ref[:], crhi_ref[:]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        pv_rows = []
-        for s in range(8):
-            al = aloc2[s:s + 1, :]
-            bl = bloc2[s:s + 1, :]
-            oh_a = (iota == al % 128).astype(jnp.bfloat16)
-            oh_b = (iota == bl % 128).astype(jnp.bfloat16)
-            ua = sum(jax.lax.dot_general(p, oh_a, dn,
-                                         preferred_element_type=jnp.float32)
-                     for p in ap)
-            ub = sum(jax.lax.dot_general(p, oh_b, dn,
-                                         preferred_element_type=jnp.float32)
-                     for p in bp)
-            a = _sublane_gather(ua, al // 128, _SR, 128)
-            b = _sublane_gather(ub, bl // 128, _SR, 128)
-            pv_rows.append(a * b)                              # pure f32
-        pv = jnp.concatenate(pv_rows, axis=0)                  # (8,128)
+        # v5: lane-axis dynamic_gather (see spmv_pallas._gather_rows) — no
+        # one-hot matmuls, no bf16 planes, pure f32
+        a = _gather_rows(av_ref[:], aloc2 % 128, aloc2 // 128, _SR)
+        b = _gather_rows(bv_ref[:], bloc2 % 128, bloc2 // 128, _SR)
+        pv = a * b                                             # (8,128)
         crows = [jnp.sum(jnp.where(crhi2 == d, pv, 0.0), axis=0, keepdims=True)
                  for d in range(8)]
         contrib = jnp.concatenate(crows, axis=0)
@@ -420,8 +447,79 @@ def _dl_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, crhi,
     return cv.reshape(nc * _CT)[:nnz_c]
 
 
+@functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "n_ss", "B",
+                                             "nnz_c", "interpret"))
+def _dl_pair_call_batched(at_ids, bt_ids, ct_ss, first_ss, a_loc, b_loc, crhi,
+                          a_vals, b_vals, *, na, nb, nc, n_ss, B, nnz_c,
+                          interpret):
+    """Kernel v6 for pairs: one grid step = B chunks of ONE C tile, A/B value
+    blocks fully VMEM-resident, per-chunk pl.ds window slices (see
+    spmv_pallas._dl_call_batched)."""
+    av = jnp.pad(a_vals.astype(jnp.float32),
+                 (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
+    bv = jnp.pad(b_vals.astype(jnp.float32),
+                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * _SR, 128)
+
+    def kernel(at_ref, bt_ref, ct_ref, first_ref, aloc_ref, bloc_ref,
+               crhi_ref, av_ref, bv_ref, c_ref):
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            at = at_ref[g * B + j]
+            bt = bt_ref[g * B + j]
+            AW = av_ref[pl.ds(at * _SR, _SR), :]
+            BW = bv_ref[pl.ds(bt * _SR, _SR), :]
+            aloc2 = aloc_ref[j * 8:(j + 1) * 8, :]
+            bloc2 = bloc_ref[j * 8:(j + 1) * 8, :]
+            crhi2 = crhi_ref[j * 8:(j + 1) * 8, :]
+            a = _gather_rows(AW, aloc2 % 128, aloc2 // 128, _SR)
+            b = _gather_rows(BW, bloc2 % 128, bloc2 // 128, _SR)
+            pv = a * b
+            crows = [jnp.sum(jnp.where(crhi2 == d, pv, 0.0), axis=0,
+                             keepdims=True) for d in range(8)]
+            acc = acc + jnp.concatenate(crows, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            c_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            c_ref[:, :] = c_ref[:, :] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # av resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bv resident
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cv = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(at_ids, bt_ids, ct_ss, first_ss, a_loc, b_loc, crhi, av, bv)
+    return cv.reshape(nc * _CT)[:nnz_c]
+
+
 def onehot_pair_numeric(plan, a_vals, b_vals, interpret: bool = False):
     """C.values for the planned product, f32."""
+    if isinstance(plan, DlPairPlan) and getattr(plan, "batch", 1) > 1:
+        return _dl_pair_call_batched(
+            plan.at_ids, plan.bt_ids, plan.ct_ss, plan.first_ss,
+            plan.a_loc, plan.b_loc, plan.crhi, a_vals, b_vals,
+            na=plan.na_blocks, nb=plan.nb_blocks, nc=plan.nc_tiles,
+            n_ss=plan.n_ss, B=plan.batch, nnz_c=plan.nnz_c,
+            interpret=interpret)
     if isinstance(plan, DlPairPlan):
         return _dl_pair_call(plan.at_ids, plan.bt_ids, plan.ct_ids, plan.first,
                              plan.a_loc, plan.b_loc, plan.crhi,
