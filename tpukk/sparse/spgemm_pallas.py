@@ -267,16 +267,20 @@ _VALS_VMEM_CAP = 8 * 2 ** 20
 
 
 def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int,
-                           layout: str = "auto", max_pad: float = 4.0,
-                           max_steps: int = 200_000):
+                           layout: str = "auto", max_pad: float = 16.0,
+                           max_steps: int = 60_000):
     """From a spgemm PairPlan (pairs sorted by C position); picks the
     cheaper chunk layout by padded-step cost model.
 
     In "auto" mode the pad ratios are computed BEFORE construction (one
     sort pass) and None is returned when even the better layout exceeds
     `max_pad`/`max_steps` — scattered patterns would otherwise materialize
-    multi-GB schedules just to be discarded (and the per-step scalar
-    tables must fit SMEM, ~1MB)."""
+    multi-GB schedules just to be discarded.  max_steps also respects the
+    SMEM prefetch-table limit: the per-chunk at/bt tables are prefetched
+    SMEM operands capped at 1MB each (measured: 357k-chunk schedule fails
+    AOT with 'prefetched SMEM operand' allocation error), and the v6 kernel
+    beats the XLA pair path (~8.5us/1024 gathers) up to pad~60, so the pad
+    gate is schedule-memory-bound, not compute-bound."""
     a_idx = np.asarray(pair_plan.a_idx)
     b_idx = np.asarray(pair_plan.b_idx)
     c_idx = np.asarray(pair_plan.c_idx)
