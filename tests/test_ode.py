@@ -90,3 +90,52 @@ def test_newton_with_explicit_jacobian():
     res = newton_solve(f, jnp.array([1.0]), jac=jac, args=(8.0,))
     assert bool(res.converged)
     np.testing.assert_allclose(float(res.x[0]), 2.0, rtol=1e-10)
+
+
+class TestBDFAdaptive:
+    """Adaptive order+step BDF — analog of KokkosODE::Experimental::BDFSolve
+    (KokkosODE_BDF.hpp:137-184); oracle = scipy.integrate BDF."""
+
+    def test_exp_decay(self):
+        from tpukk.ode import bdf_solve_adaptive
+
+        r = bdf_solve_adaptive(lambda t, y: -y, jnp.array([1.0]), 0.0, 2.0,
+                               rtol=1e-8, atol=1e-10)
+        assert int(r.status) == 0
+        assert abs(float(r.y[0]) - np.exp(-2.0)) < 1e-6
+        # adaptivity: far fewer steps than a fixed-step run at this accuracy
+        assert int(r.num_steps) < 200
+
+    def test_stiff_linear(self):
+        from scipy.integrate import solve_ivp
+
+        from tpukk.ode import bdf_solve_adaptive
+
+        f = lambda t, y: -1000.0 * (y - jnp.cos(t))
+        r = bdf_solve_adaptive(f, jnp.array([0.0]), 0.0, 1.0,
+                               rtol=1e-7, atol=1e-10)
+        ref = solve_ivp(lambda t, y: -1000 * (y - np.cos(t)), (0, 1), [0.0],
+                        method="BDF", rtol=1e-10, atol=1e-12)
+        assert int(r.status) == 0
+        assert abs(float(r.y[0]) - ref.y[0, -1]) < 1e-6
+
+    def test_robertson(self):
+        from scipy.integrate import solve_ivp
+
+        from tpukk.ode import bdf_solve_adaptive
+
+        def rob(t, y):
+            return jnp.array([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                              0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                              3e7 * y[1] ** 2])
+
+        r = bdf_solve_adaptive(rob, jnp.array([1.0, 0.0, 0.0]), 0.0, 100.0,
+                               rtol=1e-7, atol=1e-10, max_steps=20000)
+        ref = solve_ivp(
+            lambda t, y: [-0.04 * y[0] + 1e4 * y[1] * y[2],
+                          0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2],
+            (0, 100), [1.0, 0, 0], method="BDF", rtol=1e-10, atol=1e-13)
+        assert int(r.status) == 0
+        np.testing.assert_allclose(np.asarray(r.y), ref.y[:, -1],
+                                   rtol=1e-4, atol=1e-9)
