@@ -616,8 +616,13 @@ def build_onehot_spmv_plan(A, layout: str = "auto"):
         return OneHotSpmvPlan(A)
     if layout == "dstlane":
         return DlSpmvPlan(A)
+    if layout == "gt":
+        return GtSpmvPlan(A)
     pad_flat, pad_dl = _onehot_pad_ratios(A)
     if pad_dl * _DL_STEP_COST <= pad_flat * _FLAT_STEP_COST:
+        ns = max(1, -(-A.ncols // _OH_SRC))
+        if ns * _OH_SRC * 4 <= _X_VMEM_CAP:
+            return GtSpmvPlan(A)   # v7: g-table gather (x VMEM-resident)
         return DlSpmvPlan(A)
     return OneHotSpmvPlan(A)
 
@@ -858,8 +863,77 @@ def _dl_mm_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
     return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "nrows",
+                                             "nrhs", "interpret"))
+def _dl_mm_call_batched(dst_ss, src_ids, first_ss, rhi, locc, vals, x, *,
+                        nd, ns, n_ss, B, nrows, nrhs, interpret):
+    """Multi-RHS v6: B chunks of one dst tile per grid step, all k column
+    tiles of x VMEM-resident (caller gates k*ns*TS*4 <= _X_VMEM_CAP)."""
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    k = nrhs
+    x3 = jnp.pad(x.astype(jnp.float32),
+                 ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * SR, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, rhi_ref, locc_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(k)]
+        for j in range(B):
+            src = src_ref[g * B + j]
+            locc2 = locc_ref[j * 8:(j + 1) * 8, :]
+            vals2 = v_ref[j * 8:(j + 1) * 8, :]
+            rhi2 = rhi_ref[j * 8:(j + 1) * 8, :]
+            lo = locc2 % 128
+            hi = locc2 // 128
+            for c in range(k):
+                xg = _gather_rows(x_ref[c, pl.ds(src * SR, SR), :], lo, hi, SR)
+                pv = vals2 * xg
+                crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0,
+                                 keepdims=True) for d in range(8)]
+                accs[c] = accs[c] + jnp.concatenate(crows, axis=0)
+        for c in range(k):
+            @pl.when(first_ref[g] == 1)
+            def _(c=c):
+                y_ref[c] = accs[c]
+
+            @pl.when(first_ref[g] == 0)
+            def _(c=c):
+                y_ref[c] = y_ref[c] + accs[c]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x fully resident
+        ],
+        out_specs=pl.BlockSpec((k, 8, 128), lambda g, d, s, f: (0, d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y3 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, src_ids, first_ss, rhi, locc, vals, x3)
+    return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
+
+
 def onehot_spmv(plan, x, interpret: bool = False):
     """y = A·x via the tiled one-hot kernel (vector x, f32)."""
+    if isinstance(plan, GtSpmvPlan):
+        return _gt_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
+                                plan.gt, plan.lo, plan.rhi, plan.vals, x,
+                                nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                                n_ss=plan.n_ss, B=plan.batch,
+                                T=plan.n_tables, nrows=plan.nrows,
+                                interpret=interpret)
     if isinstance(plan, DlSpmvPlan):
         if getattr(plan, "batch", 1) > 1:
             return _dl_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
@@ -954,7 +1028,31 @@ def _onehot_spmm_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
 
 def onehot_spmm(plan, x, interpret: bool = False):
     """Y = A·X via the tiled one-hot kernel (X: (ncols, k), f32)."""
+    if isinstance(plan, GtSpmvPlan):
+        k = int(x.shape[1])
+        if (k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
+                and plan.batch * k <= 128):
+            return _gt_mm_call_batched(
+                plan.dst_ss, plan.src_ids, plan.first_ss,
+                plan.gt, plan.lo, plan.rhi, plan.vals, x,
+                nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                n_ss=plan.n_ss, B=plan.batch, T=plan.n_tables,
+                nrows=plan.nrows, nrhs=k, interpret=interpret)
+        # per-column vector calls still use the v7 gather
+        cols = [onehot_spmv(plan, x[:, j], interpret=interpret)
+                for j in range(int(x.shape[1]))]
+        return jnp.stack(cols, axis=1)
     if isinstance(plan, DlSpmvPlan):
+        k = int(x.shape[1])
+        if (getattr(plan, "batch", 1) > 1
+                and k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
+                and plan.batch * k <= 64):  # unrolled B*k*SR gather loop
+            return _dl_mm_call_batched(
+                plan.dst_ss, plan.src_ids, plan.first_ss,
+                plan.rhi, plan.locc, plan.vals, x,
+                nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
+                n_ss=plan.n_ss, B=plan.batch, nrows=plan.nrows,
+                nrhs=k, interpret=interpret)
         return _dl_mm_call(plan.dst_ids, plan.src_ids, plan.first,
                            plan.rhi, plan.locc, plan.vals, x,
                            nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
@@ -965,3 +1063,373 @@ def onehot_spmm(plan, x, interpret: bool = False):
                              nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
                              num_steps=plan.num_steps, nrows=plan.nrows,
                              nrhs=int(x.shape[1]), interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Kernel v7: host-emitted gather table ("gt") collapses the SR-row select
+# loop of v5/v6 into ONE sublane dynamic_gather + ONE lane dynamic_gather.
+#
+# Per chunk, a (8,128) table gt with gt[s, c] = source window ROW for slots
+# of sublane s whose source LANE is c.  The kernel computes
+#     t2[s,l] = X[gt[s,l], l]          (sublane gather, 4 blocks + selects)
+#     xg[s,l] = t2[s, lo[s,l]]         (lane gather)
+#            == X[gt[s, lo[s,l]], lo[s,l]] == X[hi[s,l], lo[s,l]]
+# which requires gt[s, lo] == hi consistently: two slots in one (chunk,
+# sublane) with the same source lane but DIFFERENT source rows conflict.
+# The planner keeps the largest same-row group per (chunk, sublane, lane)
+# cell and reschedules the overflow in further levels; a final level keys
+# chunks by (run, hi) so every chunk shares one window row — conflict-free
+# by construction, guaranteeing termination.
+
+_GT_LEVELS = 5
+_GT_FIX_US = 0.15   # same grid-step floor as v6
+_GT_VAR_US = 0.022  # ~13 vreg ops per chunk (refit after measurement)
+
+
+def _gt_level(run_key, lc, rhi_e, locc_e, vals_e, dt_e, st_e, T):
+    """One v7 scheduling level with T gather tables.  Per (chunk, sublane,
+    src-lane) cell the T largest same-src-row groups are kept (table index =
+    group rank, packed into lo's upper bits); the rest overflow.  Returns
+    (lo_a [ti*128+lo], gt_a (S, T, 8, 128), vals_a, rhi_a, sdst, ssrc,
+    overflow_mask_over_input)."""
+    n = len(run_key)
+    order, step_e, srow, rstart, nchunks, S = _dl_schedule(run_key, lc)
+    lo_s = (locc_e % 128)[order]
+    hi_s = (locc_e // 128)[order]
+    cell = (step_e * 8 + srow) * 128 + lo_s
+    pair = cell * 64 + hi_s
+    po = np.argsort(pair, kind="stable")
+    pp = pair[po]
+    pfirst = np.concatenate(([True], np.diff(pp) != 0))
+    gsize = np.diff(np.concatenate((np.nonzero(pfirst)[0], [n])))
+    gid = np.cumsum(pfirst) - 1            # group id per sorted-by-pair elem
+    cell_of_g = pp[pfirst] // 64
+    # rank groups per cell by size (0 = largest); keep ranks < T
+    go = np.lexsort((-gsize, cell_of_g))
+    cg = cell_of_g[go]
+    cfirst = np.concatenate(([1], (np.diff(cg) != 0).astype(np.int64)))
+    cstart = np.nonzero(cfirst)[0]
+    cid = np.cumsum(cfirst) - 1
+    grank_go = np.arange(len(go), dtype=np.int64) - cstart[cid]
+    grank = np.empty(len(gsize), np.int64)
+    grank[go] = grank_go
+    ti_po = grank[gid]                     # table index per elem (pair order)
+    keep_po = ti_po < T
+    keep = np.empty(n, bool)
+    keep[po] = keep_po                     # per element in SORTED order
+    ti = np.empty(n, np.int64)
+    ti[po] = ti_po
+    # build arrays from kept slots
+    lo_a = np.zeros((S, 8, 128), np.int32)
+    gt_a = np.zeros((S, T, 8, 128), np.int32)
+    vals_a = np.zeros((S, 8, 128), np.float32)
+    rhi_a = np.zeros((S, 8, 128), np.int32)
+    se, sr, lcs = step_e[keep], srow[keep], lc[order][keep]
+    lo_a[se, sr, lcs] = (ti[keep] * 128 + lo_s[keep]).astype(np.int32)
+    gt_a[se, ti[keep], sr, lo_s[keep]] = hi_s[keep].astype(np.int32)
+    vals_a[se, sr, lcs] = vals_e[order][keep]
+    rhi_a[se, sr, lcs] = rhi_e[order][keep].astype(np.int32)
+    sdst = np.repeat(dt_e[order][rstart], nchunks)
+    ssrc = np.repeat(st_e[order][rstart], nchunks)
+    ovf = np.zeros(n, bool)
+    ovf[order] = ~keep
+    return lo_a, gt_a, vals_a, rhi_a, sdst, ssrc, ovf
+
+
+class GtSpmvPlan:
+    """v7 gather-table plan (dst-lane layout + per-chunk g-tables +
+    super-steps).  Requires x VMEM-resident; build_onehot_spmv_plan falls
+    back to DlSpmvPlan otherwise."""
+
+    def __init__(self, A, *, _fields=None):
+        if _fields is not None:
+            (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
+             self.dst_ss, self.first_ss, self.nrows, self.ncols,
+             self.n_dst_tiles, self.n_src_tiles, self.num_steps, self.n_ss,
+             self.batch, self.pad_ratio, self.n_levels, self.n_tables) = _fields
+            return
+        TD, TS = _OH_DST, _OH_SRC
+        SR = TS // 128
+        rm = np.asarray(A.host_row_map(), dtype=np.int64)
+        ent = np.asarray(A.host_entries(), dtype=np.int64)
+        vals = np.asarray(A.host_values(), dtype=np.float32)
+        n, m = A.nrows, A.ncols
+        nd = max(1, -(-n // TD))
+        ns = max(1, -(-m // TS))
+        nnz = len(ent)
+        rows = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
+        dt = rows // TD
+        st = ent // TS
+        locr = rows - dt * TD
+        lc = locr % 128
+        rhi_e = locr // 128
+        locc = ent - st * TS
+        run = dt * ns + st
+
+        # pick T (tables per chunk): smallest T with first-level overflow
+        # <= 0.5% (cap 3) — each extra table adds ~13 vreg ops/chunk, but
+        # even small overflow is expensive (overflow levels pay a one-chunk
+        # -per-run floor: 2.3% overflow measured +50% chunks on lap1000)
+        T = 3
+        if nnz:
+            order0, step0, srow0, _, _, _ = _dl_schedule(run, lc)
+            cell0 = (step0 * 8 + srow0) * 128 + (locc % 128)[order0]
+            pair0 = cell0 * 64 + (locc // 128)[order0]
+            pp0 = np.sort(pair0)
+            pf0 = np.concatenate(([1], (np.diff(pp0) != 0).astype(np.int64)))
+            gid0 = np.cumsum(pf0) - 1
+            gsz0 = np.bincount(gid0)
+            cells0 = pp0[pf0.astype(bool)] // 64
+            go0 = np.lexsort((-gsz0, cells0))
+            cf0 = np.concatenate(([1], (np.diff(cells0[go0]) != 0).astype(np.int64)))
+            rank0 = np.arange(len(go0)) - np.nonzero(cf0)[0][np.cumsum(cf0) - 1]
+            gr0 = np.empty(len(gsz0), np.int64)
+            gr0[go0] = rank0
+            ovf_at = [np.where(gr0[gid0] >= t, 1, 0).mean() for t in (1, 2, 3)]
+            for t in (1, 2, 3):
+                if ovf_at[t - 1] <= 0.005:
+                    T = t
+                    break
+
+        parts = []
+        rem = np.ones(nnz, bool) if nnz else np.zeros(0, bool)
+        levels = 0
+        for lvl in range(_GT_LEVELS + 1):
+            if not rem.any():
+                break
+            idx = np.nonzero(rem)[0]
+            key = run[idx] if lvl < _GT_LEVELS else run[idx] * SR + (locc[idx] // 128)
+            out = _gt_level(key, lc[idx], rhi_e[idx], locc[idx], vals[idx],
+                            dt[idx], st[idx], T)
+            parts.append(out[:6])
+            levels += 1
+            rem2 = np.zeros(nnz, bool)
+            rem2[idx[out[6]]] = True
+            rem = rem2
+        if parts:
+            lo_a = np.concatenate([p[0] for p in parts])
+            gt_a = np.concatenate([p[1] for p in parts])
+            vals_a = np.concatenate([p[2] for p in parts])
+            rhi_a = np.concatenate([p[3] for p in parts])
+            sdst = np.concatenate([p[4] for p in parts])
+            ssrc = np.concatenate([p[5] for p in parts])
+        else:
+            lo_a = np.zeros((0, 8, 128), np.int32)
+            gt_a = np.zeros((0, T, 8, 128), np.int32)
+            vals_a = np.zeros((0, 8, 128), np.float32)
+            rhi_a = np.zeros((0, 8, 128), np.int32)
+            sdst = np.zeros(0, np.int64)
+            ssrc = np.zeros(0, np.int64)
+        # dummy steps for dst tiles with no chunks (output init)
+        missing = np.setdiff1d(np.arange(nd, dtype=np.int64), np.unique(sdst),
+                               assume_unique=True)
+        if len(missing):
+            sdst = np.concatenate([sdst, missing])
+            ssrc = np.concatenate([ssrc, np.zeros(len(missing), np.int64)])
+            lo_a = np.concatenate([lo_a, np.zeros((len(missing), 8, 128), np.int32)])
+            gt_a = np.concatenate([gt_a, np.zeros((len(missing), T, 8, 128), np.int32)])
+            vals_a = np.concatenate([vals_a, np.zeros((len(missing), 8, 128), np.float32)])
+            rhi_a = np.concatenate([rhi_a, np.zeros((len(missing), 8, 128), np.int32)])
+        # dst-major chunk order (stable keeps level locality)
+        ordc = np.argsort(sdst, kind="stable")
+        sdst, ssrc = sdst[ordc], ssrc[ordc]
+        lo_a, gt_a, vals_a, rhi_a = lo_a[ordc], gt_a[ordc], vals_a[ordc], rhi_a[ordc]
+        S = len(sdst)
+
+        # super-step schedule (B by cost model, as in DlSpmvPlan)
+        counts = np.diff(np.concatenate((
+            np.nonzero(np.concatenate(([1], (sdst[1:] != sdst[:-1])
+                                       .astype(np.int64))))[0], [S])))
+        B = 1
+        best = float("inf")
+        var = _GT_VAR_US * T
+        for cand in (1, 2, 4, 8, 16, 32):
+            nss_c = int(np.ceil(counts / cand).sum())
+            cost = nss_c * (_GT_FIX_US + cand * var)
+            if cost < best:
+                best, B = cost, cand
+        if B > 1:
+            padc = (-counts) % B
+            tot = counts + padc
+            starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+            gb = np.concatenate(([0], np.cumsum(counts)))
+            gid = np.repeat(np.arange(len(counts)), tot)
+            within = np.arange(int(tot.sum()), dtype=np.int64) - starts[gid]
+            cidx = np.where(within < counts[gid], gb[gid] + within, S)
+            lo_a = np.concatenate([lo_a, np.zeros((1, 8, 128), np.int32)])[cidx]
+            gt_a = np.concatenate([gt_a, np.zeros((1, T, 8, 128), np.int32)])[cidx]
+            vals_a = np.concatenate([vals_a, np.zeros((1, 8, 128), np.float32)])[cidx]
+            rhi_a = np.concatenate([rhi_a, np.zeros((1, 8, 128), np.int32)])[cidx]
+            ssrc = np.concatenate([ssrc, [0]])[cidx]
+            sdst = sdst[gb[gid]]
+            S = len(cidx)
+        first = np.ones(S, np.int32)
+        first[1:] = (sdst[1:] != sdst[:-1]).astype(np.int32)
+        self.lo = jnp.asarray(lo_a.reshape(S * 8, 128))
+        self.gt = jnp.asarray(gt_a.reshape(S * T * 8, 128))
+        self.vals = jnp.asarray(vals_a.reshape(S * 8, 128))
+        self.rhi = jnp.asarray(rhi_a.reshape(S * 8, 128))
+        self.src_ids = jnp.asarray(ssrc.astype(np.int32))
+        self.dst_ss = jnp.asarray(sdst[::B].astype(np.int32))
+        self.first_ss = jnp.asarray(first[::B])
+        self.nrows, self.ncols = n, m
+        self.n_dst_tiles, self.n_src_tiles = nd, ns
+        self.num_steps = S
+        self.n_ss = S // B
+        self.batch = B
+        self.pad_ratio = S * 1024 / max(1, nnz)
+        self.n_levels = levels
+        self.n_tables = T
+
+    def tree_flatten(self):
+        aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
+               self.num_steps, self.n_ss, self.batch, self.pad_ratio,
+               self.n_levels, self.n_tables)
+        return (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
+                self.dst_ss, self.first_ss), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(GtSpmvPlan)
+
+
+def _gt_gather(X, gts, lop, SR, T):
+    """xg[s,l] = X[gts[ti][s, lo], lo] with lop = ti*128 + lo (table index
+    packed in the upper bits): per table, one sublane gather per 8-row block
+    + one lane gather, then select by ti."""
+    lo = lop % 128
+    ti = lop // 128
+    xg = None
+    for t in range(T):
+        gt = gts[t * 8:(t + 1) * 8, :]
+        t2 = jnp.zeros(gt.shape, jnp.float32)
+        for b in range(SR // 8):
+            blk = X[b * 8:(b + 1) * 8, :]
+            tb = jnp.take_along_axis(blk, jnp.clip(gt - b * 8, 0, 7), axis=0)
+            t2 = jnp.where((gt // 8) == b, tb, t2)
+        xgt = jnp.take_along_axis(t2, lo, axis=1)
+        xg = xgt if xg is None else jnp.where(ti == t, xgt, xg)
+    return xg
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
+                                             "nrows", "interpret"))
+def _gt_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
+                     nd, ns, n_ss, B, T, nrows, interpret):
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, gt_ref, lo_ref, rhi_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            src = src_ref[g * B + j]
+            X = x_ref[pl.ds(src * SR, SR), :]
+            sl = slice(j * 8, (j + 1) * 8)
+            xg = _gt_gather(X, gt_ref[j * 8 * T:(j + 1) * 8 * T, :],
+                            lo_ref[sl, :], SR, T)
+            pv = v_ref[sl, :] * xg
+            rhi2 = rhi_ref[sl, :]
+            crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0,
+                             keepdims=True) for d in range(8)]
+            acc = acc + jnp.concatenate(crows, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = y_ref[:, :] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x2)
+    return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
+                                             "nrows", "nrhs", "interpret"))
+def _gt_mm_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
+                        nd, ns, n_ss, B, T, nrows, nrhs, interpret):
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    k = nrhs
+    x3 = jnp.pad(x.astype(jnp.float32),
+                 ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * SR, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, gt_ref, lo_ref, rhi_ref, v_ref,
+               x_ref, y_ref):
+        g = pl.program_id(0)
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(k)]
+        for j in range(B):
+            src = src_ref[g * B + j]
+            sl = slice(j * 8, (j + 1) * 8)
+            gtj = gt_ref[j * 8 * T:(j + 1) * 8 * T, :]
+            loj = lo_ref[sl, :]
+            vj, rhij = v_ref[sl, :], rhi_ref[sl, :]
+            for c in range(k):
+                xg = _gt_gather(x_ref[c, pl.ds(src * SR, SR), :], gtj, loj,
+                                SR, T)
+                pv = vj * xg
+                crows = [jnp.sum(jnp.where(rhij == d, pv, 0.0), axis=0,
+                                 keepdims=True) for d in range(8)]
+                accs[c] = accs[c] + jnp.concatenate(crows, axis=0)
+        for c in range(k):
+            @pl.when(first_ref[g] == 1)
+            def _(c=c):
+                y_ref[c] = accs[c]
+
+            @pl.when(first_ref[g] == 0)
+            def _(c=c):
+                y_ref[c] = y_ref[c] + accs[c]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 8, 128), lambda g, d, s, f: (0, d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y3 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x3)
+    return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
