@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .spmv_pallas import (_bf16_planes3, _sublane_gather, _dl_schedule,
                           _gather_rows)
 
-__all__ = ["OnehotPairPlan", "DlPairPlan", "build_onehot_pair_plan",
-           "onehot_pair_numeric"]
+__all__ = ["OnehotPairPlan", "DlPairPlan", "GtPairPlan",
+           "build_onehot_pair_plan", "onehot_pair_numeric"]
 
 _BLK = 4096   # A/B value block (32 x 128 radix; 4096 beat 8192 on v5e)
 _SR = _BLK // 128
@@ -316,6 +316,14 @@ def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int,
     pad, steps = (pad_dl, steps_dl) if use_dl else (pad_flat, steps_flat)
     if pad > max_pad or steps > max_steps:
         return None
+    if use_dl and (na + nb) * _BLK * 4 <= _VALS_VMEM_CAP:
+        gt = GtPairPlan(*args)     # v7 g-table gathers (values VMEM-resident)
+        # conflicts on BOTH gathers can inflate gt padding on scattered
+        # patterns; the gt kernel is ~1.9x cheaper per chunk (measured
+        # lap300: 0.124 vs 0.165 us/chunk + worse DL B at small C tiles),
+        # so keep gt unless its padding outgrows dl by more than that
+        if gt.num_steps <= 1.8 * steps_dl:
+            return gt
     return DlPairPlan(*args) if use_dl else OnehotPairPlan(*args)
 
 
@@ -517,6 +525,13 @@ def _dl_pair_call_batched(at_ids, bt_ids, ct_ss, first_ss, a_loc, b_loc, crhi,
 
 def onehot_pair_numeric(plan, a_vals, b_vals, interpret: bool = False):
     """C.values for the planned product, f32."""
+    if isinstance(plan, GtPairPlan):
+        return _gt_pair_call(
+            plan.at_ids, plan.bt_ids, plan.ct_ss, plan.first_ss,
+            plan.a_lo, plan.b_lo, plan.gta, plan.gtb, plan.crhi,
+            a_vals, b_vals, na=plan.na_blocks, nb=plan.nb_blocks,
+            nc=plan.nc_tiles, n_ss=plan.n_ss, B=plan.batch,
+            T=plan.n_tables, nnz_c=plan.nnz_c, interpret=interpret)
     if isinstance(plan, DlPairPlan) and getattr(plan, "batch", 1) > 1:
         return _dl_pair_call_batched(
             plan.at_ids, plan.bt_ids, plan.ct_ss, plan.first_ss,
@@ -537,3 +552,288 @@ def onehot_pair_numeric(plan, a_vals, b_vals, interpret: bool = False):
                              na=plan.na_blocks, nb=plan.nb_blocks,
                              nc=plan.nc_tiles, num_steps=plan.num_steps,
                              nnz_c=plan.nnz_c, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Pair kernel v7: host-emitted gather tables for BOTH value gathers (see
+# spmv_pallas kernel v7).  A slot needs gtA[s, aLane] == aRow and
+# gtB[s, bLane] == bRow; T tables per side tolerate T distinct rows per
+# (chunk, sublane, lane) cell, overflow reschedules in levels, and a final
+# level keyed by (run, aRow, bRow) is conflict-free by construction.
+
+from .spmv_pallas import _gt_gather
+
+_GTP_LEVELS = 5
+_GTP_FIX_US = 0.15
+_GTP_VAR_US = 0.0145  # per table-side per chunk (fitted: lap300 T=3 B=4 -> 0.087/chunk)
+
+
+def _rank_in_cell(cell, hi):
+    """Group elements by (cell, hi); return per-element rank of its group
+    within its cell, ranked by group size (0 = largest)."""
+    n = len(cell)
+    pair = cell * 64 + hi
+    po = np.argsort(pair, kind="stable")
+    pp = pair[po]
+    pfirst = np.concatenate(([1], (np.diff(pp) != 0).astype(np.int64)))
+    gid = np.cumsum(pfirst) - 1
+    gsize = np.bincount(gid)
+    cells = pp[pfirst.astype(bool)] // 64
+    go = np.lexsort((-gsize, cells))
+    cf = np.concatenate(([1], (np.diff(cells[go]) != 0).astype(np.int64)))
+    rank_go = np.arange(len(go)) - np.nonzero(cf)[0][np.cumsum(cf) - 1]
+    grank = np.empty(len(gsize), np.int64)
+    grank[go] = rank_go
+    r = np.empty(n, np.int64)
+    r[po] = grank[gid]
+    return r
+
+
+def _gtp_level(run_key, lc, crhi_e, aloc_e, bloc_e, dt_e, at_e, bt_e, T):
+    """One v7 pair level.  Returns (aLo_a, bLo_a, gtA, gtB, crhi_a, emap_a,
+    sct, sat, sbt, overflow_mask)."""
+    n = len(run_key)
+    order, step_e, srow, rstart, nchunks, S = _dl_schedule(run_key, lc)
+    alo_s = (aloc_e % 128)[order]
+    ahi_s = (aloc_e // 128)[order]
+    blo_s = (bloc_e % 128)[order]
+    bhi_s = (bloc_e // 128)[order]
+    cell = (step_e * 8 + srow) * 128
+    rA = _rank_in_cell(cell + alo_s, ahi_s)
+    rB = _rank_in_cell(cell + blo_s, bhi_s)
+    keep = (rA < T) & (rB < T)
+    aLo_a = np.zeros((S, 8, 128), np.int32)
+    bLo_a = np.zeros((S, 8, 128), np.int32)
+    gtA = np.zeros((S, T, 8, 128), np.int32)
+    gtB = np.zeros((S, T, 8, 128), np.int32)
+    crhi_a = np.full((S, 8, 128), -1, np.int32)
+    se, sr, lcs = step_e[keep], srow[keep], lc[order][keep]
+    aLo_a[se, sr, lcs] = (rA[keep] * 128 + alo_s[keep]).astype(np.int32)
+    bLo_a[se, sr, lcs] = (rB[keep] * 128 + blo_s[keep]).astype(np.int32)
+    gtA[se, rA[keep], sr, alo_s[keep]] = ahi_s[keep].astype(np.int32)
+    gtB[se, rB[keep], sr, blo_s[keep]] = bhi_s[keep].astype(np.int32)
+    crhi_a[se, sr, lcs] = crhi_e[order][keep].astype(np.int32)
+    sct = np.repeat(dt_e[order][rstart], nchunks)
+    sat = np.repeat(at_e[order][rstart], nchunks)
+    sbt = np.repeat(bt_e[order][rstart], nchunks)
+    ovf = np.zeros(n, bool)
+    ovf[order] = ~keep
+    return aLo_a, bLo_a, gtA, gtB, crhi_a, sct, sat, sbt, ovf
+
+
+class GtPairPlan:
+    """v7 pair plan: g-table gathers for A and B values + super-steps.
+    Requires both padded value blocks VMEM-resident."""
+
+    def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c, *, _fields=None):
+        if _fields is not None:
+            (self.a_lo, self.b_lo, self.gta, self.gtb, self.crhi,
+             self.at_ids, self.bt_ids, self.ct_ss, self.first_ss,
+             self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
+             self.num_steps, self.n_ss, self.batch, self.pad_ratio,
+             self.n_levels, self.n_tables) = _fields
+            return
+        a_idx = np.asarray(a_idx, dtype=np.int64)
+        b_idx = np.asarray(b_idx, dtype=np.int64)
+        c_idx = np.asarray(c_idx, dtype=np.int64)
+        P = len(c_idx)
+        SR = _SR
+        na = max(1, -(-max(nnz_a, 1) // _BLK))
+        nb = max(1, -(-max(nnz_b, 1) // _BLK))
+        nc = max(1, -(-max(nnz_c, 1) // _CT))
+        at = a_idx // _BLK
+        bt = b_idx // _BLK
+        ct = c_idx // _CT
+        cl = c_idx - ct * _CT
+        lc = cl % 128
+        crhi = cl // 128
+        aloc = a_idx - at * _BLK
+        bloc = b_idx - bt * _BLK
+        run = (ct * na + at) * nb + bt
+
+        # T selection: smallest with first-level combined overflow <= 0.5%
+        T = 3
+        if P:
+            order0, step0, srow0, _, _, _ = _dl_schedule(run, lc)
+            cell0 = (step0 * 8 + srow0) * 128
+            rA0 = _rank_in_cell(cell0 + (aloc % 128)[order0], (aloc // 128)[order0])
+            rB0 = _rank_in_cell(cell0 + (bloc % 128)[order0], (bloc // 128)[order0])
+            for t in (1, 2, 3):
+                if ((rA0 >= t) | (rB0 >= t)).mean() <= 0.005:
+                    T = t
+                    break
+
+        parts = []
+        rem = np.ones(P, bool) if P else np.zeros(0, bool)
+        levels = 0
+        for lvl in range(_GTP_LEVELS + 1):
+            if not rem.any():
+                break
+            idx = np.nonzero(rem)[0]
+            key = (run[idx] if lvl < _GTP_LEVELS
+                   else (run[idx] * SR + aloc[idx] // 128) * SR + bloc[idx] // 128)
+            out = _gtp_level(key, lc[idx], crhi[idx], aloc[idx], bloc[idx],
+                             ct[idx], at[idx], bt[idx], T)
+            parts.append(out[:8])
+            levels += 1
+            rem2 = np.zeros(P, bool)
+            rem2[idx[out[8]]] = True
+            rem = rem2
+        if parts:
+            aLo = np.concatenate([p[0] for p in parts])
+            bLo = np.concatenate([p[1] for p in parts])
+            gtA = np.concatenate([p[2] for p in parts])
+            gtB = np.concatenate([p[3] for p in parts])
+            crhi_a = np.concatenate([p[4] for p in parts])
+            sct = np.concatenate([p[5] for p in parts])
+            sat = np.concatenate([p[6] for p in parts])
+            sbt = np.concatenate([p[7] for p in parts])
+        else:
+            aLo = bLo = np.zeros((0, 8, 128), np.int32)
+            gtA = gtB = np.zeros((0, T, 8, 128), np.int32)
+            crhi_a = np.full((0, 8, 128), -1, np.int32)
+            sct = sat = sbt = np.zeros(0, np.int64)
+        missing = np.setdiff1d(np.arange(nc, dtype=np.int64), np.unique(sct),
+                               assume_unique=True)
+        if len(missing):
+            nm = len(missing)
+            sct = np.concatenate([sct, missing])
+            sat = np.concatenate([sat, np.zeros(nm, np.int64)])
+            sbt = np.concatenate([sbt, np.zeros(nm, np.int64)])
+            aLo = np.concatenate([aLo, np.zeros((nm, 8, 128), np.int32)])
+            bLo = np.concatenate([bLo, np.zeros((nm, 8, 128), np.int32)])
+            gtA = np.concatenate([gtA, np.zeros((nm, T, 8, 128), np.int32)])
+            gtB = np.concatenate([gtB, np.zeros((nm, T, 8, 128), np.int32)])
+            crhi_a = np.concatenate([crhi_a, np.full((nm, 8, 128), -1, np.int32)])
+        ordc = np.argsort(sct, kind="stable")
+        sct, sat, sbt = sct[ordc], sat[ordc], sbt[ordc]
+        aLo, bLo, gtA, gtB, crhi_a = (aLo[ordc], bLo[ordc], gtA[ordc],
+                                      gtB[ordc], crhi_a[ordc])
+        S = len(sct)
+
+        counts = np.diff(np.concatenate((
+            np.nonzero(np.concatenate(([1], (sct[1:] != sct[:-1])
+                                       .astype(np.int64))))[0], [S])))
+        B = 1
+        best = float("inf")
+        var = 2 * _GTP_VAR_US * T
+        for cand in (1, 2, 4, 8, 16, 32):
+            nss_c = int(np.ceil(counts / cand).sum())
+            cost = nss_c * (_GTP_FIX_US + cand * var)
+            if cost < best:
+                best, B = cost, cand
+        if B > 1:
+            padc = (-counts) % B
+            tot = counts + padc
+            starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+            gb = np.concatenate(([0], np.cumsum(counts)))
+            gid = np.repeat(np.arange(len(counts)), tot)
+            within = np.arange(int(tot.sum()), dtype=np.int64) - starts[gid]
+            cidx = np.where(within < counts[gid], gb[gid] + within, S)
+            aLo = np.concatenate([aLo, np.zeros((1, 8, 128), np.int32)])[cidx]
+            bLo = np.concatenate([bLo, np.zeros((1, 8, 128), np.int32)])[cidx]
+            gtA = np.concatenate([gtA, np.zeros((1, T, 8, 128), np.int32)])[cidx]
+            gtB = np.concatenate([gtB, np.zeros((1, T, 8, 128), np.int32)])[cidx]
+            crhi_a = np.concatenate([crhi_a, np.full((1, 8, 128), -1, np.int32)])[cidx]
+            sat = np.concatenate([sat, [0]])[cidx]
+            sbt = np.concatenate([sbt, [0]])[cidx]
+            sct = sct[gb[gid]]
+            S = len(cidx)
+        first = np.ones(S, np.int32)
+        first[1:] = (sct[1:] != sct[:-1]).astype(np.int32)
+        self.a_lo = jnp.asarray(aLo.reshape(S * 8, 128))
+        self.b_lo = jnp.asarray(bLo.reshape(S * 8, 128))
+        self.gta = jnp.asarray(gtA.reshape(S * T * 8, 128))
+        self.gtb = jnp.asarray(gtB.reshape(S * T * 8, 128))
+        self.crhi = jnp.asarray(crhi_a.reshape(S * 8, 128))
+        self.at_ids = jnp.asarray(sat.astype(np.int32))
+        self.bt_ids = jnp.asarray(sbt.astype(np.int32))
+        self.ct_ss = jnp.asarray(sct[::B].astype(np.int32))
+        self.first_ss = jnp.asarray(first[::B])
+        self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
+        self.nnz_c = nnz_c
+        self.num_steps = S
+        self.n_ss = S // B
+        self.batch = B
+        self.pad_ratio = S * 1024 / max(1, P)
+        self.n_levels = levels
+        self.n_tables = T
+
+    def tree_flatten(self):
+        aux = (self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
+               self.num_steps, self.n_ss, self.batch, self.pad_ratio,
+               self.n_levels, self.n_tables)
+        return (self.a_lo, self.b_lo, self.gta, self.gtb, self.crhi,
+                self.at_ids, self.bt_ids, self.ct_ss, self.first_ss), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, None, None, 0, 0, 0, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(GtPairPlan)
+
+
+@functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "n_ss", "B",
+                                             "T", "nnz_c", "interpret"))
+def _gt_pair_call(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb,
+                  crhi, a_vals, b_vals, *, na, nb, nc, n_ss, B, T, nnz_c,
+                  interpret):
+    av = jnp.pad(a_vals.astype(jnp.float32),
+                 (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
+    bv = jnp.pad(b_vals.astype(jnp.float32),
+                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * _SR, 128)
+
+    def kernel(at_ref, bt_ref, ct_ref, first_ref, alo_ref, blo_ref,
+               gta_ref, gtb_ref, crhi_ref, av_ref, bv_ref, c_ref):
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            at = at_ref[g * B + j]
+            bt = bt_ref[g * B + j]
+            sl = slice(j * 8, (j + 1) * 8)
+            slT = slice(j * 8 * T, (j + 1) * 8 * T)
+            a = _gt_gather(av_ref[pl.ds(at * _SR, _SR), :], gta_ref[slT, :],
+                           alo_ref[sl, :], _SR, T)
+            b = _gt_gather(bv_ref[pl.ds(bt * _SR, _SR), :], gtb_ref[slT, :],
+                           blo_ref[sl, :], _SR, T)
+            pv = a * b
+            crhi2 = crhi_ref[sl, :]
+            crows = [jnp.sum(jnp.where(crhi2 == d, pv, 0.0), axis=0,
+                             keepdims=True) for d in range(8)]
+            acc = acc + jnp.concatenate(crows, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            c_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            c_ref[:, :] = c_ref[:, :] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * T * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * T * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cv = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb, crhi, av, bv)
+    return cv.reshape(nc * _CT)[:nnz_c]
