@@ -20,6 +20,19 @@ def main():
     ys = batch(jnp.linspace(0.5, 2.0, 16)[:, None])
     print("vmapped RK4 batch:", np.asarray(ys[:3, 0]))
 
+    # adaptive order+step BDF (KokkosODE BDFSolve analog): Robertson kinetics
+    from tpukk.ode import bdf_solve_adaptive
+
+    def rob(t, y):
+        return jnp.array([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                          0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2])
+
+    ra = bdf_solve_adaptive(rob, jnp.array([1.0, 0.0, 0.0]), 0.0, 100.0,
+                            rtol=1e-6, atol=1e-9)
+    print(f"adaptive BDF Robertson: y(100) = {np.asarray(ra.y)}, "
+          f"accepted steps = {int(ra.num_steps)}")
+
 
 if __name__ == "__main__":
     main()

@@ -139,3 +139,23 @@ class TestBDFAdaptive:
         assert int(r.status) == 0
         np.testing.assert_allclose(np.asarray(r.y), ref.y[:, -1],
                                    rtol=1e-4, atol=1e-9)
+
+    def test_vmap_batched(self):
+        # team-level analog (SURVEY §3.5): vmap over many stiff systems
+        from scipy.integrate import solve_ivp
+
+        from tpukk.ode import bdf_solve_adaptive
+
+        rates = jnp.asarray(np.linspace(1.0, 900.0, 8))
+
+        def solve_one(rate):
+            f = lambda t, y: -rate * (y - jnp.cos(t))
+            return bdf_solve_adaptive(f, jnp.array([0.0]), 0.0, 1.0,
+                                      rtol=1e-6, atol=1e-9)
+
+        r = jax.vmap(solve_one)(rates)
+        assert int(np.asarray(r.status).max()) == 0
+        for i, k in enumerate(np.asarray(rates)):
+            ref = solve_ivp(lambda t, y: -k * (y - np.cos(t)), (0, 1), [0.0],
+                            method="BDF", rtol=1e-9, atol=1e-12)
+            assert abs(float(r.y[i, 0]) - ref.y[0, -1]) < 1e-4
