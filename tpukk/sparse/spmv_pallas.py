@@ -403,10 +403,11 @@ def _dl_schedule(run_key, lc):
     Returns (order, step_e, srow, run_first, nchunks, n_steps); step_e/srow
     are per SORTED element, run_first indexes sorted elements."""
     nnz = len(run_key)
-    order = np.lexsort((lc, run_key))
+    # single packed-key argsort beats np.lexsort ~3x at 5M elements
+    grp_full = run_key * 128 + lc
+    order = np.argsort(grp_full, kind="stable")
     run_s = run_key[order]
-    lc_s = lc[order]
-    grp = run_s * 128 + lc_s
+    grp = grp_full[order]
     gfirst = np.concatenate(([1], (np.diff(grp) != 0).astype(np.int64)))
     gid = np.cumsum(gfirst) - 1
     gstart = np.nonzero(gfirst)[0]
@@ -1086,25 +1087,17 @@ _GT_FIX_US = 0.15   # same grid-step floor as v6
 _GT_VAR_US = 0.022  # ~13 vreg ops per chunk (refit after measurement)
 
 
-def _gt_level(run_key, lc, rhi_e, locc_e, vals_e, dt_e, st_e, T):
-    """One v7 scheduling level with T gather tables.  Per (chunk, sublane,
-    src-lane) cell the T largest same-src-row groups are kept (table index =
-    group rank, packed into lo's upper bits); the rest overflow.  Returns
-    (lo_a [ti*128+lo], gt_a (S, T, 8, 128), vals_a, rhi_a, sdst, ssrc,
-    overflow_mask_over_input)."""
-    n = len(run_key)
-    order, step_e, srow, rstart, nchunks, S = _dl_schedule(run_key, lc)
-    lo_s = (locc_e % 128)[order]
-    hi_s = (locc_e // 128)[order]
-    cell = (step_e * 8 + srow) * 128 + lo_s
-    pair = cell * 64 + hi_s
+def _cell_rank(cell, hi):
+    """Per-element rank of its (cell, hi) group within its cell, ranked by
+    group size (0 = largest)."""
+    n = len(cell)
+    pair = cell * 64 + hi
     po = np.argsort(pair, kind="stable")
     pp = pair[po]
     pfirst = np.concatenate(([True], np.diff(pp) != 0))
     gsize = np.diff(np.concatenate((np.nonzero(pfirst)[0], [n])))
     gid = np.cumsum(pfirst) - 1            # group id per sorted-by-pair elem
     cell_of_g = pp[pfirst] // 64
-    # rank groups per cell by size (0 = largest); keep ranks < T
     go = np.lexsort((-gsize, cell_of_g))
     cg = cell_of_g[go]
     cfirst = np.concatenate(([1], (np.diff(cg) != 0).astype(np.int64)))
@@ -1113,12 +1106,29 @@ def _gt_level(run_key, lc, rhi_e, locc_e, vals_e, dt_e, st_e, T):
     grank_go = np.arange(len(go), dtype=np.int64) - cstart[cid]
     grank = np.empty(len(gsize), np.int64)
     grank[go] = grank_go
-    ti_po = grank[gid]                     # table index per elem (pair order)
-    keep_po = ti_po < T
-    keep = np.empty(n, bool)
-    keep[po] = keep_po                     # per element in SORTED order
-    ti = np.empty(n, np.int64)
-    ti[po] = ti_po
+    r = np.empty(n, np.int64)
+    r[po] = grank[gid]
+    return r
+
+
+def _gt_level(run_key, lc, rhi_e, locc_e, vals_e, dt_e, st_e, T,
+              sched=None, ranks=None):
+    """One v7 scheduling level with T gather tables.  Per (chunk, sublane,
+    src-lane) cell the T largest same-src-row groups are kept (table index =
+    group rank, packed into lo's upper bits); the rest overflow.  Returns
+    (lo_a [ti*128+lo], gt_a (S, T, 8, 128), vals_a, rhi_a, sdst, ssrc,
+    overflow_mask_over_input).  sched/ranks allow reusing the T-selection
+    pre-pass for level 0."""
+    n = len(run_key)
+    order, step_e, srow, rstart, nchunks, S = (
+        sched if sched is not None else _dl_schedule(run_key, lc))
+    lo_s = (locc_e % 128)[order]
+    hi_s = (locc_e // 128)[order]
+    if ranks is None:
+        cell = (step_e * 8 + srow) * 128 + lo_s
+        ranks = _cell_rank(cell, hi_s)
+    ti = ranks                             # per element in SORTED order
+    keep = ti < T
     # build arrays from kept slots
     lo_a = np.zeros((S, 8, 128), np.int32)
     gt_a = np.zeros((S, T, 8, 128), np.int32)
@@ -1171,23 +1181,14 @@ class GtSpmvPlan:
         # even small overflow is expensive (overflow levels pay a one-chunk
         # -per-run floor: 2.3% overflow measured +50% chunks on lap1000)
         T = 3
+        sched0 = ranks0 = None
         if nnz:
-            order0, step0, srow0, _, _, _ = _dl_schedule(run, lc)
+            sched0 = _dl_schedule(run, lc)
+            order0, step0, srow0 = sched0[0], sched0[1], sched0[2]
             cell0 = (step0 * 8 + srow0) * 128 + (locc % 128)[order0]
-            pair0 = cell0 * 64 + (locc // 128)[order0]
-            pp0 = np.sort(pair0)
-            pf0 = np.concatenate(([1], (np.diff(pp0) != 0).astype(np.int64)))
-            gid0 = np.cumsum(pf0) - 1
-            gsz0 = np.bincount(gid0)
-            cells0 = pp0[pf0.astype(bool)] // 64
-            go0 = np.lexsort((-gsz0, cells0))
-            cf0 = np.concatenate(([1], (np.diff(cells0[go0]) != 0).astype(np.int64)))
-            rank0 = np.arange(len(go0)) - np.nonzero(cf0)[0][np.cumsum(cf0) - 1]
-            gr0 = np.empty(len(gsz0), np.int64)
-            gr0[go0] = rank0
-            ovf_at = [np.where(gr0[gid0] >= t, 1, 0).mean() for t in (1, 2, 3)]
+            ranks0 = _cell_rank(cell0, (locc // 128)[order0])
             for t in (1, 2, 3):
-                if ovf_at[t - 1] <= 0.005:
+                if (ranks0 >= t).mean() <= 0.005:
                     T = t
                     break
 
@@ -1200,7 +1201,9 @@ class GtSpmvPlan:
             idx = np.nonzero(rem)[0]
             key = run[idx] if lvl < _GT_LEVELS else run[idx] * SR + (locc[idx] // 128)
             out = _gt_level(key, lc[idx], rhi_e[idx], locc[idx], vals[idx],
-                            dt[idx], st[idx], T)
+                            dt[idx], st[idx], T,
+                            sched=sched0 if lvl == 0 else None,
+                            ranks=ranks0 if lvl == 0 else None)
             parts.append(out[:6])
             levels += 1
             rem2 = np.zeros(nnz, bool)
