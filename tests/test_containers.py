@@ -150,3 +150,36 @@ def test_symmetrize_pattern(rng):
     S = symmetrize_pattern(A)
     sp = S.to_scipy()
     np.testing.assert_allclose(sp.toarray(), sp.T.toarray())
+
+
+def test_replace_sum_into_values(rng):
+    """replaceValues / sumIntoValues parity (CrsMatrix.hpp:305-319; reference
+    tests Test_Sparse_replaceSumInto*.hpp): absent coordinates are ignored."""
+    from tpukk.containers import generate_random_csr
+
+    A = generate_random_csr(40, 30, 4, seed=5, dtype=np.float64)
+    S = A.to_scipy()
+    rows = np.array([0, 2, 2, 17, 39, 5])
+    cols = np.empty_like(rows)
+    present = np.zeros(len(rows), bool)
+    for i, r in enumerate(rows):
+        seg = S.indices[S.indptr[r]:S.indptr[r + 1]]
+        if i % 2 == 0 and len(seg):
+            cols[i] = seg[i % len(seg)]
+            present[i] = True
+        else:
+            cols[i] = next(c for c in range(30) if c not in seg)
+    vals = np.arange(1.0, len(rows) + 1)
+    for sorted_flag in (True, False):
+        A2 = A.sum_into_values(rows, cols, vals, is_sorted=sorted_flag)
+        ref = S.tolil(copy=True)
+        for r, c, v, p in zip(rows, cols, vals, present):
+            if p:
+                ref[r, c] += v
+        np.testing.assert_allclose(A2.to_scipy().toarray(), ref.toarray())
+        A3 = A.replace_values(rows, cols, vals, is_sorted=sorted_flag)
+        ref2 = S.tolil(copy=True)
+        for r, c, v, p in zip(rows, cols, vals, present):
+            if p:
+                ref2[r, c] = v
+        np.testing.assert_allclose(A3.to_scipy().toarray(), ref2.toarray())

@@ -165,3 +165,33 @@ def test_multivector_apply(rng):
         xj = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(B[:, j]),
                                            num_sweeps=2))
         np.testing.assert_allclose(X2[:, j], xj, rtol=1e-12, atol=1e-12)
+
+
+def test_block_gauss_seidel_bsr(rng):
+    import jax.numpy as jnp
+    """Block (BSR) GS — analog of Test_Sparse_block_gauss_seidel: error must
+    decrease every symmetric sweep on a diag-dominant block matrix."""
+    import scipy.sparse as sps
+
+    from tpukk.containers import BsrMatrix, generate_structured_laplacian
+    from tpukk.sparse import (GsHandle, gauss_seidel_apply,
+                              gauss_seidel_numeric, gauss_seidel_symbolic)
+
+    Ac = generate_structured_laplacian(10, 10, dtype=np.float64).to_scipy()
+    bs = 3
+    Ab = (sps.kron(Ac, np.eye(bs))
+          + sps.kron(sps.eye(Ac.shape[0]), 0.3 * np.ones((bs, bs)) + bs * np.eye(bs)))
+    A = BsrMatrix.from_scipy_bsr(sps.bsr_matrix(Ab, blocksize=(bs, bs)))
+    xstar = rng.standard_normal(Ab.shape[0])
+    b = jnp.asarray(Ab @ xstar)
+
+    h = GsHandle()
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, omega=1.0)
+    x = None
+    errs = []
+    for _ in range(5):
+        x = gauss_seidel_apply(h, A, x, b, num_sweeps=1, direction="symmetric")
+        errs.append(float(np.linalg.norm(np.asarray(x) - xstar)))
+    assert all(errs[i + 1] < errs[i] for i in range(len(errs) - 1)), errs
+    assert errs[-1] < 0.05 * errs[0]

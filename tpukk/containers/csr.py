@@ -181,6 +181,55 @@ class CsrMatrix:
     def astype(self, dtype) -> "CsrMatrix":
         return self.with_values(self.values.astype(dtype))
 
+    # ---- replace/sumInto (KokkosSparse_CrsMatrix.hpp:305-319) ----------
+    def _find_positions(self, rows, cols, is_sorted: bool):
+        """Value-array position of (row, col), or -1 if absent.  Sorted rows
+        use a per-row binary search (findRelOffset's sorted path); unsorted
+        rows fall back to an ELL-width scan — both fully vectorized."""
+        rows = jnp.asarray(rows)
+        cols = jnp.asarray(cols)
+        rm = jnp.asarray(self.row_map)
+        ent = jnp.asarray(self.entries)
+        beg = rm[rows]
+        end = rm[rows + 1]
+        if is_sorted:
+            # per-row binary search: restrict to the row segment by biasing
+            # the keys: key = row * (ncols+1) + col over a row-expanded view
+            key_ent = jnp.repeat(
+                jnp.arange(self.nrows, dtype=jnp.int64),
+                jnp.diff(rm).astype(jnp.int64),
+                total_repeat_length=self.nnz) * (self.ncols + 1) + ent
+            key_q = rows.astype(jnp.int64) * (self.ncols + 1) + cols
+            p = jnp.searchsorted(key_ent, key_q, side="left")
+            pc = jnp.clip(p, 0, max(self.nnz - 1, 0))
+            hit = (key_ent[pc] == key_q) & (p < self.nnz)
+            return jnp.where(hit, pc, -1)
+        w = int(np.max(self.row_lengths(), initial=1))
+        offs = jnp.arange(w)
+        cand = jnp.minimum(beg[:, None] + offs[None, :], max(self.nnz - 1, 0))
+        ok = (beg[:, None] + offs[None, :] < end[:, None]) & (ent[cand] == cols[:, None])
+        found = jnp.argmax(ok, axis=1)
+        hit = jnp.any(ok, axis=1)
+        return jnp.where(hit, beg + found, -1)
+
+    def replace_values(self, rows, cols, vals, is_sorted: bool = True) -> "CsrMatrix":
+        """Functional replaceValues: entries not present are ignored
+        (the reference's return-count contract maps to the hit mask)."""
+        pos = self._find_positions(rows, cols, is_sorted)
+        vals = jnp.asarray(vals, dtype=self.values.dtype)
+        safe = jnp.where(pos >= 0, pos, self.nnz)   # miss -> OOB -> dropped
+        new = self.values.at[safe].set(vals, mode="drop")
+        return self.with_values(new)
+
+    def sum_into_values(self, rows, cols, vals, is_sorted: bool = True) -> "CsrMatrix":
+        """Functional sumIntoValues: A[row, col] += val for present entries;
+        absent coordinates are ignored (CrsMatrix.hpp:305)."""
+        pos = self._find_positions(rows, cols, is_sorted)
+        vals = jnp.asarray(vals, dtype=self.values.dtype)
+        safe = jnp.where(pos >= 0, pos, self.nnz)   # miss -> OOB -> dropped
+        new = self.values.at[safe].add(vals, mode="drop")
+        return self.with_values(new)
+
     # host mirrors for plan construction
     def host_row_map(self) -> np.ndarray:
         return _host_mirror(self, "row_map")

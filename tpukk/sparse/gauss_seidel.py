@@ -84,12 +84,19 @@ class GsHandle:
         self.blocks: Optional[List[_ColorBlock]] = None
         # twostage
         self._tw = None
+        # block (BSR)
+        self._blk = None
 
 
 def gauss_seidel_symbolic(handle: GsHandle, A: CsrMatrix):
     """Coloring + permutation plan (cf. gauss_seidel.hpp:46 →
-    graph_color_symbolic)."""
+    graph_color_symbolic).  BsrMatrix input routes to block GS (the
+    reference's block_gauss_seidel overloads)."""
     check(A.nrows == A.ncols, "gauss_seidel: square matrix required")
+    from ..containers import BsrMatrix
+
+    if isinstance(A, BsrMatrix):
+        return _block_symbolic(handle, A)
     if handle.algorithm == GsAlgorithm.POINT:
         colors = graph_color(A, handle.coloring_algorithm)
         offsets, order = color_sets(colors)
@@ -167,7 +174,11 @@ def _cluster_symbolic(handle, A: CsrMatrix):
 
 def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
     """Extract permuted color-block ELL + inverse diagonal
-    (cf. gauss_seidel.hpp:175)."""
+    (cf. gauss_seidel.hpp:175); BsrMatrix input routes to block GS."""
+    from ..containers import BsrMatrix
+
+    if isinstance(A, BsrMatrix):
+        return _block_numeric(handle, A, omega)
     check(handle.is_symbolic_called, "gauss_seidel_numeric: symbolic first")
     handle.omega = float(omega)
     if handle.algorithm == GsAlgorithm.TWOSTAGE:
@@ -311,6 +322,13 @@ def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
         return jnp.stack(cols, axis=1)
     if x is None:
         x = jnp.zeros_like(b)
+    if getattr(handle, "_blk", None) is not None:
+        for _ in range(num_sweeps):
+            if direction in ("forward", "symmetric"):
+                x = _block_half_sweep(handle, x, b, True)
+            if direction in ("backward", "symmetric"):
+                x = _block_half_sweep(handle, x, b, False)
+        return x
     if handle.algorithm == GsAlgorithm.TWOSTAGE:
         for _ in range(num_sweeps):
             if direction in ("forward", "symmetric"):
@@ -332,3 +350,62 @@ def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
         if direction in ("backward", "symmetric"):
             xp = _point_half_sweep(handle, xp, bp, False)
     return permute_via_sort(xp, order)
+
+
+# ---------------------------------------------------------------------------
+# Block (BSR) Gauss-Seidel — analog of the reference's block_gauss_seidel
+# (Test_Sparse_block_gauss_seidel.hpp; the point-GS machinery applied to
+# BsrMatrix with b×b diagonal-block inverses).  TPU design: color the BLOCK
+# graph, batched-invert the diagonal blocks (MXU), sweep color sets with
+#   x_c <- (1-ω) x_c + ω D_c^{-1} ((b - A x)_c + D_c x_c)
+# — one BSR SpMV per color per half sweep, block updates as batched einsum.
+
+def _block_symbolic(handle: GsHandle, A):
+    graph = CsrMatrix.from_arrays(
+        jnp.asarray(A.row_map), jnp.asarray(A.entries),
+        jnp.zeros(A.nnz_blocks, jnp.float32),
+        nrows=A.n_block_rows, ncols=A.n_block_cols)
+    colors = graph_color(graph, handle.coloring_algorithm)
+    offsets, order = color_sets(colors)
+    handle.colors = colors
+    handle.color_offsets = offsets
+    handle.order = order
+    handle.is_symbolic_called = True
+
+
+def _block_numeric(handle: GsHandle, A, omega: float):
+    rm = A.host_row_map()
+    ent = A.host_entries()
+    nb = A.n_block_rows
+    rows = np.repeat(np.arange(nb), rm[1:] - rm[:-1])
+    dpos = np.full(nb, -1, np.int64)
+    hits = np.nonzero(ent == rows)[0]
+    dpos[rows[hits]] = hits
+    check((dpos >= 0).all(), "block GS: every block row needs a diagonal block")
+    D = jnp.asarray(A.host_values()[dpos])             # (nb, bs, bs)
+    handle._blk = {
+        "D": D,
+        "Dinv": jnp.linalg.inv(D),
+        "h": SpmvHandle(A),
+        "omega": float(omega),
+        "sets": [np.asarray(handle.order[handle.color_offsets[c]:
+                                         handle.color_offsets[c + 1]])
+                 for c in range(len(handle.color_offsets) - 1)],
+        "bs": A.block_size,
+    }
+    handle.is_numeric_called = True
+
+
+def _block_half_sweep(handle: GsHandle, x, b, forward: bool):
+    blk = handle._blk
+    D, Dinv, h, omega, bs = blk["D"], blk["Dinv"], blk["h"], blk["omega"], blk["bs"]
+    sets = blk["sets"] if forward else blk["sets"][::-1]
+    nb = D.shape[0]
+    for I in sets:
+        r = (b - h.matvec(x)).reshape(nb, bs)
+        xb = x.reshape(nb, bs)
+        rc = r[I] + jnp.einsum("ipq,iq->ip", D[I], xb[I])
+        xc = jnp.einsum("ipq,iq->ip", Dinv[I], rc)
+        xb = xb.at[I].set((1.0 - omega) * xb[I] + omega * xc)
+        x = xb.reshape(-1)
+    return x
