@@ -85,16 +85,37 @@ def _vb_run(cols, *, max_colors: int, max_rounds: int):
     idx = jnp.arange(nrows, dtype=jnp.int32)
 
     n_words = (max_colors + 32) // 32  # forbidden set as 32-color bitmasks
+    # hash priorities break the symmetry of speculative coloring: demoting
+    # the lower-INDEX endpoint of each conflict makes progress a 1-vertex-
+    # per-round wavefront on index-monotone graphs (measured: 64 rounds
+    # colored only 8k of 160k grid vertices); demoting the lower-HASH
+    # endpoint keeps an expected constant fraction per round (Jones-
+    # Plassmann-Luby argument), deterministic for a fixed hash.
+    pri = (idx * jnp.int32(-1640531527)) ^ jnp.int32(0x5BF03635)  # Knuth mix
+    nbr_valid = (cols >= 0) & (cols != idx[:, None])
+    nbr_pri = jnp.where(nbr_valid, jnp.take(pri, jnp.maximum(cols, 0)), 0)
+    nbr_idx = jnp.where(nbr_valid, cols, -1)
+    # neighbor wins a tie on equal hash by larger index
+    nbr_beats = (nbr_pri > pri[:, None]) | (
+        (nbr_pri == pri[:, None]) & (nbr_idx > idx[:, None]))
 
     def one_round(colors):
+        # ONE gather per round: demote the previous assignment's conflicts,
+        # then color the demoted with the same gathered data.  Returns the
+        # conflict count — the loop runs until a round finds none (its
+        # assignment then changed nothing, so it is already verified).
+        nbr_colors = jnp.where(nbr_valid,
+                               jnp.take(colors, jnp.maximum(cols, 0)), 0)
+        conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
+                           & (colors[:, None] != 0), axis=1)
+        colors = jnp.where(conflict, 0, colors)
+        # "changed" drives the loop: conflicts demoted + zeros (re)assigned;
+        # a round with neither is a verified fixed point
+        n_changed = (jnp.sum(conflict) + jnp.sum(colors == 0)).astype(jnp.int32)
         # forbidden bitmask words per vertex: word j bit t set <=> some
         # neighbor has color 32j+t.  (The VBBIT idea of
         # Distance1ColorHandle.hpp:28-41 — and vastly cheaper for XLA than a
         # (n, w, max_colors) one-hot tensor, which dominated compile time.)
-        nbr_colors = jnp.where(cols >= 0,
-                               jnp.take(colors, jnp.maximum(cols, 0)), 0)
-        # drop self-loops
-        nbr_colors = jnp.where(cols == idx[:, None], 0, nbr_colors)
         w = cols.shape[1]
         one = jnp.int32(1)
         first_free = jnp.full(nrows, max_colors, jnp.int32)
@@ -113,26 +134,27 @@ def _vb_run(cols, *, max_colors: int, max_rounds: int):
             tz = jax.lax.population_count(lsb - 1)
             first_free = jnp.where(~found & has, 32 * j + tz, first_free)
             found = found | has
-        colors = jnp.where(colors == 0, first_free, colors)
-        # conflict detection: adjacent equal colors -> higher index recolors
-        nbr_colors2 = jnp.where(cols >= 0,
-                                jnp.take(colors, jnp.maximum(cols, 0)), -1)
-        nbr_colors2 = jnp.where(cols == idx[:, None], -1, nbr_colors2)
-        conflict = jnp.any(
-            (nbr_colors2 == colors[:, None]) & (cols < idx[:, None]) & (cols >= 0),
-            axis=1)
-        colors = jnp.where(conflict, 0, colors)
-        return colors
+        return jnp.where(colors == 0, first_free, colors), n_changed
 
     def cond(state):
-        colors, it = state
-        return jnp.logical_and(it < max_rounds, jnp.any(colors == 0))
+        _, it, n_changed = state
+        return jnp.logical_and(it < max_rounds,
+                               jnp.logical_or(it == 0, n_changed > 0))
 
     def body(state):
-        colors, it = state
-        return one_round(colors), it + 1
+        colors, it, _ = state
+        colors, n_changed = one_round(colors)
+        return colors, it + 1, n_changed
 
-    return jax.lax.while_loop(cond, body, (jnp.zeros(nrows, jnp.int32), 0))[0]
+    colors, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(nrows, jnp.int32), 0, jnp.int32(0)))
+    # if the loop hit max_rounds the last assignment ran unchecked: demote
+    # remaining conflicts so callers always get a VALID partial coloring
+    # (0 = uncolored; graph_color falls back to serial greedy on those)
+    nbr_colors = jnp.where(nbr_valid, jnp.take(colors, jnp.maximum(cols, 0)), 0)
+    conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
+                       & (colors[:, None] != 0), axis=1)
+    return jnp.where(conflict, 0, colors)
 
 
 def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
