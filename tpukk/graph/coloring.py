@@ -163,13 +163,123 @@ def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
                               max_colors=max_colors, max_rounds=max_rounds))
 
 
-def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:
+# ---------------------------------------------------------------------------
+# Gather-table VB rounds: the per-round neighbor-color gather is the whole
+# cost of a VB round (jnp.take runs at ~0.12 G elem/s on v5e — PERF_NOTES),
+# and it has a FIXED pattern, so it is exactly a degree-1 selection-matrix
+# SpMV: S[(i*w+j), cols[i,j]] = 1.  Routing it through the v7 gather-table
+# pallas kernel (sparse/spmv_pallas.py) turns every round into one ~10 Gnnz/s
+# kernel dispatch.  Colors are < 2^24 so the f32 value path is exact.
+# ---------------------------------------------------------------------------
+
+def _vb_gather_plan(cols_ell: np.ndarray, nrows: int, interpret: bool = False):
+    """Build (plan, nbr_beats, self_mask) for the plan-driven VB runner, or
+    None when the pallas path is unavailable/unprofitable."""
+    from ..sparse import spmv_pallas as sp  # lazy: sparse imports graph
+
+    if not (sp.supports_pallas() or interpret):
+        return None
+    n, w = cols_ell.shape
+    import scipy.sparse as sps
+
+    idx = np.arange(n, dtype=np.int64)
+    valid = (cols_ell >= 0) & (cols_ell != idx[:, None].astype(cols_ell.dtype))
+    r, c = np.nonzero(valid)
+    S = sps.csr_matrix((np.ones(len(r), np.float32),
+                        (r * np.int64(w) + c, cols_ell[valid].astype(np.int64))),
+                       shape=(n * w, n))
+    Sm = CsrMatrix.from_scipy(S)
+    # only worth it while the padded kernel cost beats the XLA take floor
+    if sp.onehot_cost_estimate(Sm) >= sp._XLA_GATHER_STEP_COST:
+        return None
+    plan = sp.build_onehot_spmv_plan(Sm)
+    # hash priorities (identical mix as _vb_run), host-side since static
+    pri = ((idx * np.int64(-1640531527)).astype(np.int32)
+           ^ np.int32(0x5BF03635))
+    nbr_pri = np.where(valid, pri[np.maximum(cols_ell, 0)], 0)
+    nbr_idx = np.where(valid, cols_ell, -1)
+    nbr_beats = (nbr_pri > pri[:, None]) | (
+        (nbr_pri == pri[:, None]) & (nbr_idx > idx[:, None]))
+    return plan, jnp.asarray(nbr_beats)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w", "max_colors",
+                                             "max_rounds", "interpret"))
+def _vb_run_plan(plan, nbr_beats, *, n, w, max_colors, max_rounds,
+                 interpret=False):
+    """VB rounds with the neighbor-color gather as a gather-table SpMV.
+    Invalid/self slots have no matrix entry, so they gather 0 — identical
+    semantics to _vb_run's masked take (color 0 is never a constraint)."""
+    from ..sparse import spmv_pallas as sp
+
+    n_words = (max_colors + 32) // 32
+
+    def gather(colors):
+        y = sp.onehot_spmv(plan, colors.astype(jnp.float32),
+                           interpret=interpret)
+        return y[:n * w].reshape(n, w).astype(jnp.int32)
+
+    def one_round(colors):
+        nbr_colors = gather(colors)
+        conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
+                           & (colors[:, None] != 0), axis=1)
+        colors = jnp.where(conflict, 0, colors)
+        n_changed = (jnp.sum(conflict) + jnp.sum(colors == 0)).astype(jnp.int32)
+        one = jnp.int32(1)
+        first_free = jnp.full(n, max_colors, jnp.int32)
+        found = jnp.zeros(n, jnp.bool_)
+        for j in range(n_words):
+            rel = nbr_colors - 32 * j
+            inb = (rel >= 0) & (rel < 32)
+            bits = jnp.where(inb, jnp.left_shift(one, jnp.where(inb, rel, 0)), 0)
+            word = functools.reduce(jnp.bitwise_or,
+                                    [bits[:, k] for k in range(w)])
+            if j == 0:
+                word = word | one
+            free = ~word
+            has = free != 0
+            lsb = free & (-free)
+            tz = jax.lax.population_count(lsb - 1)
+            first_free = jnp.where(~found & has, 32 * j + tz, first_free)
+            found = found | has
+        return jnp.where(colors == 0, first_free, colors), n_changed
+
+    def cond(state):
+        _, it, n_changed = state
+        return jnp.logical_and(it < max_rounds,
+                               jnp.logical_or(it == 0, n_changed > 0))
+
+    def body(state):
+        colors, it, _ = state
+        colors, n_changed = one_round(colors)
+        return colors, it + 1, n_changed
+
+    colors, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(n, jnp.int32), 0, jnp.int32(0)))
+    nbr_colors = gather(colors)
+    conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
+                       & (colors[:, None] != 0), axis=1)
+    return jnp.where(conflict, 0, colors)
+
+
+def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB,
+                *, _interpret: bool = False) -> np.ndarray:
     """1-based colors per vertex (0 never returned on success)."""
     rm, ent, nrows = _adjacency(graph)
     if algorithm == ColoringAlgorithm.SERIAL:
         return _serial_greedy(rm, ent, nrows)
     cols_ell = _ell_pad(rm, ent, nrows)
-    colors = _vb_color(cols_ell, nrows)
+    colors = None
+    if cols_ell.size >= 32768 or _interpret:
+        # big graphs: per-round gather via the v7 gather-table pallas kernel
+        gp = _vb_gather_plan(cols_ell, nrows, interpret=_interpret)
+        if gp is not None:
+            plan, nbr_beats = gp
+            colors = np.asarray(_vb_run_plan(
+                plan, nbr_beats, n=nrows, w=cols_ell.shape[1],
+                max_colors=128, max_rounds=64, interpret=_interpret))
+    if colors is None:
+        colors = _vb_color(cols_ell, nrows)
     if (colors == 0).any():  # pathological fallback
         return _serial_greedy(rm, ent, nrows)
     return colors

@@ -45,7 +45,8 @@ def graph_mis2(graph, seed: int = 0) -> np.ndarray:
         cand_prio = np.where(undecided, prio, -1)
         vals = np.where(undecided[ent] & not_self, prio[ent], -1)
         nbr_best = np.full(n, -1, np.int64)
-        np.maximum.at(nbr_best, rows, vals)
+        nz = rm[1:] > rm[:-1]  # rows sorted: reduceat beats ufunc.at ~30x
+        nbr_best[nz] = np.maximum.reduceat(vals, rm[:-1][nz])
         win = undecided & (cand_prio > nbr_best)
         state[win] = 1
         # neighbors (distance<=2) of winners are out: one O(nnz) CSR matvec
@@ -79,7 +80,8 @@ def graph_mis2_aggregate(graph, seed: int = 0) -> np.ndarray:
         # propagate: unlabeled vertex adopts min labeled neighbor's label
         lab_n = np.where(labels[ent] >= 0, labels[ent], np.iinfo(np.int64).max)
         best = np.full(n, np.iinfo(np.int64).max)
-        np.minimum.at(best, rows, lab_n)
+        nz = rm[1:] > rm[:-1]  # rows sorted: reduceat beats ufunc.at ~30x
+        best[nz] = np.minimum.reduceat(lab_n, rm[:-1][nz])
         adopt = unl & (best != np.iinfo(np.int64).max)
         if adopt.any():
             labels[adopt] = best[adopt]

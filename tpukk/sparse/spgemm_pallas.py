@@ -302,14 +302,11 @@ def build_onehot_pair_plan(pair_plan, nnz_a: int, nnz_b: int,
     gb = np.concatenate(([1], (np.diff(grp) != 0).astype(np.int64)))
     gcnt = np.diff(np.concatenate((np.nonzero(gb)[0], [P])))
     grun = grp[gb.astype(bool)] // 128
-    rb = np.concatenate(([1], (np.diff(grun) != 0).astype(np.int64)))
-    rid = np.cumsum(rb) - 1
-    rcnt = np.zeros(int(rid[-1]) + 1, np.int64)
-    np.add.at(rcnt, rid, gcnt)
+    rstarts = np.nonzero(np.concatenate(([1], np.diff(grun) != 0)))[0]
+    rcnt = np.add.reduceat(gcnt, rstarts)  # groups are run-contiguous
     steps_flat = int(np.ceil(rcnt / _CH).sum())
     pad_flat = steps_flat * _CH / P
-    cmax = np.zeros(len(rcnt), np.int64)
-    np.maximum.at(cmax, rid, -(-gcnt // 8))
+    cmax = np.maximum.reduceat(-(-gcnt // 8), rstarts)
     steps_dl = int(cmax.sum())
     pad_dl = steps_dl * 1024 / P
     use_dl = pad_dl * _DL_PAIR_COST <= pad_flat * _FLAT_PAIR_COST

@@ -417,8 +417,8 @@ def _dl_schedule(run_key, lc):
     rfirst = np.concatenate(([1], (np.diff(run_s) != 0).astype(np.int64)))
     rstart = np.nonzero(rfirst)[0]
     rid = np.cumsum(rfirst) - 1
-    nchunks = np.zeros(int(rid[-1]) + 1, np.int64)
-    np.maximum.at(nchunks, rid, cwr + 1)
+    # runs are contiguous in sorted order: reduceat beats ufunc.at ~30x
+    nchunks = np.maximum.reduceat(cwr + 1, rstart)
     base = np.concatenate(([0], np.cumsum(nchunks)))
     step_e = base[rid] + cwr
     return order, step_e, srow, rstart, nchunks, int(base[-1])
@@ -598,15 +598,12 @@ def _onehot_pad_ratios(A):
     gb = np.concatenate(([1], np.diff(grp) != 0))
     gcnt = np.diff(np.concatenate((np.nonzero(gb)[0], [nnz])))
     grun = grp[gb.astype(bool)] // 128
-    # flat: chunks per run = ceil(run_nnz/1024)
-    rb = np.concatenate(([1], np.diff(grun) != 0))
-    rid = np.cumsum(rb) - 1
-    rcnt = np.zeros(int(rid[-1]) + 1, np.int64)
-    np.add.at(rcnt, rid, gcnt)
+    # flat: chunks per run = ceil(run_nnz/1024); groups are run-contiguous
+    rstarts = np.nonzero(np.concatenate(([1], np.diff(grun) != 0)))[0]
+    rcnt = np.add.reduceat(gcnt, rstarts)
     pad_flat = np.ceil(rcnt / _OH_CH).sum() * _OH_CH / nnz
     # dst-lane: chunks per run = max over lane classes of ceil(cnt/8)
-    cmax = np.zeros(len(rcnt), np.int64)
-    np.maximum.at(cmax, rid, -(-gcnt // 8))
+    cmax = np.maximum.reduceat(-(-gcnt // 8), rstarts)
     pad_dl = cmax.sum() * 1024 / nnz
     return float(pad_flat), float(pad_dl)
 
@@ -1098,7 +1095,10 @@ def _cell_rank(cell, hi):
     gsize = np.diff(np.concatenate((np.nonzero(pfirst)[0], [n])))
     gid = np.cumsum(pfirst) - 1            # group id per sorted-by-pair elem
     cell_of_g = pp[pfirst] // 64
-    go = np.lexsort((-gsize, cell_of_g))
+    # packed-key argsort == lexsort((-gsize, cell_of_g)) but ~3x faster;
+    # gsize <= nnz < 2^40/64 so the pack never overflows int64
+    go = np.argsort(cell_of_g * (gsize.max() + 1) + (gsize.max() - gsize),
+                    kind="stable")
     cg = cell_of_g[go]
     cfirst = np.concatenate(([1], (np.diff(cg) != 0).astype(np.int64)))
     cstart = np.nonzero(cfirst)[0]
@@ -1129,16 +1129,23 @@ def _gt_level(run_key, lc, rhi_e, locc_e, vals_e, dt_e, st_e, T,
         ranks = _cell_rank(cell, hi_s)
     ti = ranks                             # per element in SORTED order
     keep = ti < T
-    # build arrays from kept slots
-    lo_a = np.zeros((S, 8, 128), np.int32)
-    gt_a = np.zeros((S, T, 8, 128), np.int32)
-    vals_a = np.zeros((S, 8, 128), np.float32)
-    rhi_a = np.zeros((S, 8, 128), np.int32)
+    # build arrays from kept slots (flat single-index scatters: the
+    # multi-index fancy assignment recomputed strides per array)
+    lo_a = np.zeros(S * 8 * 128, np.int32)
+    gt_a = np.zeros(S * T * 8 * 128, np.int32)
+    vals_a = np.zeros(S * 8 * 128, np.float32)
+    rhi_a = np.zeros(S * 8 * 128, np.int32)
     se, sr, lcs = step_e[keep], srow[keep], lc[order][keep]
-    lo_a[se, sr, lcs] = (ti[keep] * 128 + lo_s[keep]).astype(np.int32)
-    gt_a[se, ti[keep], sr, lo_s[keep]] = hi_s[keep].astype(np.int32)
-    vals_a[se, sr, lcs] = vals_e[order][keep]
-    rhi_a[se, sr, lcs] = rhi_e[order][keep].astype(np.int32)
+    flat = (se * 8 + sr) * 128 + lcs
+    lo_a[flat] = (ti[keep] * 128 + lo_s[keep]).astype(np.int32)
+    gt_a[((se * T + ti[keep]) * 8 + sr) * 128 + lo_s[keep]] = \
+        hi_s[keep].astype(np.int32)
+    vals_a[flat] = vals_e[order][keep]
+    rhi_a[flat] = rhi_e[order][keep].astype(np.int32)
+    lo_a = lo_a.reshape(S, 8, 128)
+    gt_a = gt_a.reshape(S, T, 8, 128)
+    vals_a = vals_a.reshape(S, 8, 128)
+    rhi_a = rhi_a.reshape(S, 8, 128)
     sdst = np.repeat(dt_e[order][rstart], nchunks)
     ssrc = np.repeat(st_e[order][rstart], nchunks)
     ovf = np.zeros(n, bool)

@@ -134,8 +134,8 @@ def build_fused_sptrsv_plan(rm, ent, vals, n, levels, lower: bool):
     gid = np.cumsum(gfirst) - 1
     ngrp = int(gid[-1]) + 1 if len(gid) else 0
     gmin = np.full(ngrp, np.iinfo(np.int64).max, np.int64)
-    if ngrp:
-        np.minimum.at(gmin, gid, src_s)
+    if ngrp:  # groups are contiguous in ko order: reduceat beats ufunc.at
+        gmin = np.minimum.reduceat(src_s, np.nonzero(gfirst)[0])
     base_sl = (gmin[gid] // 128) if len(gid) else np.empty(0, np.int64)
     overflow = (src_s - base_sl * 128) >= _WIN if len(gid) else np.empty(0, bool)
     extra = np.zeros(len(key_s), np.int64)
