@@ -148,9 +148,9 @@ def test_onehot_pallas_interpret(rng):
     import jax.numpy as jnp
 
     cases = [
-        generate_random_csr(2500, 2000, 5, seed=7, dtype=np.float32),
-        generate_random_csr(100, 9000, 3, seed=8, dtype=np.float32),  # >1 src tile
-        generate_structured_laplacian(40, 40, dtype=np.float32),
+        generate_random_csr(1200, 1500, 4, seed=7, dtype=np.float32),  # >1 dst tile
+        generate_random_csr(100, 8400, 3, seed=8, dtype=np.float32),   # >1 src tile
+        generate_structured_laplacian(36, 36, dtype=np.float32),
     ]
     # empty rows / empty dst tile: rows 1100.. have no entries
     import scipy.sparse as sp
@@ -174,7 +174,7 @@ def test_onehot_spmm_interpret(rng):
     from tpukk.sparse.spmv_pallas import build_onehot_spmv_plan, onehot_spmm
     import jax.numpy as jnp
 
-    for A in (generate_random_csr(2500, 9000, 4, seed=12, dtype=np.float32),
+    for A in (generate_random_csr(1200, 8400, 3, seed=12, dtype=np.float32),
               generate_structured_laplacian(35, 35, dtype=np.float32)):
         X = rng.standard_normal((A.ncols, 3)).astype(np.float32)
         ref = A.to_scipy() @ X

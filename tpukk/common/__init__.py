@@ -2,6 +2,7 @@ from .arith_traits import ArithTraits, arith_traits, is_complex, mag_dtype
 from .controls import Controls, eager_initialize, print_configuration
 from .perf_archive import MetricResult, PerfArchive
 from .timing import chain_time_slope, sync_fetch
+from .tracing import annotate, profile_region, region_name, trace
 from .errors import TpuKKError, check, check_rank, check_same_dtype
 from .types import default_offset, default_ordinal, default_scalar, enable_x64, supported_scalars
 from .utils import (

@@ -6,6 +6,7 @@ the sequential colored GS ordering, not a block-Jacobi approximation).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, List
 
@@ -130,28 +131,39 @@ def _local_sweep(send_idx, ccols, cvals, crows, cinvd, x_shard, b_shard, *,
     return x[None]
 
 
+@functools.lru_cache(maxsize=64)
+def _sweep_fn(mesh: Mesh, axis: str, rpp: int, n_parts: int, omega: float,
+              fwd: bool):
+    """Jitted one-direction sweep, cached per (mesh, geometry, direction) —
+    without this every dist_gs_sweep call re-traced the shard_map (the
+    compile was >90% of each call)."""
+    f = jax.shard_map(
+        partial(_local_sweep, axis=axis, rpp=rpp, omega=omega,
+                reverse=not fwd),
+        mesh=mesh,
+        in_specs=(P(axis),) * 5 + (P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+
+    @jax.jit
+    def run(plan: DistGsPlan, x, b):
+        y2 = f(plan.send_idx, plan.color_cols, plan.color_vals,
+               plan.color_rows, plan.color_invd,
+               x.reshape(n_parts, rpp), b.reshape(n_parts, rpp))
+        return y2.reshape(-1)
+
+    return run
+
+
 def dist_gs_sweep(plan: DistGsPlan, x_padded, b_padded, mesh: Mesh,
                   num_sweeps: int = 1, direction: str = "symmetric",
                   axis: str = "parts"):
     """Colored GS sweeps on row-sharded x/b (padded to plan.padded_rows)."""
-    def run(x, fwd):
-        f = jax.shard_map(
-            partial(_local_sweep, axis=axis, rpp=plan.rows_per_part,
-                    omega=plan.omega, reverse=not fwd),
-            mesh=mesh,
-            in_specs=(P(axis),) * 5 + (P(axis), P(axis)),
-            out_specs=P(axis),
-        )
-        y2 = f(plan.send_idx, plan.color_cols, plan.color_vals,
-               plan.color_rows, plan.color_invd,
-               x.reshape(plan.n_parts, plan.rows_per_part),
-               b_padded.reshape(plan.n_parts, plan.rows_per_part))
-        return y2.reshape(-1)
-
+    key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega)
     x = x_padded
     for _ in range(num_sweeps):
         if direction in ("forward", "symmetric"):
-            x = run(x, True)
+            x = _sweep_fn(*key, True)(plan, x, b_padded)
         if direction in ("backward", "symmetric"):
-            x = run(x, False)
+            x = _sweep_fn(*key, False)(plan, x, b_padded)
     return x

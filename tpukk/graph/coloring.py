@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import round_up
+from ..common.tracing import annotate
 from ..containers import CsrMatrix, StaticCrsGraph
 
 __all__ = ["ColoringAlgorithm", "graph_color", "graph_color_d2", "verify_coloring",
@@ -262,6 +263,7 @@ def _vb_run_plan(plan, nbr_beats, *, n, w, max_colors, max_rounds,
     return jnp.where(conflict, 0, colors)
 
 
+@annotate("graph_color")
 def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB,
                 *, _interpret: bool = False) -> np.ndarray:
     """1-based colors per vertex (0 never returned on success)."""

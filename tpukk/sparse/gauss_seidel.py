@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import check, permute_via_sort
+from ..common.tracing import annotate
 from ..containers import CsrMatrix
 from ..graph.coloring import ColoringAlgorithm, color_sets, graph_color
 from .spmv import SpmvAlgorithm, SpmvHandle
@@ -308,6 +309,7 @@ def symmetric_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
     return gauss_seidel_apply(handle, A, x, b, num_sweeps, "symmetric")
 
 
+@annotate("gauss_seidel_apply")
 def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
                        num_sweeps: int = 1, direction: str = "symmetric"):
     """x may be None (zero initial guess, the init_zero_x_vector flag).

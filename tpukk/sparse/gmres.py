@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import check
+from ..common.tracing import annotate
 from ..containers import CsrMatrix
 from .preconditioner import IdentityPrec, Preconditioner
 from .spmv import SpmvHandle
@@ -104,6 +105,7 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
     return x_new, res_est
 
 
+@annotate("gmres")
 def gmres(handle: GmresHandle, A, b, x0=None, prec: Optional[Preconditioner] = None):
     """Solve A·x = b; returns (x, GmresStats).  A may be a CsrMatrix or an
     SpmvHandle."""

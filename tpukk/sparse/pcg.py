@@ -13,6 +13,7 @@ import numpy as np
 
 from .preconditioner import IdentityPrec, Preconditioner
 from .spmv import SpmvHandle
+from ..common.tracing import annotate
 
 __all__ = ["PcgStats", "pcg", "pcg_iteration_body", "pcg_initial_state"]
 
@@ -50,6 +51,7 @@ def pcg_initial_state(Ah: SpmvHandle, prec: Preconditioner, b, x):
     return (x, r, z, jnp.sum(jnp.conj(r) * z))
 
 
+@annotate("pcg")
 def pcg(A, b, x0=None, tol: float = 1e-8, max_iters: int = 500,
         prec: Optional[Preconditioner] = None, check_every: int = 10):
     Ah = A if isinstance(A, SpmvHandle) else SpmvHandle(A)

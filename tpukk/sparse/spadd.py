@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import check
+from ..common.tracing import annotate
 from ..containers import CsrMatrix
 
 __all__ = ["SpaddHandle", "spadd_symbolic", "spadd_numeric", "spadd"]
@@ -79,6 +80,7 @@ def spadd_symbolic(handle: SpaddHandle, A: CsrMatrix, B: CsrMatrix):
     return row_map_c
 
 
+@annotate("spadd_numeric")
 def spadd_numeric(handle: SpaddHandle, alpha, A: CsrMatrix, beta, B: CsrMatrix) -> CsrMatrix:
     check(handle.is_symbolic_called, "spadd_numeric: call spadd_symbolic first")
     v = jnp.concatenate([

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import check
+from ..common.tracing import annotate
 from ..containers import CsrMatrix
 
 __all__ = ["SpgemmAlgorithm", "SpgemmHandle", "spgemm_symbolic", "spgemm_numeric",
@@ -150,6 +151,7 @@ def _symbolic_host(A: CsrMatrix, B: CsrMatrix):
     return row_map_c, cols_c, plan
 
 
+@annotate("spgemm_symbolic")
 def spgemm_symbolic(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix):
     """Determine C's structure; caches the pair plan in the handle."""
     check(A.ncols == B.nrows, "spgemm: inner dimension mismatch")
@@ -189,6 +191,7 @@ def _numeric_pairs(plan: PairPlan, a_vals, b_vals):
                                indices_are_sorted=True)
 
 
+@annotate("spgemm_numeric")
 def spgemm_numeric(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix) -> CsrMatrix:
     """Numeric phase — device-side for KK (two gathers + sorted segsum)."""
     check(handle.is_symbolic_called, "spgemm_numeric: call spgemm_symbolic first")

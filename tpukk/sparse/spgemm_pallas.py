@@ -393,6 +393,7 @@ def _onehot_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, c_loc,
     )
     cv = pl.pallas_call(
         kernel,
+        name="tpukk_spgemm_pair_flat",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
         interpret=interpret,
@@ -450,6 +451,7 @@ def _dl_pair_call(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, crhi,
     )
     cv = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spgemm_pair_dl",
         out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
         interpret=interpret,
     )(at_ids, bt_ids, ct_ids, first, a_loc, b_loc, crhi, av, bv)
@@ -514,6 +516,7 @@ def _dl_pair_call_batched(at_ids, bt_ids, ct_ss, first_ss, a_loc, b_loc, crhi,
     )
     cv = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spgemm_pair_dl_ss",
         out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
         interpret=interpret,
     )(at_ids, bt_ids, ct_ss, first_ss, a_loc, b_loc, crhi, av, bv)
@@ -830,6 +833,7 @@ def _gt_pair_call(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb,
     )
     cv = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spgemm_pair_gt",
         out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
         interpret=interpret,
     )(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb, crhi, av, bv)

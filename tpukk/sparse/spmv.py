@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import check
+from ..common.tracing import profile_region, region_name
 from ..containers import BsrMatrix, CsrMatrix
 from ..containers.sort_crs import transpose as _transpose
 from . import spmv_impl
@@ -181,12 +182,15 @@ class SpmvHandle:
             # materialize conjugated values (cached) to keep one code path
             h = h.conjugated()
         _check_dims(h.A, x, y, m)
-        ax = h.matvec(x)
-        if y is None or _is_zero(beta):
-            out = ax if _is_one(alpha) else alpha * ax
-        else:
-            out = beta * y + alpha * ax
-        return out.astype(x.dtype)
+        # algorithm-labeled region, the pushRegion analog
+        # (sparse/src/KokkosSparse_spmv.hpp:261-266)
+        with profile_region(region_name("spmv", m, h.algorithm.name)):
+            ax = h.matvec(x)
+            if y is None or _is_zero(beta):
+                out = ax if _is_one(alpha) else alpha * ax
+            else:
+                out = beta * y + alpha * ax
+            return out.astype(x.dtype)
 
 
 def _is_zero(c):

@@ -66,6 +66,7 @@ def _dia_call(x_full, *diags, offsets, chunk, interpret):
 
     return pl.pallas_call(
         kernel,
+        name="tpukk_spmv_dia",
         grid=(num_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM) for _ in range(k)],
@@ -180,6 +181,7 @@ def _dia_mv_call(x_full, *diags, offsets, chunk, k, interpret):
 
     return pl.pallas_call(
         kernel,
+        name="tpukk_spmv_dia_mv",
         grid=(num_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM) for _ in range(kd)],
@@ -684,6 +686,7 @@ def _onehot_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
     )
     y2 = pl.pallas_call(
         kernel,
+        name="tpukk_spmv_onehot_flat",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
@@ -738,6 +741,7 @@ def _dl_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
     )
     y2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_onehot_dl",
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ids, src_ids, first, rhi, locc, vals, x2)
@@ -798,6 +802,7 @@ def _dl_call_batched(dst_ss, src_ids, first_ss, rhi, locc, vals, x, *,
     )
     y2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_onehot_dl_ss",
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, src_ids, first_ss, rhi, locc, vals, x2)
@@ -855,6 +860,7 @@ def _dl_mm_call(dst_ids, src_ids, first, rhi, locc, vals, x, *,
     )
     y3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spmm_onehot_dl",
         out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ids, src_ids, first, rhi, locc, vals, x3)
@@ -917,6 +923,7 @@ def _dl_mm_call_batched(dst_ss, src_ids, first_ss, rhi, locc, vals, x, *,
     )
     y3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spmm_onehot_dl_ss",
         out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, src_ids, first_ss, rhi, locc, vals, x3)
@@ -1017,6 +1024,7 @@ def _onehot_spmm_call(dst_ids, src_ids, first, locr, locc, vals, x, *,
     )
     y3 = pl.pallas_call(
         kernel,
+        name="tpukk_spmm_onehot_flat",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
         interpret=interpret,
@@ -1377,6 +1385,7 @@ def _gt_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
     )
     y2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_gt",
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x2)
@@ -1439,6 +1448,7 @@ def _gt_mm_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
     )
     y3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
+        name="tpukk_spmm_gt",
         out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x3)

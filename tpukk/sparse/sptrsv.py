@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import check, permute_via_sort
+from ..common.tracing import annotate
 from ..containers import CsrMatrix
 from .sptrsv_supernodal import build_supernodal_plan, supernodal_solve
 
@@ -172,6 +173,7 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     handle.is_symbolic_called = True
 
 
+@annotate("sptrsv_solve")
 def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
     """x with tri(A)·x = b (values read from the handle's plan — rebuild the
     handle for new values; a values-only refresh is the planned split)."""

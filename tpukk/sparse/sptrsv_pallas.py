@@ -253,6 +253,7 @@ def _fused_call(wb, cols, vals, invd, b2, *, S, SR, W, interpret):
     )
     return pl.pallas_call(
         kernel,
+        name="tpukk_sptrsv_fused",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((SR, 128), jnp.float32),
         interpret=interpret,
