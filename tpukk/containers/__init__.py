@@ -5,6 +5,7 @@ from .coo import CooMatrix
 from .csr import CsrMatrix, StaticCrsGraph
 from .generators import (
     generate_banded_csr,
+    generate_fem2d_csr,
     generate_diag_dominant_csr,
     generate_random_csr,
     generate_structured_laplacian,

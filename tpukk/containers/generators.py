@@ -16,6 +16,7 @@ __all__ = [
     "generate_random_csr",
     "generate_diag_dominant_csr",
     "generate_banded_csr",
+    "generate_fem2d_csr",
 ]
 
 
@@ -85,3 +86,43 @@ def generate_banded_csr(n: int, bandwidth: int, dtype=np.float32, seed: int = 0)
     A = sps.diags(diags, offsets, shape=(n, n), format="csr").astype(dtype)
     A.sort_indices()
     return CsrMatrix.from_scipy(A)
+
+
+def generate_fem2d_csr(n_nodes: int, dtype=np.float64, seed: int = 0) -> CsrMatrix:
+    """P1 finite-element stiffness matrix on an UNSTRUCTURED 2-D Delaunay
+    triangulation of random points — the stand-in for the SuiteSparse-style
+    real-world inputs the reference's perf tests consume from .mtx files
+    (perf_test/sparse/KokkosSparse_spgemm.cpp, example/gmres/ex_real_A.cpp:36).
+
+    Unlike the structured generators, the sparsity pattern here is genuinely
+    irregular: node numbering is random (no banded structure), vertex degrees
+    vary 3..12+, and the matrix is symmetric positive semi-definite with
+    heterogeneous entries (cotangent weights).  `data/fem2d_*.mtx.gz` fixtures
+    are produced from this generator (scripts/make_fixtures.py) and consumed
+    through `io.read_mtx`, exercising the MatrixMarket path end-to-end."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_nodes, 2))
+    tri = Delaunay(pts)
+    t = tri.simplices  # (ntri, 3)
+    # per-triangle P1 stiffness: K_ij = (grad phi_i . grad phi_j) * area
+    p0, p1, p2 = pts[t[:, 0]], pts[t[:, 1]], pts[t[:, 2]]
+    # edge vectors opposite each vertex
+    e0 = p2 - p1
+    e1 = p0 - p2
+    e2 = p1 - p0
+    cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    area = 0.5 * np.abs(cross)
+    area = np.maximum(area, 1e-14)
+    E = np.stack([e0, e1, e2], axis=1)               # (ntri, 3, 2)
+    K = np.einsum("tid,tjd->tij", E, E) / (4.0 * area)[:, None, None]
+    rows = np.repeat(t, 3, axis=1).reshape(-1)       # i index
+    cols = np.tile(t, (1, 3)).reshape(-1)            # j index
+    vals = K.reshape(-1)
+    A = sps.coo_matrix((vals, (rows, cols)), shape=(n_nodes, n_nodes)).tocsr()
+    A.sum_duplicates()
+    # small diagonal shift makes it SPD (usable by the solver benches too)
+    A = A + 1e-3 * sps.identity(n_nodes, format="csr")
+    A.sort_indices()
+    return CsrMatrix.from_scipy(A, value_dtype=dtype)
