@@ -8,12 +8,21 @@ platform must be re-pinned here before any backend is initialized.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+# TPUKK_TPU_TESTS=1 keeps the real TPU platform for the `-m tpu` subset
+# (the per-backend test-executable analog, sparse/unit_test/backends/):
+#   TPUKK_TPU_TESTS=1 python -m pytest tests -m tpu
+# Everything else runs on the CPU backend with 8 virtual devices.
+_TPU_MODE = os.environ.get("TPUKK_TPU_TESTS", "") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
@@ -39,3 +48,21 @@ def tol_for(dtype, scale=10.0):
     """Scaled-epsilon tolerance — the reference's oracle pattern uses
     eps = 10*ArithTraits::eps() (sparse/unit_test/Test_Sparse_spmv.hpp:76-101)."""
     return scale * np.finfo(dtype).eps
+
+
+def pytest_collection_modifyitems(config, items):
+    """tpu-marked tests run only under TPUKK_TPU_TESTS=1 (real chip);
+    everything else is skipped in that mode (the platform is not the CPU
+    mesh the regular suite assumes)."""
+    import pytest as _pytest
+
+    if _TPU_MODE:
+        skip = _pytest.mark.skip(reason="TPU mode: only -m tpu tests")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = _pytest.mark.skip(reason="needs real TPU (TPUKK_TPU_TESTS=1)")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)

@@ -162,7 +162,7 @@ def test_onehot_pallas_interpret(rng):
     for A in cases:
         x = rng.standard_normal(A.ncols).astype(np.float32)
         ref = A.to_scipy() @ x
-        for layout in ("flat", "dstlane", "auto"):
+        for layout in ("flat", "dstlane", "gt", "auto"):
             plan = build_onehot_spmv_plan(A, layout=layout)
             y = np.asarray(onehot_spmv(plan, jnp.asarray(x), interpret=True))
             _check(y, ref, np.float32)

@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic"]
+__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -61,6 +61,15 @@ def _load():
             lib.tpukk_csr_transpose.restype = None
             lib.tpukk_csr_transpose.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, i32p, i32p, f64p]
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.tpukk_gt_place.restype = ctypes.c_int64
+            lib.tpukk_gt_place.argtypes = [
+                ctypes.c_int64, i64p, i32p, i32p, i32p,
+                ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p,
+                ctypes.c_void_p, ctypes.c_int32]
+            lib.tpukk_gt_assign_lanes.restype = None
+            lib.tpukk_gt_assign_lanes.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -137,6 +146,42 @@ def mdf_order(indptr, indices, values, n):
     lib.tpukk_mdf_order(n, _i32(indptr), _i32(indices),
                         np.ascontiguousarray(values, np.float64), order)
     return order
+
+
+def gt_place(run_off, lane, lo, hi, T: int, max_grow: int = 4, srow=None):
+    """Conflict-aware v7 slot placement (see tpukk_gt_place in the C++);
+    None if the native lib is unavailable.  srow locks each element's
+    sublane (the identity-scatter layout).  Returns (c, s, ti,
+    nch_per_run); c == -1 marks elements the greedy could not place."""
+    lib = _load()
+    if lib is None:
+        return None
+    run_off = np.ascontiguousarray(run_off, np.int64)
+    n = int(run_off[-1])
+    n_runs = len(run_off) - 1
+    out_c = np.empty(n, np.int32)
+    out_s = np.empty(n, np.int32)
+    out_ti = np.empty(n, np.int32)
+    out_nch = np.empty(n_runs, np.int32)
+    sr = _i32(srow) if srow is not None else None
+    lib.tpukk_gt_place(n_runs, run_off, _i32(lane), _i32(lo), _i32(hi),
+                       T, max_grow, out_c, out_s, out_ti, out_nch,
+                       sr.ctypes.data_as(ctypes.c_void_p) if sr is not None else None,
+                       1 if sr is not None else 0)
+    return out_c, out_s, out_ti, out_nch
+
+
+def gt_assign_lanes(nd, ns, pair_off, pair_st, pair_cnt):
+    """Balanced per-tile dst-lane assignment (see tpukk_gt_assign_lanes);
+    None if the native lib is unavailable.  Returns lane per padded row
+    (nd*1024,), a bijection within each (tile, sublane-group)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(nd * 1024, np.int32)
+    lib.tpukk_gt_assign_lanes(nd, ns, np.ascontiguousarray(pair_off, np.int64),
+                              _i32(pair_st), _i32(pair_cnt), out)
+    return out
 
 
 def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):

@@ -397,4 +397,187 @@ void tpukk_spgemm_pairs(int64_t n, const int32_t* rmA, const int32_t* ciA,
   }
 }
 
+// ---------------------------------------------------------------------------
+// v7 SpMV gather-table conflict-aware slot placement (spmv_pallas.GtSpmvPlan).
+// Elements are grouped by run (run_off: n_runs+1 offsets into the element
+// arrays, caller sorts by run and, within a run, by (lo, hi) so same-source
+// elements cluster).  Within a run each element (lane, lo, hi) needs a slot
+// (chunk c < nch, sublane s < 8) such that
+//   * at most one element per (lane, chunk, sublane)           [slot cap]
+//   * per (chunk, sublane, lo) cell at most T distinct hi      [table cap]
+// Greedy first-fit with growth: start at nch = ceil(max-lane-count/8); if
+// elements cannot place, add chunks (up to max_grow extra) and retry just
+// the failures.  Leftovers get out_c = -1 (the Python caller reschedules
+// them in the conflict-free guarantee level).  Replaces the rank-based
+// T-overflow levels whose one-chunk-per-run floor dominated padding
+// (docs/PERF_NOTES.md round 2).
+// srow_req (optional, use_srow != 0): lock each element's sublane to the
+// given value (the identity-scatter "gi" layout: slot sublane == dst row's
+// sublane within the tile, so the kernel scatter is a plain accumulate).
+int64_t tpukk_gt_place(int64_t n_runs, const int64_t* run_off,
+                       const int32_t* lane, const int32_t* lo,
+                       const int32_t* hi,
+                       int32_t T, int32_t max_grow,
+                       int32_t* out_c, int32_t* out_s, int32_t* out_ti,
+                       int32_t* out_nch,
+                       const int32_t* srow_req, int32_t use_srow) {
+  int64_t total_chunks = 0;
+  int32_t lane_cnt[128];
+  std::vector<uint8_t> slot_used;  // [(c*8+s)*128 + lane]
+  std::vector<int32_t> cell_hi;    // [((c*8+s)*128 + lo)*T + t]
+  std::vector<uint8_t> cell_cnt;   // [(c*8+s)*128 + lo]
+  std::vector<int64_t> pending, fails;
+  for (int64_t r = 0; r < n_runs; ++r) {
+    int64_t e0 = run_off[r], e1 = run_off[r + 1];
+    int32_t nch = 0;
+    if (use_srow) {
+      // slot class = (lane, srow): chunks >= max class count
+      static thread_local std::vector<int32_t> cls(128 * 8);
+      std::fill(cls.begin(), cls.end(), 0);
+      for (int64_t e = e0; e < e1; ++e) {
+        int32_t c = ++cls[lane[e] * 8 + srow_req[e]];
+        if (c > nch) nch = c;
+      }
+    } else {
+      std::memset(lane_cnt, 0, sizeof(lane_cnt));
+      for (int64_t e = e0; e < e1; ++e) lane_cnt[lane[e]]++;
+      int32_t mx = 0;
+      for (int l = 0; l < 128; ++l) mx = std::max(mx, lane_cnt[l]);
+      nch = (mx + 7) / 8;
+    }
+    out_nch[r] = 0;
+    if (nch == 0) continue;
+    int32_t cap = nch + max_grow;
+    size_t nslots = (size_t)cap * 8;
+    if (slot_used.size() < nslots * 128) {
+      slot_used.resize(nslots * 128);
+      cell_cnt.resize(nslots * 128);
+      cell_hi.resize(nslots * 128 * (size_t)T);
+    }
+    std::memset(slot_used.data(), 0, nslots * 128);
+    std::memset(cell_cnt.data(), 0, nslots * 128);
+    pending.clear();
+    for (int64_t e = e0; e < e1; ++e) pending.push_back(e);
+    fails.clear();
+    while (true) {
+      fails.clear();
+      for (int64_t e : pending) {
+        int32_t L = lane[e], LO = lo[e], HI = hi[e];
+        int32_t fc = -1, fs = -1, fti = -1;
+        int32_t s_lo = use_srow ? srow_req[e] : 0;
+        int32_t s_hi = use_srow ? srow_req[e] + 1 : 8;
+        // pass 1: a free slot whose cell already maps LO -> HI (table reuse)
+        for (int32_t c = 0; c < nch && fc < 0; ++c)
+          for (int32_t s = s_lo; s < s_hi; ++s) {
+            size_t slot = (size_t)c * 8 + s;
+            if (slot_used[slot * 128 + L]) continue;
+            size_t cell = slot * 128 + LO;
+            uint8_t cc = cell_cnt[cell];
+            for (uint8_t t = 0; t < cc; ++t)
+              if (cell_hi[cell * T + t] == HI) { fc = c; fs = s; fti = t; break; }
+            if (fc >= 0) break;
+          }
+        // pass 2: a free slot with spare table capacity
+        if (fc < 0)
+          for (int32_t c = 0; c < nch && fc < 0; ++c)
+            for (int32_t s = s_lo; s < s_hi; ++s) {
+              size_t slot = (size_t)c * 8 + s;
+              if (slot_used[slot * 128 + L]) continue;
+              size_t cell = slot * 128 + LO;
+              if (cell_cnt[cell] < T) {
+                fc = c; fs = s; fti = cell_cnt[cell];
+                cell_hi[cell * T + fti] = HI;
+                cell_cnt[cell] = (uint8_t)(fti + 1);
+                break;
+              }
+            }
+        if (fc < 0) { fails.push_back(e); continue; }
+        slot_used[((size_t)fc * 8 + fs) * 128 + L] = 1;
+        out_c[e] = fc; out_s[e] = fs; out_ti[e] = fti;
+      }
+      if (fails.empty() || nch >= cap) break;
+      ++nch;
+      pending.swap(fails);
+    }
+    for (int64_t e : fails) { out_c[e] = -1; out_s[e] = 0; out_ti[e] = 0; }
+    out_nch[r] = nch;
+    total_chunks += nch;
+  }
+  return total_chunks;
+}
+
+// ---------------------------------------------------------------------------
+// Balanced dst-lane assignment for the v7 SpMV plan (spmv_pallas.GtSpmvPlan).
+// Within a dst tile (1024 rows = 8 sublane groups x 128 lanes), the slot
+// LANE of every nnz equals its row's assigned lane; the assignment is free
+// per sublane group as long as each group's 128 rows occupy 128 distinct
+// lanes (then the un-permute at flush is ONE lane dynamic_gather with table
+// L[d, l] = lane(row d*128+l)).  The default lane = row%128 leaves per-
+// (run, lane) counts Poisson-skewed (chunks per run = max over lanes of
+// ceil(cnt/8)); this greedy assigns rows (heaviest first, per group) to the
+// lane minimizing marginal chunk growth over the row's runs.
+// pair_off: nd*1024+1 offsets into (pair_st, pair_cnt) per tile-padded row;
+// out_lane: per row, the assigned lane (a bijection within each group).
+void tpukk_gt_assign_lanes(int64_t nd, int64_t ns,
+                           const int64_t* pair_off,
+                           const int32_t* pair_st, const int32_t* pair_cnt,
+                           int32_t* out_lane) {
+  std::vector<int32_t> cnt((size_t)128 * ns);       // per (lane, st) counts
+  std::vector<int64_t> cnt_epoch((size_t)128 * ns, -1);
+  std::vector<int32_t> run_maxc(ns);                // per st: current max ceil(cnt/8)
+  std::vector<int64_t> run_epoch(ns, -1);
+  std::vector<int32_t> lane_tot(128);
+  std::vector<uint8_t> taken((size_t)8 * 128);
+  std::vector<int64_t> order(1024);
+  for (int64_t t = 0; t < nd; ++t) {
+    std::fill(lane_tot.begin(), lane_tot.end(), 0);
+    std::fill(taken.begin(), taken.end(), 0);
+    int64_t base = t * 1024;
+    // global heaviest-first over the whole tile: rows placed late see the
+    // most pressure, so give the heavy rows first pick
+    for (int l = 0; l < 1024; ++l) order[l] = base + l;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return (pair_off[a + 1] - pair_off[a]) > (pair_off[b + 1] - pair_off[b]);
+    });
+    for (int l = 0; l < 1024; ++l) {
+      int64_t row = order[l];
+      int32_t g = (int32_t)((row - base) / 128);   // sublane group
+      int64_t p0 = pair_off[row], p1 = pair_off[row + 1];
+      int32_t best_lane = -1;
+      int64_t best_cost = INT64_MAX;
+      for (int32_t ln = 0; ln < 128; ++ln) {
+        if (taken[(size_t)g * 128 + ln]) continue;
+        int64_t cost = 0;
+        for (int64_t p = p0; p < p1; ++p) {
+          int32_t stp = pair_st[p];
+          size_t k = (size_t)ln * ns + stp;
+          int32_t c = (cnt_epoch[k] == t) ? cnt[k] : 0;
+          int32_t rc = pair_cnt[p];
+          int32_t rmx = (run_epoch[stp] == t) ? run_maxc[stp] : 0;
+          int32_t newceil = (c + rc + 7) / 8;
+          // chunks-per-run = max over lanes of ceil(cnt/8): only growing
+          // the run's MAX costs a chunk; below it, quadratic pressure
+          // keeps headroom spread
+          if (newceil > rmx) cost += (int64_t)(newceil - rmx) << 22;
+          cost += (int64_t)(c + rc) * (c + rc);
+        }
+        cost = (cost << 8) + lane_tot[ln];  // final tie: total lane load
+        if (cost < best_cost) { best_cost = cost; best_lane = ln; }
+      }
+      taken[(size_t)g * 128 + best_lane] = 1;
+      out_lane[row] = best_lane;
+      for (int64_t p = p0; p < p1; ++p) {
+        int32_t stp = pair_st[p];
+        size_t k = (size_t)best_lane * ns + stp;
+        if (cnt_epoch[k] != t) { cnt[k] = 0; cnt_epoch[k] = t; }
+        cnt[k] += pair_cnt[p];
+        int32_t nc = (cnt[k] + 7) / 8;
+        if (run_epoch[stp] != t) { run_maxc[stp] = 0; run_epoch[stp] = t; }
+        if (nc > run_maxc[stp]) run_maxc[stp] = nc;
+        lane_tot[best_lane] += pair_cnt[p];
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -258,6 +258,175 @@ def apply(handle, x):
 # scattered patterns with graph.rcm.
 # ===========================================================================
 
+# ---------------------------------------------------------------------------
+# f64 DIA SpMV via double-single (two-f32) arithmetic — the fast path for
+# BASELINE config 1's default scalar (double; cmake/KokkosKernels_config.h.in
+# :44-105 makes double the reference's default ETI scalar).  TPU VPUs have no
+# f64 ALUs (XLA emulates ~10x slower); each f64 is carried as an (hi, lo) f32
+# pair capturing 48 mantissa bits, products use a Dekker-style error-free
+# transform (plan-time 12-bit value splits, per-chunk x splits), and the
+# accumulator is a compensated (sum, err) pair.  Relative accuracy ~1e-13
+# (bounded by the 48-bit representation); the XLA f64 path stays available
+# for strict IEEE-double semantics.
+
+_DS_SPLIT_MASK = -4096  # 0xFFFFF000: keep 12 mantissa bits (python int:
+#                           a jnp constant would be captured by the kernel)
+
+
+def _fp_barrier(v):
+    """Force v to materialize as a rounded f32: an int32 bitcast round-trip
+    blocks FMA contraction (XLA fuses `a*b` into the following add, which
+    silently changes p's rounding and breaks the two_sum invariants — found
+    as scattered 1e-7 errors in the multi-chunk ds kernel)."""
+    return jax.lax.optimization_barrier(v)
+
+
+def _f32_split12(a):
+    """Exact a = a1 + a2 with both halves 12-bit-mantissa f32 (bitmask, not
+    arithmetic: --xla_allow_excess_precision folds arithmetic splits)."""
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    a1 = jax.lax.bitcast_convert_type(ai & _DS_SPLIT_MASK, jnp.float32)
+    return a1, a - a1
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "chunk", "interpret"))
+def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
+    """Double-single DIA kernel: planes = k hi diags then k lo diags (f32),
+    x as (hi, lo) f32 windows; returns (y_sum, y_err) f32 pair with
+    y = y_sum + y_err to ~2^-48."""
+    k = len(offsets)
+    d_hi, d_lo = planes[:k], planes[k:]
+    n_pad = d_hi[0].shape[0]
+    off_min = min(offsets)
+    span = max(offsets) - off_min
+    C = chunk
+    num_chunks = n_pad // C
+    W = round_up(max(span, 1), 1024)
+    win = C + W
+
+    def kernel(xh_ref, xl_ref, *rest):
+        dh = rest[:k]
+        dl = rest[k:2 * k]
+        ys_ref, ye_ref = rest[2 * k], rest[2 * k + 1]
+        sh, sl_, semh, seml = rest[2 * k + 2:2 * k + 6]
+        i = pl.program_id(0)
+        cph = pltpu.make_async_copy(xh_ref.at[pl.ds(i * C, win)], sh, semh)
+        cph.start()
+        cpl = pltpu.make_async_copy(xl_ref.at[pl.ds(i * C, win)], sl_, seml)
+        cpl.start()
+        cph.wait()
+        cpl.wait()
+        xh_win = sh[:]
+        x1w, x2w = _f32_split12(xh_win)   # once per window, all diagonals
+        S = jnp.zeros((C,), jnp.float32)
+        E = jnp.zeros((C,), jnp.float32)
+        for j in range(k):
+            s0 = offsets[j] - off_min   # static python int: plain slices
+            xh = xh_win[s0:s0 + C]
+            x1 = x1w[s0:s0 + C]
+            x2 = x2w[s0:s0 + C]
+            xl = sl_[pl.ds(s0, C)]
+            ah = dh[j][:]
+            al = dl[j][:]
+            a1, a2 = _f32_split12(ah)
+            p = _fp_barrier(ah * xh)   # must round BEFORE entering two_sum
+            # Dekker two_prod residual: exact because every partial product
+            # of 12-bit halves is exactly representable in f32
+            perr = ((_fp_barrier(a1 * x1) - p) + a1 * x2 + a2 * x1) + a2 * x2
+            # two_sum(S, p) — Knuth, branch-free; every intermediate is
+            # barriered (FMA contraction/reassociation re-rounds them)
+            t = _fp_barrier(S + p)
+            bv = _fp_barrier(t - S)
+            carry = _fp_barrier(S - _fp_barrier(t - bv)) + _fp_barrier(p - bv)
+            S = t
+            E = E + (carry + perr + ah * xl + al * xh)
+        ys_ref[:] = S
+        ye_ref[:] = E
+
+    return pl.pallas_call(
+        kernel,
+        name="tpukk_spmv_dia_ds",
+        grid=(num_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM)
+           for _ in range(2 * k)],
+        out_specs=[pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad,), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((win,), jnp.float32),
+            pltpu.VMEM((win,), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xh_full, xl_full, *d_hi, *d_lo)
+
+
+@jax.tree_util.register_pytree_node_class
+class DiaDsPlan:
+    """Plan for the double-single f64 DIA kernel: per-diagonal (hi, lo) f32
+    plane pairs + geometry (mirrors DiaPallasPlan)."""
+
+    def __init__(self, dia_plan=None, chunk: int = 128 * 1024, *, _fields=None):
+        if _fields is not None:
+            (self.hlist, self.llist, self.offsets, self.nrows, self.ncols,
+             self.n_pad, self.chunk, self.W) = _fields
+            return
+        offsets = dia_plan.offsets
+        n = dia_plan.nrows
+        span = max(offsets) - min(offsets)
+        if span >= chunk:
+            raise ValueError("dia ds: diagonal span exceeds chunk size")
+        n_pad = round_up(n, chunk)
+        diags = np.asarray(dia_plan.diags, np.float64)
+        if diags.shape[1] != n_pad:
+            diags = np.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
+        hi = diags.astype(np.float32)
+        lo = (diags - hi.astype(np.float64)).astype(np.float32)
+        self.hlist = [jnp.asarray(hi[j]) for j in range(len(offsets))]
+        self.llist = [jnp.asarray(lo[j]) for j in range(len(offsets))]
+        self.offsets = tuple(int(o) for o in offsets)
+        self.nrows = n
+        self.ncols = dia_plan.ncols
+        self.n_pad = n_pad
+        self.chunk = chunk
+        self.W = round_up(max(span, 1), 1024)
+
+    def tree_flatten(self):
+        aux = (self.offsets, self.nrows, self.ncols, self.n_pad, self.chunk,
+               self.W)
+        return tuple(self.hlist) + tuple(self.llist), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k = len(children) // 2
+        return cls(_fields=(list(children[:k]), list(children[k:]), *aux))
+
+
+def dia_spmv_ds(plan: DiaDsPlan, x, interpret: bool = False):
+    """y = A·x for f64 A/x through the double-single kernel (~1e-13 rel)."""
+    n_pad, W = plan.n_pad, plan.W
+    off_min = min(plan.offsets)
+    x64 = jnp.asarray(x, jnp.float64)
+    xh = x64.astype(jnp.float32)
+    xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
+    idx0 = -off_min  # x_full[t] = x[t + off_min]
+
+    def place(v):
+        out = jnp.zeros(n_pad + W, jnp.float32)
+        return jax.lax.dynamic_update_slice(out, v, (idx0,)) if idx0 >= 0 \
+            else out.at[0:v.shape[0] + idx0].set(v[-idx0:])
+
+    ys, ye = _dia_ds_call(place(xh), place(xl), *plan.hlist, *plan.llist,
+                          offsets=plan.offsets, chunk=plan.chunk,
+                          interpret=interpret)
+    y = ys.astype(jnp.float64) + ye.astype(jnp.float64)
+    return y[:plan.nrows]
+
+
 _OH_DST = 1024    # dst tile (8 x 128 radix)
 _OH_SRC = 4096    # src tile (32 x 128 radix); 4096 beat 2048/8192 on v5e
 _OH_CH = 1024     # nnz chunk per grid step
@@ -933,8 +1102,16 @@ def _dl_mm_call_batched(dst_ss, src_ids, first_ss, rhi, locc, vals, x, *,
 def onehot_spmv(plan, x, interpret: bool = False):
     """y = A·x via the tiled one-hot kernel (vector x, f32)."""
     if isinstance(plan, GtSpmvPlan):
+        if plan.layout == "gi":
+            return _gi_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
+                                    plan.cnt_ss, plan.gt, plan.lo, plan.vals,
+                                    x, nd=plan.n_dst_tiles,
+                                    ns=plan.n_src_tiles, n_ss=plan.n_ss,
+                                    B=plan.batch, T=plan.n_tables,
+                                    nrows=plan.nrows, interpret=interpret)
         return _gt_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
-                                plan.gt, plan.lo, plan.rhi, plan.vals, x,
+                                plan.cnt_ss, plan.gt, plan.lo, plan.rhi,
+                                plan.vals, x,
                                 nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
                                 n_ss=plan.n_ss, B=plan.batch,
                                 T=plan.n_tables, nrows=plan.nrows,
@@ -1039,11 +1216,12 @@ def onehot_spmm(plan, x, interpret: bool = False):
         if (k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
                 and plan.batch * k <= 128):
             return _gt_mm_call_batched(
-                plan.dst_ss, plan.src_ids, plan.first_ss,
+                plan.dst_ss, plan.src_ids, plan.first_ss, plan.cnt_ss,
                 plan.gt, plan.lo, plan.rhi, plan.vals, x,
                 nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
                 n_ss=plan.n_ss, B=plan.batch, T=plan.n_tables,
-                nrows=plan.nrows, nrhs=k, interpret=interpret)
+                nrows=plan.nrows, nrhs=k, gi=plan.layout == "gi",
+                interpret=interpret)
         # per-column vector calls still use the v7 gather
         cols = [onehot_spmv(plan, x[:, j], interpret=interpret)
                 for j in range(int(x.shape[1]))]
@@ -1088,8 +1266,10 @@ def onehot_spmm(plan, x, interpret: bool = False):
 # by construction, guaranteeing termination.
 
 _GT_LEVELS = 5
-_GT_FIX_US = 0.15   # same grid-step floor as v6
-_GT_VAR_US = 0.022  # ~13 vreg ops per chunk (refit after measurement)
+_GT_FIX_US = 0.15      # same grid-step floor as v6
+_GT_VAR_US = 0.030     # dl chunk (T=1): gather + 8-way masked scatter
+_GT_VAR_GI_US = 0.015  # gi chunk: gather + plain accumulate
+_GT_DUMMY_US = 0.004   # branch-skipped padding chunk (cnt_ss)
 
 
 def _cell_rank(cell, hi):
@@ -1161,6 +1341,64 @@ def _gt_level(run_key, lc, rhi_e, locc_e, vals_e, dt_e, st_e, T,
     return lo_a, gt_a, vals_a, rhi_a, sdst, ssrc, ovf
 
 
+def _gt_place_native(run, lc, locc, vals_e, rhi_e, dt_e, st_e, T,
+                     max_grow=4, lock_sublane=False):
+    """Level 0 via the C++ conflict-aware greedy placer (native.gt_place):
+    each element picks a (chunk, sublane) slot in its (run, lane) avoiding
+    >T distinct source rows per gather-table cell.  Measured round 2: zero
+    overflow at T=1 on the perf-suite matrices, vs the rank-based levels
+    whose one-chunk-per-run floor inflated pad 4.12/1.60 -> 2.62/1.33
+    (rand100k / lap1000).  Returns the same tuple as _gt_level, or None if
+    the native library is unavailable."""
+    from .. import native
+
+    if not native.available():
+        return None
+    nnz = len(run)
+    lo = (locc % 128).astype(np.int32)
+    hi = (locc // 128).astype(np.int32)
+    # sort by (run, lo, hi): same-source elements cluster so the greedy's
+    # table-reuse pass sees them consecutively
+    key = (run * 128 + lo) * 64 + hi
+    order = np.argsort(key, kind="stable")
+    run_s = run[order]
+    rfirst = np.concatenate(([1], (np.diff(run_s) != 0).astype(np.int64)))
+    rstart = np.nonzero(rfirst)[0]
+    run_off = np.concatenate((rstart, [nnz]))
+    res = native.gt_place(run_off, lc[order].astype(np.int32), lo[order],
+                          hi[order], T, max_grow,
+                          srow=rhi_e[order].astype(np.int32)
+                          if lock_sublane else None)
+    if res is None:
+        return None
+    c, s, ti, nch = res
+    placed = c >= 0
+    base = np.concatenate(([0], np.cumsum(nch.astype(np.int64))))
+    rid = np.cumsum(rfirst) - 1
+    step_e = base[rid] + c
+    S = int(base[-1])
+    lo_a = np.zeros(S * 8 * 128, np.int32)
+    gt_a = np.zeros(S * T * 8 * 128, np.int32)
+    vals_a = np.zeros(S * 8 * 128, np.float32)
+    rhi_a = np.zeros(S * 8 * 128, np.int32)
+    pe = step_e[placed]
+    ps = s[placed].astype(np.int64)
+    pl = lc[order][placed].astype(np.int64)
+    plo = lo[order][placed].astype(np.int64)
+    flat = (pe * 8 + ps) * 128 + pl
+    lo_a[flat] = (ti[placed] * 128 + plo).astype(np.int32)
+    gt_a[((pe * T + ti[placed]) * 8 + ps) * 128 + plo] = hi[order][placed]
+    vals_a[flat] = vals_e[order][placed]
+    rhi_a[flat] = rhi_e[order][placed].astype(np.int32)
+    sdst = np.repeat(dt_e[order][rstart], nch)
+    ssrc = np.repeat(st_e[order][rstart], nch)
+    ovf = np.zeros(nnz, bool)
+    ovf[order[~placed]] = True
+    return (lo_a.reshape(S, 8, 128), gt_a.reshape(S, T, 8, 128),
+            vals_a.reshape(S, 8, 128), rhi_a.reshape(S, 8, 128),
+            sdst, ssrc, ovf)
+
+
 class GtSpmvPlan:
     """v7 gather-table plan (dst-lane layout + per-chunk g-tables +
     super-steps).  Requires x VMEM-resident; build_onehot_spmv_plan falls
@@ -1169,9 +1407,10 @@ class GtSpmvPlan:
     def __init__(self, A, *, _fields=None):
         if _fields is not None:
             (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
-             self.dst_ss, self.first_ss, self.nrows, self.ncols,
+             self.dst_ss, self.first_ss, self.cnt_ss, self.nrows, self.ncols,
              self.n_dst_tiles, self.n_src_tiles, self.num_steps, self.n_ss,
-             self.batch, self.pad_ratio, self.n_levels, self.n_tables) = _fields
+             self.batch, self.pad_ratio, self.real_pad_ratio, self.n_levels,
+             self.n_tables, self.layout) = _fields
             return
         TD, TS = _OH_DST, _OH_SRC
         SR = TS // 128
@@ -1191,26 +1430,59 @@ class GtSpmvPlan:
         locc = ent - st * TS
         run = dt * ns + st
 
-        # pick T (tables per chunk): smallest T with first-level overflow
-        # <= 0.5% (cap 3) — each extra table adds ~13 vreg ops/chunk, but
-        # even small overflow is expensive (overflow levels pay a one-chunk
-        # -per-run floor: 2.3% overflow measured +50% chunks on lap1000)
-        T = 3
-        sched0 = ranks0 = None
-        if nnz:
-            sched0 = _dl_schedule(run, lc)
-            order0, step0, srow0 = sched0[0], sched0[1], sched0[2]
-            cell0 = (step0 * 8 + srow0) * 128 + (locc % 128)[order0]
-            ranks0 = _cell_rank(cell0, (locc // 128)[order0])
-            for t in (1, 2, 3):
-                if (ranks0 >= t).mean() <= 0.005:
-                    T = t
-                    break
-
+        # level 0: C++ conflict-aware greedy placement at T=1 (measured
+        # round 2: zero overflow on the suite matrices AND the cheapest
+        # kernel — one gather table).  Fallback when the native lib is
+        # unavailable: rank-based levels with T chosen for <=0.5% overflow.
         parts = []
         rem = np.ones(nnz, bool) if nnz else np.zeros(0, bool)
         levels = 0
-        for lvl in range(_GT_LEVELS + 1):
+        T = 1
+        layout = "dl"
+        out0 = None
+        if nnz:
+            # layout choice: identity-scatter ("gi", slot sublane == dst
+            # sublane, scatter = plain accumulate) vs dst-lane ("dl", 8-way
+            # masked-reduction scatter).  gi chunks/run = max per-ROW count,
+            # dl = max per-lane count / 8; gi wins when rows spread their
+            # nnz thinly across runs (structured/banded patterns).
+            kdl = run * 128 + lc
+            u, c = np.unique(kdl, return_counts=True)
+            rs = np.nonzero(np.concatenate(([1], np.diff(u // 128) != 0)))[0]
+            chunks_dl = int(np.ceil(np.maximum.reduceat(c, rs) / 8).sum())
+            kgi = run * 1024 + locr
+            u, c = np.unique(kgi, return_counts=True)
+            rs = np.nonzero(np.concatenate(([1], np.diff(u // 1024) != 0)))[0]
+            chunks_gi = int(np.maximum.reduceat(c, rs).sum())
+            if chunks_gi * _GT_VAR_GI_US < chunks_dl * _GT_VAR_US:
+                out0 = _gt_place_native(run, lc, locc, vals, rhi_e, dt, st,
+                                        T, max_grow=8, lock_sublane=True)
+                if out0 is not None:
+                    layout = "gi"
+                    if out0[6].any():
+                        # guarantee-level slots cannot honor the sublane
+                        # lock; pathological conflicts fall back to dl
+                        out0, layout = None, "dl"
+            if out0 is None:
+                out0 = _gt_place_native(run, lc, locc, vals, rhi_e, dt, st, T)
+        if out0 is not None:
+            parts.append(out0[:6])
+            levels = 1
+            rem = out0[6]
+            start_lvl = 1
+        else:
+            T = 3
+            start_lvl = 0
+            if nnz:
+                sched0 = _dl_schedule(run, lc)
+                order0, step0, srow0 = sched0[0], sched0[1], sched0[2]
+                cell0 = (step0 * 8 + srow0) * 128 + (locc % 128)[order0]
+                ranks0 = _cell_rank(cell0, (locc // 128)[order0])
+                for t in (1, 2, 3):
+                    if (ranks0 >= t).mean() <= 0.005:
+                        T = t
+                        break
+        for lvl in range(start_lvl, _GT_LEVELS + 1):
             if not rem.any():
                 break
             idx = np.nonzero(rem)[0]
@@ -1238,6 +1510,7 @@ class GtSpmvPlan:
             rhi_a = np.zeros((0, 8, 128), np.int32)
             sdst = np.zeros(0, np.int64)
             ssrc = np.zeros(0, np.int64)
+        valid = np.ones(len(sdst), bool)  # real chunks (vs init dummies)
         # dummy steps for dst tiles with no chunks (output init)
         missing = np.setdiff1d(np.arange(nd, dtype=np.int64), np.unique(sdst),
                                assume_unique=True)
@@ -1248,10 +1521,12 @@ class GtSpmvPlan:
             gt_a = np.concatenate([gt_a, np.zeros((len(missing), T, 8, 128), np.int32)])
             vals_a = np.concatenate([vals_a, np.zeros((len(missing), 8, 128), np.float32)])
             rhi_a = np.concatenate([rhi_a, np.zeros((len(missing), 8, 128), np.int32)])
+            valid = np.concatenate([valid, np.zeros(len(missing), bool)])
         # dst-major chunk order (stable keeps level locality)
         ordc = np.argsort(sdst, kind="stable")
         sdst, ssrc = sdst[ordc], ssrc[ordc]
         lo_a, gt_a, vals_a, rhi_a = lo_a[ordc], gt_a[ordc], vals_a[ordc], rhi_a[ordc]
+        valid = valid[ordc]
         S = len(sdst)
 
         # super-step schedule (B by cost model, as in DlSpmvPlan)
@@ -1260,9 +1535,12 @@ class GtSpmvPlan:
                                        .astype(np.int64))))[0], [S])))
         B = 1
         best = float("inf")
-        var = _GT_VAR_US * T
+        var = (_GT_VAR_GI_US if layout == "gi" else _GT_VAR_US) * T
         for cand in (1, 2, 4, 8, 16, 32):
             nss_c = int(np.ceil(counts / cand).sum())
+            # padding chunks compute zeros at full rate (a branch-skip via
+            # scratch-ref accumulator measured 45% SLOWER than wasting them:
+            # the VMEM round-trip defeats register accumulation)
             cost = nss_c * (_GT_FIX_US + cand * var)
             if cost < best:
                 best, B = cost, cand
@@ -1279,10 +1557,15 @@ class GtSpmvPlan:
             vals_a = np.concatenate([vals_a, np.zeros((1, 8, 128), np.float32)])[cidx]
             rhi_a = np.concatenate([rhi_a, np.zeros((1, 8, 128), np.int32)])[cidx]
             ssrc = np.concatenate([ssrc, [0]])[cidx]
+            valid = np.concatenate([valid, [False]])[cidx]
             sdst = sdst[gb[gid]]
             S = len(cidx)
         first = np.ones(S, np.int32)
         first[1:] = (sdst[1:] != sdst[:-1]).astype(np.int32)
+        # valid chunks are contiguous at the front of each super-step
+        # (B-group padding appends at the tail): the kernel skips the rest
+        # by branching on cnt_ss
+        cnt = valid.reshape(S // B, B).sum(axis=1).astype(np.int32)
         self.lo = jnp.asarray(lo_a.reshape(S * 8, 128))
         self.gt = jnp.asarray(gt_a.reshape(S * T * 8, 128))
         self.vals = jnp.asarray(vals_a.reshape(S * 8, 128))
@@ -1290,21 +1573,24 @@ class GtSpmvPlan:
         self.src_ids = jnp.asarray(ssrc.astype(np.int32))
         self.dst_ss = jnp.asarray(sdst[::B].astype(np.int32))
         self.first_ss = jnp.asarray(first[::B])
+        self.cnt_ss = jnp.asarray(cnt)
         self.nrows, self.ncols = n, m
         self.n_dst_tiles, self.n_src_tiles = nd, ns
         self.num_steps = S
         self.n_ss = S // B
         self.batch = B
         self.pad_ratio = S * 1024 / max(1, nnz)
+        self.real_pad_ratio = int(valid.sum()) * 1024 / max(1, nnz)
         self.n_levels = levels
         self.n_tables = T
+        self.layout = layout
 
     def tree_flatten(self):
         aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
                self.num_steps, self.n_ss, self.batch, self.pad_ratio,
-               self.n_levels, self.n_tables)
+               self.real_pad_ratio, self.n_levels, self.n_tables, self.layout)
         return (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
-                self.dst_ss, self.first_ss), aux
+                self.dst_ss, self.first_ss, self.cnt_ss), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -1335,15 +1621,18 @@ def _gt_gather(X, gts, lop, SR, T):
 
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
                                              "nrows", "interpret"))
-def _gt_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
-                     nd, ns, n_ss, B, T, nrows, interpret):
+def _gt_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x,
+                     *, nd, ns, n_ss, B, T, nrows, interpret):
     TD, TS = _OH_DST, _OH_SRC
     SR = TS // 128
     m_pad = ns * TS
     x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
 
-    def kernel(dst_ref, src_ref, first_ref, gt_ref, lo_ref, rhi_ref, v_ref,
-               x_ref, y_ref):
+    def kernel(dst_ref, src_ref, first_ref, cnt_ref, gt_ref, lo_ref, rhi_ref,
+               v_ref, x_ref, y_ref):
+        # register accumulation (a scratch-ref acc measured 45% slower:
+        # VMEM round-trip per chunk defeats Mosaic's register allocation);
+        # padding chunks have zero vals and compute zeros
         g = pl.program_id(0)
         acc = jnp.zeros((8, 128), jnp.float32)
         for j in range(B):
@@ -1367,20 +1656,20 @@ def _gt_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
             y_ref[:, :] = y_ref[:, :] + acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_ss,),
         in_specs=[
-            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f, c: (d[g], 0),
                                memory_space=pltpu.VMEM),
     )
     y2 = pl.pallas_call(
@@ -1388,14 +1677,73 @@ def _gt_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
         name="tpukk_spmv_gt",
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
-    )(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x2)
+    )(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x2)
     return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
-                                             "nrows", "nrhs", "interpret"))
-def _gt_mm_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
-                        nd, ns, n_ss, B, T, nrows, nrhs, interpret):
+                                             "nrows", "interpret"))
+def _gi_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, vals, x,
+                     *, nd, ns, n_ss, B, T, nrows, interpret):
+    """Identity-scatter variant: slot sublane == dst sublane (planner lock),
+    so the per-chunk contribution is a plain accumulate — no 8-way masked
+    reduction and no rhi table (one less (8,128) stream per chunk)."""
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, cnt_ref, gt_ref, lo_ref,
+               v_ref, x_ref, y_ref):
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            src = src_ref[g * B + j]
+            X = x_ref[pl.ds(src * SR, SR), :]
+            sl = slice(j * 8, (j + 1) * 8)
+            xg = _gt_gather(X, gt_ref[j * 8 * T:(j + 1) * 8 * T, :],
+                            lo_ref[sl, :], SR, T)
+            acc = acc + v_ref[sl, :] * xg
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = y_ref[:, :] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f, c: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_gi",
+        out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, vals, x2)
+    return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
+                                             "nrows", "nrhs", "gi",
+                                             "interpret"))
+def _gt_mm_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals,
+                        x, *, nd, ns, n_ss, B, T, nrows, nrhs, gi, interpret):
+    """Multi-RHS gt kernel; gi=True uses the identity-scatter accumulate
+    (planner sublane lock) instead of the 8-way masked reduction."""
     TD, TS = _OH_DST, _OH_SRC
     SR = TS // 128
     m_pad = ns * TS
@@ -1403,8 +1751,8 @@ def _gt_mm_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
     x3 = jnp.pad(x.astype(jnp.float32),
                  ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * SR, 128)
 
-    def kernel(dst_ref, src_ref, first_ref, gt_ref, lo_ref, rhi_ref, v_ref,
-               x_ref, y_ref):
+    def kernel(dst_ref, src_ref, first_ref, cnt_ref, gt_ref, lo_ref, rhi_ref,
+               v_ref, x_ref, y_ref):
         g = pl.program_id(0)
         accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(k)]
         for j in range(B):
@@ -1412,14 +1760,19 @@ def _gt_mm_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
             sl = slice(j * 8, (j + 1) * 8)
             gtj = gt_ref[j * 8 * T:(j + 1) * 8 * T, :]
             loj = lo_ref[sl, :]
-            vj, rhij = v_ref[sl, :], rhi_ref[sl, :]
+            vj = v_ref[sl, :]
+            rhij = None if gi else rhi_ref[sl, :]
             for c in range(k):
-                xg = _gt_gather(x_ref[c, pl.ds(src * SR, SR), :], gtj, loj,
-                                SR, T)
+                xg = _gt_gather(x_ref[c, pl.ds(src * SR, SR), :], gtj,
+                                loj, SR, T)
                 pv = vj * xg
-                crows = [jnp.sum(jnp.where(rhij == d, pv, 0.0), axis=0,
-                                 keepdims=True) for d in range(8)]
-                accs[c] = accs[c] + jnp.concatenate(crows, axis=0)
+                if gi:
+                    accs[c] = accs[c] + pv
+                else:
+                    crows = [jnp.sum(jnp.where(rhij == d, pv, 0.0),
+                                     axis=0, keepdims=True)
+                             for d in range(8)]
+                    accs[c] = accs[c] + jnp.concatenate(crows, axis=0)
         for c in range(k):
             @pl.when(first_ref[g] == 1)
             def _(c=c):
@@ -1430,26 +1783,27 @@ def _gt_mm_call_batched(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x, *,
                 y_ref[c] = y_ref[c] + accs[c]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_ss,),
         in_specs=[
-            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * T * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, c: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, 8, 128), lambda g, d, s, f: (0, d[g], 0),
+        out_specs=pl.BlockSpec((k, 8, 128),
+                               lambda g, d, s, f, c: (0, d[g], 0),
                                memory_space=pltpu.VMEM),
     )
     y3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        name="tpukk_spmm_gt",
+        name="tpukk_spmm_gi" if gi else "tpukk_spmm_gt",
         out_shape=jax.ShapeDtypeStruct((k, nd * 8, 128), jnp.float32),
         interpret=interpret,
-    )(dst_ss, src_ids, first_ss, gt, lo, rhi, vals, x3)
+    )(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x3)
     return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
