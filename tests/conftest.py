@@ -23,7 +23,10 @@ import jax
 
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
+# TPU mode: x64 stays OFF — enabling it on the axon backend wedges the
+# relay (observed round 2); f64 kernels use host-side numpy splits instead
+# (spmv_pallas.ds_split_f64).
 
 import numpy as np
 import pytest

@@ -211,3 +211,22 @@ def test_bsr_banded_routes_to_dia(rng):
     assert hb.algorithm == SpmvAlgorithm.BSR
     yb = np.asarray(hb(jnp.asarray(x)))
     assert np.abs(yb - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+def test_dia_ds_f64_interpret(rng):
+    """Double-single f64 DIA kernel (interpret).  NOTE: interpret mode runs
+    through XLA:CPU which keeps excess precision across f32 ops, breaking
+    the compensated-arithmetic invariants — so only a loose (~f32-level)
+    tolerance is checkable here; the real ~1e-13 accuracy is asserted on
+    hardware in tests/test_tpu.py::test_dia_ds_f64_on_tpu."""
+    from tpukk.containers import generate_banded_csr
+    from tpukk.sparse import spmv_impl
+    from tpukk.sparse.spmv_pallas import DiaDsPlan, dia_spmv_ds
+
+    A = generate_banded_csr(3000, 3, dtype=np.float64, seed=2)
+    plan = DiaDsPlan(spmv_impl.build_dia_plan(A), chunk=1024)
+    x = rng.standard_normal(A.ncols)
+    y = dia_spmv_ds(plan, x, interpret=True)
+    ref = A.to_scipy() @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6, rel

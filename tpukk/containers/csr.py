@@ -64,8 +64,15 @@ def _prefill_host(obj, **arrays) -> None:
     cache = obj.__dict__.setdefault("_hcache", {})
     for field, arr in arrays.items():
         if isinstance(arr, np.ndarray):
+            dev_dtype = getattr(obj, field).dtype
+            # keep the UN-narrowed original too: with x64 disabled jnp
+            # narrows f64 -> f32, but the double-single f64 kernel plan
+            # needs the full-precision values (host_values_full)
+            if (field == "values" and arr.dtype == np.float64
+                    and dev_dtype != np.float64):
+                cache["values_full"] = arr
             # match the device dtype (jnp.asarray may have narrowed int64/f64)
-            cache[field] = arr.astype(getattr(obj, field).dtype, copy=False)
+            cache[field] = arr.astype(dev_dtype, copy=False)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -239,6 +246,12 @@ class CsrMatrix:
 
     def host_values(self) -> np.ndarray:
         return _host_mirror(self, "values")
+
+    def host_values_full(self) -> np.ndarray:
+        """Full-precision host values: the original f64 array when the
+        device copy was narrowed (x64 off); otherwise == host_values()."""
+        full = self.__dict__.get("_hcache", {}).get("values_full")
+        return full if full is not None else self.host_values()
 
     def row_lengths(self) -> np.ndarray:
         rm = self.host_row_map()

@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic"]
+__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -67,6 +67,11 @@ def _load():
                 ctypes.c_int64, i64p, i32p, i32p, i32p,
                 ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p,
                 ctypes.c_void_p, ctypes.c_int32]
+            lib.tpukk_gt_place2.restype = ctypes.c_int64
+            lib.tpukk_gt_place2.argtypes = [
+                ctypes.c_int64, i64p, i32p, i32p, i32p, i32p, i32p,
+                ctypes.c_int32, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, i32p]
             lib.tpukk_gt_assign_lanes.restype = None
             lib.tpukk_gt_assign_lanes.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p]
@@ -169,6 +174,26 @@ def gt_place(run_off, lane, lo, hi, T: int, max_grow: int = 4, srow=None):
                        sr.ctypes.data_as(ctypes.c_void_p) if sr is not None else None,
                        1 if sr is not None else 0)
     return out_c, out_s, out_ti, out_nch
+
+
+def gt_place2(run_off, lane, loA, hiA, loB, hiB, T: int, max_grow: int = 4):
+    """Dual-cell v7 pair placement (see tpukk_gt_place2); None if the
+    native lib is unavailable.  Returns (c, s, tiA, tiB, nch_per_run)."""
+    lib = _load()
+    if lib is None:
+        return None
+    run_off = np.ascontiguousarray(run_off, np.int64)
+    n = int(run_off[-1])
+    n_runs = len(run_off) - 1
+    out_c = np.empty(n, np.int32)
+    out_s = np.empty(n, np.int32)
+    out_tiA = np.empty(n, np.int32)
+    out_tiB = np.empty(n, np.int32)
+    out_nch = np.empty(n_runs, np.int32)
+    lib.tpukk_gt_place2(n_runs, run_off, _i32(lane), _i32(loA), _i32(hiA),
+                        _i32(loB), _i32(hiB), T, max_grow,
+                        out_c, out_s, out_tiA, out_tiB, out_nch)
+    return out_c, out_s, out_tiA, out_tiB, out_nch
 
 
 def gt_assign_lanes(nd, ns, pair_off, pair_st, pair_cnt):

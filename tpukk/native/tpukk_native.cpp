@@ -580,4 +580,94 @@ void tpukk_gt_assign_lanes(int64_t nd, int64_t ns,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Dual-table variant for the SpGEMM pair plan (spgemm_pallas.GtPairPlan):
+// each pair needs BOTH its A-side cell (chunk, sublane, loA) and B-side cell
+// (chunk, sublane, loB) to hold its source row (<= T distinct rows per
+// cell per side).  Same greedy + growth as tpukk_gt_place.
+// sr_bound: source rows per window (BLK/128) — only used for sizing checks.
+int64_t tpukk_gt_place2(int64_t n_runs, const int64_t* run_off,
+                        const int32_t* lane,
+                        const int32_t* loA, const int32_t* hiA,
+                        const int32_t* loB, const int32_t* hiB,
+                        int32_t T, int32_t max_grow,
+                        int32_t* out_c, int32_t* out_s,
+                        int32_t* out_tiA, int32_t* out_tiB,
+                        int32_t* out_nch) {
+  int64_t total_chunks = 0;
+  int32_t lane_cnt[128];
+  std::vector<uint8_t> slot_used;
+  std::vector<int32_t> cell_hiA, cell_hiB;
+  std::vector<uint8_t> cell_cntA, cell_cntB;
+  std::vector<int64_t> pending, fails;
+  for (int64_t r = 0; r < n_runs; ++r) {
+    int64_t e0 = run_off[r], e1 = run_off[r + 1];
+    std::memset(lane_cnt, 0, sizeof(lane_cnt));
+    for (int64_t e = e0; e < e1; ++e) lane_cnt[lane[e]]++;
+    int32_t mx = 0;
+    for (int l = 0; l < 128; ++l) mx = std::max(mx, lane_cnt[l]);
+    int32_t nch = (mx + 7) / 8;
+    out_nch[r] = 0;
+    if (nch == 0) continue;
+    int32_t cap = nch + max_grow;
+    size_t nslots = (size_t)cap * 8;
+    if (slot_used.size() < nslots * 128) {
+      slot_used.resize(nslots * 128);
+      cell_cntA.resize(nslots * 128);
+      cell_cntB.resize(nslots * 128);
+      cell_hiA.resize(nslots * 128 * (size_t)T);
+      cell_hiB.resize(nslots * 128 * (size_t)T);
+    }
+    std::memset(slot_used.data(), 0, nslots * 128);
+    std::memset(cell_cntA.data(), 0, nslots * 128);
+    std::memset(cell_cntB.data(), 0, nslots * 128);
+    pending.clear();
+    for (int64_t e = e0; e < e1; ++e) pending.push_back(e);
+    fails.clear();
+    while (true) {
+      fails.clear();
+      for (int64_t e : pending) {
+        int32_t L = lane[e];
+        int32_t LA = loA[e], HA = hiA[e], LB = loB[e], HB = hiB[e];
+        int32_t fc = -1, fs = -1, ftA = -1, ftB = -1;
+        for (int32_t pass = 0; pass < 2 && fc < 0; ++pass)
+          for (int32_t c = 0; c < nch && fc < 0; ++c)
+            for (int32_t s = 0; s < 8; ++s) {
+              size_t slot = (size_t)c * 8 + s;
+              if (slot_used[slot * 128 + L]) continue;
+              size_t cA = slot * 128 + LA, cB = slot * 128 + LB;
+              int32_t tA = -1, tB = -1;
+              uint8_t ccA = cell_cntA[cA], ccB = cell_cntB[cB];
+              for (uint8_t t = 0; t < ccA; ++t)
+                if (cell_hiA[cA * T + t] == HA) { tA = t; break; }
+              for (uint8_t t = 0; t < ccB; ++t)
+                if (cell_hiB[cB * T + t] == HB) { tB = t; break; }
+              if (pass == 0 && (tA < 0 || tB < 0)) continue;  // reuse-only
+              if (tA < 0) { if (ccA >= T) continue; }
+              if (tB < 0) { if (ccB >= T) continue; }
+              fc = c; fs = s;
+              if (tA < 0) { tA = ccA; cell_hiA[cA * T + tA] = HA;
+                            cell_cntA[cA] = (uint8_t)(tA + 1); }
+              if (tB < 0) { tB = ccB; cell_hiB[cB * T + tB] = HB;
+                            cell_cntB[cB] = (uint8_t)(tB + 1); }
+              ftA = tA; ftB = tB;
+              break;
+            }
+        if (fc < 0) { fails.push_back(e); continue; }
+        slot_used[((size_t)fc * 8 + fs) * 128 + L] = 1;
+        out_c[e] = fc; out_s[e] = fs; out_tiA[e] = ftA; out_tiB[e] = ftB;
+      }
+      if (fails.empty() || nch >= cap) break;
+      ++nch;
+      pending.swap(fails);
+    }
+    for (int64_t e : fails) {
+      out_c[e] = -1; out_s[e] = 0; out_tiA[e] = 0; out_tiB[e] = 0;
+    }
+    out_nch[r] = nch;
+    total_chunks += nch;
+  }
+  return total_chunks;
+}
+
 }  // extern "C"

@@ -216,14 +216,27 @@ def spgemm_numeric(handle: SpgemmHandle, A: CsrMatrix, B: CsrMatrix) -> CsrMatri
 
                 if handle.onehot_plan is None:
                     # scattered-B patterns pad the (ct,at,bt) chunking badly:
-                    # the builder pre-checks pad/step bounds (None = fall
-                    # back to the XLA pair path) before materializing.
+                    # the builder pre-checks pad/step bounds (None) and we
+                    # then use the SORT-BASED plan: three local/monotone
+                    # selection kernels + one key-sort reorder, pattern-
+                    # independent (no 400x cliff; the graceful-degradation
+                    # promise of _spgemm_impl_kkmem.hpp's two-level hash).
                     plan = spgemm_pallas.build_onehot_pair_plan(
                         handle.pair_plan, A.nnz, B.nnz)
+                    if plan is None:
+                        pp = handle.pair_plan
+                        plan = spgemm_pallas.SortPairPlan(
+                            pp.a_idx, pp.b_idx, pp.c_idx, A.nnz, B.nnz,
+                            pp.nnz_c)
                     handle.onehot_plan = plan if plan is not None else False
                 if handle.onehot_plan is not False:
-                    vals = spgemm_pallas.onehot_pair_numeric(
-                        handle.onehot_plan, A.values, B.values)
+                    if isinstance(handle.onehot_plan,
+                                  spgemm_pallas.SortPairPlan):
+                        vals = spgemm_pallas.sort_pair_numeric(
+                            handle.onehot_plan, A.values, B.values)
+                    else:
+                        vals = spgemm_pallas.onehot_pair_numeric(
+                            handle.onehot_plan, A.values, B.values)
         if vals is None:
             vals = _numeric_pairs(handle.pair_plan, A.values, B.values)
     return CsrMatrix.from_arrays(

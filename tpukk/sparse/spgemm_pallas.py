@@ -838,3 +838,94 @@ def _gt_pair_call(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb,
         interpret=interpret,
     )(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb, crhi, av, bv)
     return cv.reshape(nc * _CT)[:nnz_c]
+
+
+# ---------------------------------------------------------------------------
+# Sort-based pair numeric — the scattered-pattern path (round 2).
+#
+# The windowed pair kernels above pay a one-chunk-per-(ct,at,bt)-run floor
+# that blows up on scattered patterns (rand50k deg-8: pad 74; bigger value
+# blocks only reach ~0.3 Gpair/s because the in-kernel gather loop grows
+# with the window).  This path is pattern-INDEPENDENT: it decomposes the
+# numeric phase into three selection kernels whose gathers are local or
+# monotone (pad ~1 through the v8 spmv machinery) plus ONE global reorder
+# done as a key-sort (`permute_via_sort` — fully vectorized on TPU, unlike
+# scalarized takes):
+#
+#   ag   = Sa @ a_vals        pairs in C-order; A gathers are row-local
+#   bg   = Sb @ b_vals        pairs in B-order; monotone expansion
+#   bg_c = sort(bg by c-pos)  the only pattern-free global data motion
+#   C    = Sc @ (ag * bg_c)   contiguous-range sums, monotone
+#
+# Reference analog: the two-level hash accumulator of
+# sparse/impl/KokkosSparse_spgemm_impl_kkmem.hpp:31-75 degrades gracefully
+# on scattered rows; this is the TPU formulation of the same promise.
+
+class SortPairPlan:
+    """Plan for the sort-based numeric: three selection-matrix spmv plans +
+    the b→c permutation keys."""
+
+    def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c,
+                 *, _fields=None):
+        if _fields is not None:
+            (self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
+             self.nnz_c, self.npairs) = _fields
+            return
+        from ..containers.csr import CsrMatrix
+        from .spmv_pallas import build_onehot_spmv_plan
+
+        a_idx = np.asarray(a_idx, dtype=np.int64)
+        b_idx = np.asarray(b_idx, dtype=np.int64)
+        c_idx = np.asarray(c_idx, dtype=np.int64)
+        P = len(c_idx)
+
+        def selection(cols, ncols):
+            rm = np.arange(P + 1, dtype=np.int32)
+            A = CsrMatrix.from_arrays(rm, cols.astype(np.int32),
+                                      np.ones(P, np.float32), nrows=P,
+                                      ncols=ncols)
+            return build_onehot_spmv_plan(A)
+
+        # pairs arrive c-sorted (pair-plan contract): Sa directly
+        self.a_sel = selection(a_idx, max(nnz_a, 1))
+        # b side in b-sorted order (monotone gather), keys = c-order pos
+        border = np.argsort(b_idx, kind="stable")
+        self.b_sel = selection(b_idx[border], max(nnz_b, 1))
+        # b-order element j is c-order pair border[j]: sorting bg by key
+        # border puts it at its c position (permute_via_sort contract)
+        self.perm_keys = jnp.asarray(border.astype(np.int32))
+        # Sc: nnz_c rows, row c sums its contiguous pair range
+        crm = np.zeros(nnz_c + 1, np.int64)
+        np.add.at(crm, c_idx + 1, 1)
+        crm = np.cumsum(crm).astype(np.int32)
+        Ac = CsrMatrix.from_arrays(crm, np.arange(P, dtype=np.int32),
+                                   np.ones(P, np.float32), nrows=nnz_c,
+                                   ncols=max(P, 1))
+        self.c_sum = build_onehot_spmv_plan(Ac)
+        self.nnz_c = nnz_c
+        self.npairs = P
+
+    def tree_flatten(self):
+        return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys),
+                (self.nnz_c, self.npairs))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, None, None, 0, 0, 0, _fields=(*children, *aux))
+
+
+jax.tree_util.register_pytree_node_class(SortPairPlan)
+
+
+def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
+                      interpret: bool = False):
+    """C values from the sort-based plan (values in C-sorted order)."""
+    from ..common.utils import permute_via_sort
+    from .spmv_pallas import onehot_spmv
+
+    a32 = a_vals.astype(jnp.float32)
+    b32 = b_vals.astype(jnp.float32)
+    ag = onehot_spmv(plan.a_sel, a32, interpret=interpret)
+    bg = onehot_spmv(plan.b_sel, b32, interpret=interpret)
+    bg_c = permute_via_sort(bg, plan.perm_keys)
+    return onehot_spmv(plan.c_sum, ag * bg_c, interpret=interpret)

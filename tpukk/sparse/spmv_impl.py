@@ -236,14 +236,19 @@ def build_dia_plan(A: CsrMatrix, offsets: Optional[np.ndarray] = None) -> DiaPla
             raise ValueError("build_dia_plan: matrix is not banded enough; use ELL")
     rm = A.host_row_map()
     ent = A.host_entries().astype(np.int64)
-    vals = A.host_values()
+    vals = A.host_values_full() if hasattr(A, "host_values_full") \
+        else A.host_values()
     rows = np.repeat(np.arange(A.nrows, dtype=np.int64), rm[1:] - rm[:-1])
     d = ent - rows
     offsets = np.asarray(offsets, dtype=np.int64)
     diags = np.zeros((len(offsets), A.nrows), dtype=vals.dtype)
     idx = np.searchsorted(offsets, d)  # offsets sorted & complete by construction
     diags[idx, rows] = vals  # duplicate (row,col) pairs are not supported (sorted CSR has none)
-    return DiaPlan(jnp.asarray(diags), tuple(int(o) for o in offsets), A.nrows, A.ncols)
+    plan = DiaPlan(jnp.asarray(diags), tuple(int(o) for o in offsets), A.nrows, A.ncols)
+    # full-precision host copy: the jnp array truncates f64 -> f32 when x64
+    # is off, but the double-single plan (DiaDsPlan) needs the real f64
+    plan.diags_host = diags
+    return plan
 
 
 def _shift_read(x, off: int, n: int):

@@ -381,7 +381,8 @@ class DiaDsPlan:
         if span >= chunk:
             raise ValueError("dia ds: diagonal span exceeds chunk size")
         n_pad = round_up(n, chunk)
-        diags = np.asarray(dia_plan.diags, np.float64)
+        diags = np.asarray(getattr(dia_plan, "diags_host", dia_plan.diags),
+                           np.float64)
         if diags.shape[1] != n_pad:
             diags = np.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
         hi = diags.astype(np.float32)
@@ -406,16 +407,25 @@ class DiaDsPlan:
         return cls(_fields=(list(children[:k]), list(children[k:]), *aux))
 
 
-def dia_spmv_ds(plan: DiaDsPlan, x, interpret: bool = False):
-    """y = A·x for f64 A/x through the double-single kernel (~1e-13 rel)."""
+def ds_split_f64(x):
+    """Host split of an f64 vector into exact (hi, lo) f32 planes — numpy,
+    so the device path never needs jax_enable_x64 (enabling x64 on the axon
+    backend wedged the relay in round-2 testing)."""
+    x64 = np.asarray(x, np.float64)
+    xh = x64.astype(np.float32)
+    xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+    return xh, xl
+
+
+def dia_spmv_ds_planes(plan: DiaDsPlan, xh, xl, interpret: bool = False):
+    """(y_sum, y_err) f32 pair from (hi, lo) f32 input planes — pure-f32,
+    jittable; y = y_sum + y_err summed at f64 by the caller."""
     n_pad, W = plan.n_pad, plan.W
     off_min = min(plan.offsets)
-    x64 = jnp.asarray(x, jnp.float64)
-    xh = x64.astype(jnp.float32)
-    xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
     idx0 = -off_min  # x_full[t] = x[t + off_min]
 
     def place(v):
+        v = jnp.asarray(v, jnp.float32)
         out = jnp.zeros(n_pad + W, jnp.float32)
         return jax.lax.dynamic_update_slice(out, v, (idx0,)) if idx0 >= 0 \
             else out.at[0:v.shape[0] + idx0].set(v[-idx0:])
@@ -423,8 +433,15 @@ def dia_spmv_ds(plan: DiaDsPlan, x, interpret: bool = False):
     ys, ye = _dia_ds_call(place(xh), place(xl), *plan.hlist, *plan.llist,
                           offsets=plan.offsets, chunk=plan.chunk,
                           interpret=interpret)
-    y = ys.astype(jnp.float64) + ye.astype(jnp.float64)
-    return y[:plan.nrows]
+    return ys[:plan.nrows], ye[:plan.nrows]
+
+
+def dia_spmv_ds(plan: DiaDsPlan, x, interpret: bool = False):
+    """y = A·x for f64 A/x through the double-single kernel (~1e-13 rel).
+    Host-side f64 split/combine (numpy): works with x64 disabled."""
+    xh, xl = ds_split_f64(np.asarray(x))
+    ys, ye = dia_spmv_ds_planes(plan, xh, xl, interpret=interpret)
+    return np.asarray(ys, np.float64) + np.asarray(ye, np.float64)
 
 
 _OH_DST = 1024    # dst tile (8 x 128 radix)
