@@ -8,6 +8,8 @@ same fixpoint): host orchestration, vectorized numpy per round — symbolic
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import scipy.sparse as sps
 
@@ -27,6 +29,69 @@ def _pattern(graph) -> sps.csr_matrix:
     return sp.tocsr()
 
 
+@functools.lru_cache(maxsize=1)
+def _device_loop(n, interpret):
+    """Jitted Luby loop: per round, ONE (max,*) semiring SpMV finds each
+    undecided vertex's best undecided d<=2 neighbor priority and ONE sum
+    SpMV covers the winners' neighborhoods — both through the v8 gather-
+    table kernel (the reference's device worklist rounds,
+    _Distance2MIS_impl.hpp; the host loop below was the round-1 gap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..sparse import spmv_pallas as sp
+
+    @jax.jit
+    def run(plan, prio):
+        def cond(state):
+            st, it = state
+            return jnp.logical_and(it < 128, jnp.any(st == 0))
+
+        def body(state):
+            st, it = state
+            p = jnp.where(st == 0, prio, 0.0)
+            nbr_best = sp.onehot_spmv(plan, p, reduce="max",
+                                      interpret=interpret)[:n]
+            win = (st == 0) & (p > nbr_best)
+            covered = sp.onehot_spmv(plan, win.astype(jnp.float32),
+                                     interpret=interpret)[:n] > 0
+            st = jnp.where(win, 1, jnp.where((st == 0) & covered, -1, st))
+            return st, it + 1
+
+        st, _ = jax.lax.while_loop(cond, body,
+                                   (jnp.zeros(n, jnp.int32), 0))
+        return st
+
+    return run
+
+
+def _mis2_device(A2: sps.csr_matrix, prio: np.ndarray):
+    """Device Luby rounds; None when the pallas path is unavailable."""
+    from ..sparse import spmv_pallas as sp
+
+    interpret = False
+    if not sp.supports_pallas():
+        import jax
+
+        if jax.default_backend() != "cpu":
+            return None
+        interpret = True  # CPU test path exercises the same kernels
+    n = A2.shape[0]
+    Ad = A2.copy()
+    Ad.setdiag(0)
+    Ad.eliminate_zeros()
+    Ad.data[:] = 1.0  # A@A carries path multiplicities; we need the pattern
+    Am = CsrMatrix.from_scipy(Ad.astype(np.float32))
+    plan = sp.build_onehot_spmv_plan(Am)
+    if not isinstance(plan, sp.GtSpmvPlan):
+        return None  # reduce="max" needs the gt/gi layouts
+    import jax.numpy as jnp
+
+    st = _device_loop(n, interpret)(plan, jnp.asarray(prio + 1.0,
+                                                      jnp.float32))
+    return np.asarray(st)
+
+
 def graph_mis2(graph, seed: int = 0) -> np.ndarray:
     """Indices of a maximal set with pairwise distance > 2."""
     A = _pattern(graph)
@@ -35,6 +100,10 @@ def graph_mis2(graph, seed: int = 0) -> np.ndarray:
     A2 = (A2 + A).tocsr()  # distance-1 or distance-2 adjacency
     rng = np.random.default_rng(seed)
     prio = rng.permutation(n).astype(np.int64)
+    if n >= 4096:  # device rounds; tiny graphs stay on host
+        st = _mis2_device(A2, prio.astype(np.float64))
+        if st is not None:
+            return np.nonzero(st == 1)[0].astype(np.int32)
     state = np.zeros(n, np.int8)  # 0 undecided, 1 in set, -1 out
     rm, ent = A2.indptr, A2.indices
     rows = np.repeat(np.arange(n), rm[1:] - rm[:-1])

@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic"]
+__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic", "triangle_count"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -72,6 +72,10 @@ def _load():
                 ctypes.c_int64, i64p, i32p, i32p, i32p, i32p, i32p,
                 ctypes.c_int32, ctypes.c_int32,
                 i32p, i32p, i32p, i32p, i32p]
+            i64po = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.tpukk_triangle_count.restype = ctypes.c_int64
+            lib.tpukk_triangle_count.argtypes = [ctypes.c_int64, i32p, i32p,
+                                                 i64po]
             lib.tpukk_gt_assign_lanes.restype = None
             lib.tpukk_gt_assign_lanes.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p]
@@ -194,6 +198,17 @@ def gt_place2(run_off, lane, loA, hiA, loB, hiB, T: int, max_grow: int = 4):
                         _i32(loB), _i32(hiB), T, max_grow,
                         out_c, out_s, out_tiA, out_tiB, out_nch)
     return out_c, out_s, out_tiA, out_tiB, out_nch
+
+
+def triangle_count(row_map, entries, n):
+    """Per-row + total triangle count over a strict-lower-triangular CSR;
+    None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    per_row = np.zeros(n, np.int64)
+    total = lib.tpukk_triangle_count(n, _i32(row_map), _i32(entries), per_row)
+    return int(total), per_row
 
 
 def gt_assign_lanes(nd, ns, pair_off, pair_st, pair_cnt):

@@ -670,4 +670,30 @@ int64_t tpukk_gt_place2(int64_t n_runs, const int64_t* run_off,
   return total_chunks;
 }
 
+// ---------------------------------------------------------------------------
+// Triangle counting on the strict lower triangle (graph/triangle.py) —
+// mark-based row intersection (the serial analog of the reference's
+// mergeAnd/TriangleCount hashmap inserts, HashmapAccumulator.hpp:167-272).
+// For each row i: mark N_L(i); for each k in N_L(i), count marked members
+// of N_L(k).  O(sum_k |N_L| * avg) with O(1) membership via an epoch stamp.
+// Writes per-row counts; returns the total.
+int64_t tpukk_triangle_count(int64_t n, const int32_t* row_map,
+                             const int32_t* entries, int64_t* per_row) {
+  std::vector<int64_t> stamp(n, -1);
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t s = row_map[i], e = row_map[i + 1];
+    for (int32_t p = s; p < e; ++p) stamp[entries[p]] = i;
+    int64_t cnt = 0;
+    for (int32_t p = s; p < e; ++p) {
+      int32_t k = entries[p];
+      for (int32_t q = row_map[k]; q < row_map[k + 1]; ++q)
+        if (stamp[entries[q]] == i) ++cnt;
+    }
+    per_row[i] = cnt;
+    total += cnt;
+  }
+  return total;
+}
+
 }  // extern "C"

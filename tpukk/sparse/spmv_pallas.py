@@ -1116,8 +1116,11 @@ def _dl_mm_call_batched(dst_ss, src_ids, first_ss, rhi, locc, vals, x, *,
     return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
 
 
-def onehot_spmv(plan, x, interpret: bool = False):
-    """y = A·x via the tiled one-hot kernel (vector x, f32)."""
+def onehot_spmv(plan, x, interpret: bool = False, reduce: str = "sum"):
+    """y = A·x via the tiled one-hot kernel (vector x, f32).  reduce="max"
+    computes a (max, ×) semiring row reduction instead (requires
+    non-negative values/x: padding slots contribute the neutral 0) — used
+    by the device MIS-2/graph rounds."""
     if isinstance(plan, GtSpmvPlan):
         if plan.layout == "gi":
             return _gi_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
@@ -1125,14 +1128,17 @@ def onehot_spmv(plan, x, interpret: bool = False):
                                     x, nd=plan.n_dst_tiles,
                                     ns=plan.n_src_tiles, n_ss=plan.n_ss,
                                     B=plan.batch, T=plan.n_tables,
-                                    nrows=plan.nrows, interpret=interpret)
+                                    nrows=plan.nrows, reduce=reduce,
+                                    interpret=interpret)
         return _gt_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
                                 plan.cnt_ss, plan.gt, plan.lo, plan.rhi,
                                 plan.vals, x,
                                 nd=plan.n_dst_tiles, ns=plan.n_src_tiles,
                                 n_ss=plan.n_ss, B=plan.batch,
                                 T=plan.n_tables, nrows=plan.nrows,
-                                interpret=interpret)
+                                reduce=reduce, interpret=interpret)
+    if reduce != "sum":
+        raise NotImplementedError("reduce='max' needs the gt/gi plan layout")
     if isinstance(plan, DlSpmvPlan):
         if getattr(plan, "batch", 1) > 1:
             return _dl_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
@@ -1637,9 +1643,9 @@ def _gt_gather(X, gts, lop, SR, T):
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
-                                             "nrows", "interpret"))
+                                             "nrows", "reduce", "interpret"))
 def _gt_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x,
-                     *, nd, ns, n_ss, B, T, nrows, interpret):
+                     *, nd, ns, n_ss, B, T, nrows, reduce="sum", interpret):
     TD, TS = _OH_DST, _OH_SRC
     SR = TS // 128
     m_pad = ns * TS
@@ -1660,9 +1666,11 @@ def _gt_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x,
                             lo_ref[sl, :], SR, T)
             pv = v_ref[sl, :] * xg
             rhi2 = rhi_ref[sl, :]
-            crows = [jnp.sum(jnp.where(rhi2 == d, pv, 0.0), axis=0,
-                             keepdims=True) for d in range(8)]
-            acc = acc + jnp.concatenate(crows, axis=0)
+            red = jnp.sum if reduce == "sum" else jnp.max
+            crows = [red(jnp.where(rhi2 == d, pv, 0.0), axis=0,
+                         keepdims=True) for d in range(8)]
+            con = jnp.concatenate(crows, axis=0)
+            acc = acc + con if reduce == "sum" else jnp.maximum(acc, con)
 
         @pl.when(first_ref[g] == 1)
         def _():
@@ -1670,7 +1678,8 @@ def _gt_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x,
 
         @pl.when(first_ref[g] == 0)
         def _():
-            y_ref[:, :] = y_ref[:, :] + acc
+            y_ref[:, :] = (y_ref[:, :] + acc if reduce == "sum"
+                           else jnp.maximum(y_ref[:, :], acc))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1699,9 +1708,9 @@ def _gt_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x,
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B", "T",
-                                             "nrows", "interpret"))
+                                             "nrows", "reduce", "interpret"))
 def _gi_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, vals, x,
-                     *, nd, ns, n_ss, B, T, nrows, interpret):
+                     *, nd, ns, n_ss, B, T, nrows, reduce="sum", interpret):
     """Identity-scatter variant: slot sublane == dst sublane (planner lock),
     so the per-chunk contribution is a plain accumulate — no 8-way masked
     reduction and no rhi table (one less (8,128) stream per chunk)."""
@@ -1720,7 +1729,8 @@ def _gi_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, vals, x,
             sl = slice(j * 8, (j + 1) * 8)
             xg = _gt_gather(X, gt_ref[j * 8 * T:(j + 1) * 8 * T, :],
                             lo_ref[sl, :], SR, T)
-            acc = acc + v_ref[sl, :] * xg
+            pv = v_ref[sl, :] * xg
+            acc = acc + pv if reduce == "sum" else jnp.maximum(acc, pv)
 
         @pl.when(first_ref[g] == 1)
         def _():
@@ -1728,7 +1738,8 @@ def _gi_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, vals, x,
 
         @pl.when(first_ref[g] == 0)
         def _():
-            y_ref[:, :] = y_ref[:, :] + acc
+            y_ref[:, :] = (y_ref[:, :] + acc if reduce == "sum"
+                           else jnp.maximum(y_ref[:, :], acc))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
