@@ -116,27 +116,30 @@ def bench_spmv_f64():
     DIA kernel vs the f64-bytes roofline (~1e-13 accuracy; exact XLA f64
     path remains available)."""
     import jax
-    import jax.numpy as jnp
 
     from tpukk.common.timing import chain_time_slope
     from tpukk.containers import generate_structured_laplacian
     from tpukk.sparse import spmv_impl
-    from tpukk.sparse.spmv_pallas import DiaDsPlan, dia_spmv_ds
+    from tpukk.sparse.spmv_pallas import (DiaDsPlan, dia_spmv_ds_planes,
+                                          ds_split_f64)
 
-    jax.config.update("jax_enable_x64", True)
+    # NO jax_enable_x64: the ds API is x64-free by design (host numpy
+    # split/combine; x64 on the axon relay wedged it in round-2 testing).
+    # The chain carries the (hi, lo) f32 planes; scaling the planes keeps
+    # the data dependence (chain accuracy is irrelevant to timing).
     A = generate_structured_laplacian(1000, 1000, dtype=np.float64)
     plan = DiaDsPlan(spmv_impl.build_dia_plan(A))
     rng = np.random.default_rng(0)
-    x0 = jax.device_put(rng.standard_normal(A.ncols) * 0.01)
+    xh, xl = ds_split_f64(rng.standard_normal(A.ncols) * 0.01)
+    c0 = (jax.device_put(xh), jax.device_put(xl))
 
     def mk(K):
         def step(c, _):
-            y = dia_spmv_ds(plan, c)
-            return jnp.pad(y * 0.125, (0, A.ncols - A.nrows)) \
-                if A.ncols > A.nrows else y * 0.125, None
-        return jax.jit(lambda p, x: jax.lax.scan(step, x, None, length=K)[0])
+            ys, ye = dia_spmv_ds_planes(plan, c[0], c[1])
+            return (ys * 0.125, ye * 0.125), None
+        return jax.jit(lambda p, c: jax.lax.scan(step, c, None, length=K)[0])
 
-    t = chain_time_slope(mk, (plan, x0), k1=50, k2=250, reps=5)
+    t = chain_time_slope(mk, (plan, c0), k1=50, k2=250, reps=5)
     kind = jax.devices()[0].device_kind
     target = 0.70 * peak_hbm_gbps(kind)
     gbps = csr_bytes(A, 8) / t / 1e9
@@ -173,30 +176,28 @@ def bench_spgemm():
         C = spgemm_numeric(h, A, A)
         jax.block_until_ready(C.values)
         npairs = int(np.asarray(h.pair_plan.a_idx).shape[0])
-        use_onehot = h.onehot_plan not in (None, False)
-        if use_onehot:
-            plan = h.onehot_plan
-
-            def mk(k, plan=plan):
-                def body(i, v):
-                    out = spgemm_pallas.onehot_pair_numeric(plan, v, v)
-                    return v * 0.5 + out[: v.shape[0]] * 1e-20
-                return jax.jit(lambda v: jax.lax.fori_loop(0, k, body, v))
+        plan = h.onehot_plan
+        if isinstance(plan, spgemm_pallas.SortPairPlan):
+            path, fast = "sort_pair", True
+            numeric = lambda v: spgemm_pallas.sort_pair_numeric(plan, v, v)
+        elif plan not in (None, False):
+            path, fast = "onehot_pair", True
+            numeric = lambda v: spgemm_pallas.onehot_pair_numeric(plan, v, v)
         else:
-            pp = h.pair_plan
+            path, fast = "xla_pairs", False
+            numeric = lambda v: _numeric_pairs(h.pair_plan, v, v)
 
-            def mk(k, pp=pp):
-                def body(i, v):
-                    out = _numeric_pairs(pp, v, v)
-                    return v * 0.5 + out[: v.shape[0]] * 1e-20
-                return jax.jit(lambda v: jax.lax.fori_loop(0, k, body, v))
+        def mk(k):
+            def body(i, v):
+                out = numeric(v)
+                return v * 0.5 + out[: v.shape[0]] * 1e-20
+            return jax.jit(lambda v: jax.lax.fori_loop(0, k, body, v))
 
-        k1 = 20 if use_onehot else 3
+        k1 = 20 if fast else 3
         t = chain_time_slope(mk, (A.values,), k1=k1, k2=5 * k1, reps=4)
         emit(name, npairs / t / 1e9, "Gpair/s", npairs / t / 1e9 / 1.0,
              numeric_us=round(t * 1e6, 1), symbolic_s=round(t_sym, 2),
-             path="onehot_pair" if use_onehot else "xla_pairs",
-             pairs=npairs, nnz_c=h.nnz_c)
+             path=path, pairs=npairs, nnz_c=h.nnz_c)
 
 
 def bench_sptrsv():
@@ -253,11 +254,7 @@ def bench_solvers():
     st = pcg_initial_state(Ah, prec, jax.device_put(b), jax.device_put(x0))
 
     def mk(K):
-        import jax.numpy as jnp
-
-        def step(c, _):
-            return body(c), None
-        return jax.jit(lambda s: jax.lax.scan(step, s, None, length=K)[0])
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=K)[0])
 
     t = chain_time_slope(mk, (st,), k1=50, k2=250, reps=4)
     emit("pcg_twostage_iter_us", t * 1e6, "us", 1.0, n=A.nrows, nnz=A.nnz)

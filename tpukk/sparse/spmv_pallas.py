@@ -274,11 +274,15 @@ _DS_SPLIT_MASK = -4096  # 0xFFFFF000: keep 12 mantissa bits (python int:
 
 
 def _fp_barrier(v):
-    """Force v to materialize as a rounded f32: an int32 bitcast round-trip
-    blocks FMA contraction (XLA fuses `a*b` into the following add, which
-    silently changes p's rounding and breaks the two_sum invariants — found
-    as scattered 1e-7 errors in the multi-chunk ds kernel)."""
-    return jax.lax.optimization_barrier(v)
+    """Force v to materialize as a rounded f32 and block FMA contraction
+    (fusing `a*b` into the following add silently changes p's rounding and
+    breaks the two_sum invariants — found as scattered 1e-7 errors in the
+    multi-chunk ds kernel).  `lax.optimization_barrier` has no Mosaic
+    lowering (NotImplementedError on TPU, observed round 2), so inside
+    pallas kernels the barrier is an int32 bitcast round-trip: value-
+    preserving, and opaque to floating-point reassociation passes."""
+    vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jax.lax.bitcast_convert_type(vi, jnp.float32)
 
 
 def _f32_split12(a):
@@ -368,9 +372,14 @@ def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
 @jax.tree_util.register_pytree_node_class
 class DiaDsPlan:
     """Plan for the double-single f64 DIA kernel: per-diagonal (hi, lo) f32
-    plane pairs + geometry (mirrors DiaPallasPlan)."""
+    plane pairs + geometry (mirrors DiaPallasPlan).
 
-    def __init__(self, dia_plan=None, chunk: int = 128 * 1024, *, _fields=None):
+    chunk is 4x smaller than DiaPallasPlan's: the compensated two_sum chain
+    keeps ~70 chunk-sized temporaries live per grid step, and Mosaic
+    allocates them on the VMEM stack (128k chunks hit 'Ran out of memory in
+    memory space vmem ... 39.77M' on v5e, observed round 2)."""
+
+    def __init__(self, dia_plan=None, chunk: int = 32 * 1024, *, _fields=None):
         if _fields is not None:
             (self.hlist, self.llist, self.offsets, self.nrows, self.ncols,
              self.n_pad, self.chunk, self.W) = _fields
