@@ -75,3 +75,54 @@ def test_perf_archive(tmp_path):
     r5 = PerfArchive(p, machine="testbox", tolerance=0.1).run_and_compare(
         "spmv", {"time_us": 100.0})
     assert r5["time_us"].status == "fail"
+
+
+def test_permute_route_native():
+    """C++ Euler-split routing: applying the 3 phases on host reproduces
+    x[src] exactly (Slepian-Duguid middle-stage assignment)."""
+    from tpukk import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    for R, C in ((8, 8), (24, 64), (256, 1024)):
+        N = R * C
+        src = rng.permutation(N).astype(np.int64)
+        t1, t2, t3 = native.permute_route(R, C, src)
+        x = rng.standard_normal(N).astype(np.float32)
+        y1 = x.reshape(R, C)[np.arange(R)[:, None], t1.reshape(R, C)]
+        y2 = y1.T[np.arange(C)[:, None], t2.reshape(C, R)]
+        out = y2.T[np.arange(R)[:, None], t3.reshape(R, C)]
+        np.testing.assert_array_equal(out.reshape(-1), x[src])
+
+
+def test_static_permute_interpret():
+    """Routed permutation through the pallas row-perm kernel (interpret)
+    matches the plain gather, including tail padding."""
+    from tpukk.common.permute import build_permute_plan, static_permute
+
+    rng = np.random.default_rng(4)
+    for n in (1024 * 1024, 1024 * 1024 + 777):
+        src = rng.permutation(n).astype(np.int64)
+        plan = build_permute_plan(src, _force=True)
+        if plan is None:
+            pytest.skip("native library unavailable")
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(static_permute(plan, x, interpret=True))
+        np.testing.assert_array_equal(y, x[src])
+
+
+def test_static_permute_fallback_sort():
+    """plan=None falls back to permute_via_sort (scatter-by-keys contract)."""
+    from tpukk.common.permute import static_permute
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    keys = rng.permutation(n).astype(np.int32)
+    x = rng.standard_normal(n).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(static_permute(None, jnp.asarray(x), jnp.asarray(keys)))
+    ref = np.empty(n, np.float32)
+    ref[keys] = x
+    np.testing.assert_array_equal(y, ref)

@@ -230,3 +230,35 @@ class TestSpgemmDia:
         ref = (A2.to_scipy() @ A2.to_scipy()).toarray()
         np.testing.assert_allclose(C2.to_scipy().toarray(), ref,
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_spgemm_sort_pair_interpret():
+    """Sort-based scattered numeric (SortPairPlan): both the routed
+    (StaticPermutePlan) and the runtime-sort reorder match scipy in
+    interpret mode."""
+    from tpukk.common.permute import build_permute_plan
+    from tpukk.sparse import spgemm_pallas
+
+    A = generate_random_csr(300, 300, 6, seed=11, dtype=np.float32)
+    h = SpgemmHandle()
+    spgemm_symbolic(h, A, A)
+    pp = h.pair_plan
+    plan = spgemm_pallas.SortPairPlan(pp.a_idx, pp.b_idx, pp.c_idx,
+                                      A.nnz, A.nnz, pp.nnz_c)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sort_indices()
+    vals = np.asarray(spgemm_pallas.sort_pair_numeric(
+        plan, A.values, A.values, interpret=True))
+    np.testing.assert_allclose(vals, ref.data, rtol=1e-5, atol=1e-5)
+    if plan.perm_plan is None:
+        # small problem fell back to the sort: also exercise the routed path
+        b_idx = np.asarray(pp.b_idx)
+        border = np.argsort(b_idx, kind="stable")
+        inv = np.empty(len(border), np.int64)
+        inv[border] = np.arange(len(border))
+        routed = build_permute_plan(inv, _force=True)
+        if routed is not None:
+            plan.perm_plan, plan.perm_keys = routed, None
+            vals2 = np.asarray(spgemm_pallas.sort_pair_numeric(
+                plan, A.values, A.values, interpret=True))
+            np.testing.assert_allclose(vals2, ref.data, rtol=1e-5, atol=1e-5)

@@ -106,3 +106,38 @@ def test_pcg_solve_on_tpu():
     x, stats = pcg(A, b, tol=1e-5, max_iters=800)
     r = b - A.to_scipy() @ np.asarray(x)
     assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b)
+
+
+def test_static_permute_on_tpu(rngm):
+    """Routed 3-phase permutation (Mosaic row-perm kernel) is exact on
+    hardware."""
+    _require_tpu()
+    from tpukk.common.permute import build_permute_plan, static_permute
+
+    n = 2_000_000
+    src = rngm.permutation(n).astype(np.int64)
+    plan = build_permute_plan(src)
+    if plan is None:
+        pytest.skip("native router unavailable")
+    x = rngm.standard_normal(n).astype(np.float32)
+    y = np.asarray(static_permute(plan, x))
+    np.testing.assert_array_equal(y, x[src])
+
+
+def test_spgemm_sort_pair_on_tpu(rngm):
+    """Scattered-pattern SpGEMM through the sort-based plan (selection
+    kernels + routed reorder) matches scipy on hardware."""
+    _require_tpu()
+    from tpukk.containers import generate_random_csr
+    from tpukk.sparse import SpgemmHandle, spgemm_numeric, spgemm_symbolic
+    from tpukk.sparse import spgemm_pallas
+
+    A = generate_random_csr(20_000, 20_000, 8, seed=5, dtype=np.float32)
+    h = SpgemmHandle()
+    spgemm_symbolic(h, A, A)
+    C = spgemm_numeric(h, A, A)
+    assert isinstance(h.onehot_plan, spgemm_pallas.SortPairPlan)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sort_indices()
+    np.testing.assert_allclose(np.asarray(C.values), ref.data,
+                               rtol=2e-4, atol=2e-4)

@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "spgemm_symbolic", "triangle_count"]
+__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "spgemm_symbolic", "triangle_count"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -78,6 +78,9 @@ def _load():
                                                  i64po]
             lib.tpukk_gt_assign_lanes.restype = None
             lib.tpukk_gt_assign_lanes.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p]
+            lib.tpukk_permute_route.restype = ctypes.c_int32
+            lib.tpukk_permute_route.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p]
             _lib = lib
         except Exception:
@@ -222,6 +225,24 @@ def gt_assign_lanes(nd, ns, pair_off, pair_st, pair_cnt):
     lib.tpukk_gt_assign_lanes(nd, ns, np.ascontiguousarray(pair_off, np.int64),
                               _i32(pair_st), _i32(pair_cnt), out)
     return out
+
+
+def permute_route(R, C, src):
+    """3-phase local-permute routing tables for a static permutation on an
+    (R, C) grid (see tpukk_permute_route); None if the native lib is
+    unavailable.  Returns (t1 [R*C], t2 [C*R], t3 [R*C]) int32."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    t1 = np.empty(R * C, np.int32)
+    t2 = np.empty(C * R, np.int32)
+    t3 = np.empty(R * C, np.int32)
+    rc = lib.tpukk_permute_route(R, C, src, t1, t2, t3)
+    if rc != 0:
+        raise ValueError("permute_route: invalid input (C must be a power "
+                         "of two, src a permutation)")
+    return t1, t2, t3
 
 
 def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):

@@ -696,4 +696,117 @@ int64_t tpukk_triangle_count(int64_t n, const int32_t* row_map,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Static-permutation routing through a 3-phase (row, column, row) local-
+// permute network on an (R, C) grid — the Slepian–Duguid/Beneš middle-stage
+// assignment.  The C-regular bipartite multigraph {src_row(e) -> dst_row(e)}
+// (one edge per element e = out slot) is C-edge-colored by recursive Euler
+// splitting (orient an Euler circuit; left->right edges form one half) —
+// color = the intermediate COLUMN the element routes through.  Phases:
+//   y1[r][c]  = x [r][t1[r*C+c]]       (permute within source rows)
+//   y1T       = transpose(y1)          (R,C) -> (C,R)
+//   y2[c][r]  = y1T[c][t2[c*R+r]]      (permute within columns)
+//   y2T       = transpose(y2)
+//   out[r][c] = y2T[r][t3[r*C+c]]      (permute within dest rows)
+// src must be a permutation of [0, R*C); C a power of two.  Returns 0, or
+// -1 on invalid input.  Replaces a runtime key-sort (permute_via_sort) with
+// three pad-free local gathers + two XLA transposes on TPU.
+int32_t tpukk_permute_route(int64_t R, int64_t C, const int64_t* src,
+                            int32_t* t1, int32_t* t2, int32_t* t3) {
+  if (R <= 0 || C <= 0 || (C & (C - 1)) != 0) return -1;
+  const int64_t N = R * C;
+  // edge e: src row sr(e) = src[e]/C, dst row dr(e) = e/C
+  std::vector<int32_t> esr(N), edr(N);
+  for (int64_t e = 0; e < N; ++e) {
+    esr[e] = (int32_t)(src[e] / C);
+    edr[e] = (int32_t)(e / C);
+  }
+  // groups[g] = edge ids; split one level at a time until 1-regular
+  std::vector<int64_t> edges(N), next_edges(N);
+  for (int64_t e = 0; e < N; ++e) edges[e] = e;
+  std::vector<int64_t> goff{0, N}, next_goff;
+  std::vector<int64_t> adj_off; // adjacency build scratch (2R nodes)
+  std::vector<int64_t> adj;     // incident edge-local indices
+  std::vector<int64_t> cursor;
+  std::vector<uint8_t> used, bit;
+  int64_t d = C;
+  while (d > 1) {
+    next_goff.assign(1, 0);
+    int64_t out_pos = 0;
+    // first pass writes bit-0 edges group by group; second appends bit-1,
+    // so children of group g land at 2g, 2g+1
+    for (size_t g = 0; g + 1 < goff.size(); ++g) {
+      int64_t e0 = goff[g], e1 = goff[g + 1], M = e1 - e0;
+      // node ids: left = esr (0..R-1), right = R + edr
+      adj_off.assign(2 * R + 1, 0);
+      for (int64_t k = 0; k < M; ++k) {
+        int64_t e = edges[e0 + k];
+        ++adj_off[esr[e] + 1];
+        ++adj_off[R + edr[e] + 1];
+      }
+      for (int64_t v = 0; v < 2 * R; ++v) adj_off[v + 1] += adj_off[v];
+      adj.resize(2 * M);
+      cursor.assign(adj_off.begin(), adj_off.end() - 1);
+      for (int64_t k = 0; k < M; ++k) {
+        int64_t e = edges[e0 + k];
+        adj[cursor[esr[e]]++] = k;
+        adj[cursor[R + edr[e]]++] = k;
+      }
+      cursor.assign(adj_off.begin(), adj_off.end() - 1);
+      used.assign(M, 0);
+      bit.resize(M);
+      // orient Euler circuits: walk until stuck (returns to start since
+      // every degree is even); left->right traversal = bit 0
+      for (int64_t k0 = 0; k0 < M; ++k0) {
+        if (used[k0]) continue;
+        int64_t e = edges[e0 + k0];
+        used[k0] = 1;
+        bit[k0] = 0;                       // start left->right
+        int64_t node = R + edr[e];         // now at right node
+        bool at_left = false;
+        while (true) {
+          int64_t k = -1;
+          while (cursor[node] < adj_off[node + 1]) {
+            int64_t cand = adj[cursor[node]++];
+            if (!used[cand]) { k = cand; break; }
+          }
+          if (k < 0) break;                // circuit closed
+          used[k] = 1;
+          bit[k] = at_left ? 0 : 1;
+          int64_t ee = edges[e0 + k];
+          node = at_left ? (R + edr[ee]) : esr[ee];
+          at_left = !at_left;
+        }
+      }
+      int64_t c0 = 0;
+      for (int64_t k = 0; k < M; ++k) c0 += (bit[k] == 0);
+      int64_t p0 = out_pos, p1 = out_pos + c0;
+      for (int64_t k = 0; k < M; ++k) {
+        int64_t e = edges[e0 + k];
+        if (bit[k] == 0) next_edges[p0++] = e;
+        else             next_edges[p1++] = e;
+      }
+      out_pos += M;
+      next_goff.push_back(out_pos - (M - c0));
+      next_goff.push_back(out_pos);
+    }
+    edges.swap(next_edges);
+    goff.swap(next_goff);
+    d >>= 1;
+  }
+  // goff now has C groups, each 1-regular (R edges); group index = color
+  for (size_t g = 0; g + 1 < goff.size(); ++g) {
+    int64_t color = (int64_t)g;
+    for (int64_t p = goff[g]; p < goff[g + 1]; ++p) {
+      int64_t e = edges[p];
+      int64_t sr = esr[e], dr = edr[e];
+      int64_t sc = src[e] - sr * C, dc = e - dr * C;
+      t1[sr * C + color] = (int32_t)sc;
+      t2[color * R + dr] = (int32_t)sr;
+      t3[dr * C + dc] = (int32_t)color;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

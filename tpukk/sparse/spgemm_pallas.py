@@ -863,13 +863,14 @@ def _gt_pair_call(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb,
 
 class SortPairPlan:
     """Plan for the sort-based numeric: three selection-matrix spmv plans +
-    the b→c permutation keys."""
+    the b→c reorder, either routed (StaticPermutePlan — 3 local gather
+    passes, no runtime sort) or as permute_via_sort keys."""
 
     def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c,
                  *, _fields=None):
         if _fields is not None:
             (self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
-             self.nnz_c, self.npairs) = _fields
+             self.perm_plan, self.nnz_c, self.npairs) = _fields
             return
         from ..containers.csr import CsrMatrix
         from .spmv_pallas import build_onehot_spmv_plan
@@ -891,9 +892,16 @@ class SortPairPlan:
         # b side in b-sorted order (monotone gather), keys = c-order pos
         border = np.argsort(b_idx, kind="stable")
         self.b_sel = selection(b_idx[border], max(nnz_b, 1))
-        # b-order element j is c-order pair border[j]: sorting bg by key
-        # border puts it at its c position (permute_via_sort contract)
-        self.perm_keys = jnp.asarray(border.astype(np.int32))
+        # b-order element j is c-order pair border[j]: route the static
+        # permutation (3 local gathers) when the planner supports it, else
+        # sort bg by key border at runtime (permute_via_sort contract)
+        from ..common.permute import build_permute_plan
+
+        inv_border = np.empty(P, np.int64)
+        inv_border[border] = np.arange(P, dtype=np.int64)
+        self.perm_plan = build_permute_plan(inv_border)
+        self.perm_keys = (None if self.perm_plan is not None
+                          else jnp.asarray(border.astype(np.int32)))
         # Sc: nnz_c rows, row c sums its contiguous pair range
         crm = np.zeros(nnz_c + 1, np.int64)
         np.add.at(crm, c_idx + 1, 1)
@@ -906,8 +914,8 @@ class SortPairPlan:
         self.npairs = P
 
     def tree_flatten(self):
-        return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys),
-                (self.nnz_c, self.npairs))
+        return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
+                 self.perm_plan), (self.nnz_c, self.npairs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -920,6 +928,7 @@ jax.tree_util.register_pytree_node_class(SortPairPlan)
 def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
                       interpret: bool = False):
     """C values from the sort-based plan (values in C-sorted order)."""
+    from ..common.permute import static_permute
     from ..common.utils import permute_via_sort
     from .spmv_pallas import onehot_spmv
 
@@ -927,5 +936,8 @@ def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
     b32 = b_vals.astype(jnp.float32)
     ag = onehot_spmv(plan.a_sel, a32, interpret=interpret)
     bg = onehot_spmv(plan.b_sel, b32, interpret=interpret)
-    bg_c = permute_via_sort(bg, plan.perm_keys)
+    if plan.perm_plan is not None:
+        bg_c = static_permute(plan.perm_plan, bg, interpret=interpret)
+    else:
+        bg_c = permute_via_sort(bg, plan.perm_keys)
     return onehot_spmv(plan.c_sum, ag * bg_c, interpret=interpret)

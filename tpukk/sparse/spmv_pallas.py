@@ -1131,6 +1131,22 @@ def onehot_spmv(plan, x, interpret: bool = False, reduce: str = "sum"):
     non-negative values/x: padding slots contribute the neutral 0) — used
     by the device MIS-2/graph rounds."""
     if isinstance(plan, GtSpmvPlan):
+        if plan.layout == "gi4":
+            return _gi4_call_batched(plan.dst_ss, plan.src_ids,
+                                     plan.first_ss, plan.gt, plan.vals, x,
+                                     nd4=-(-plan.n_dst_tiles // 4),
+                                     ns=plan.n_src_tiles, n_ss=plan.n_ss,
+                                     B=plan.batch, nrows=plan.nrows,
+                                     reduce=reduce, interpret=interpret)
+        if plan.layout == "dlp":
+            lane_tab = plan.lo if plan.lo.shape[0] > 1 else None
+            return _dlp_call_batched(plan.dst_ss, plan.src_ids,
+                                     plan.first_ss, plan.gt, plan.rhi,
+                                     plan.vals, lane_tab, x,
+                                     nd=plan.n_dst_tiles,
+                                     ns=plan.n_src_tiles, n_ss=plan.n_ss,
+                                     B=plan.batch, nrows=plan.nrows,
+                                     reduce=reduce, interpret=interpret)
         if plan.layout == "gi":
             return _gi_call_batched(plan.dst_ss, plan.src_ids, plan.first_ss,
                                     plan.cnt_ss, plan.gt, plan.lo, plan.vals,
@@ -1245,6 +1261,21 @@ def onehot_spmm(plan, x, interpret: bool = False):
     """Y = A·X via the tiled one-hot kernel (X: (ncols, k), f32)."""
     if isinstance(plan, GtSpmvPlan):
         k = int(x.shape[1])
+        if plan.layout in ("gi4", "dlp"):
+            if (k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
+                    and plan.batch * k <= 128):
+                lane_tab = plan.lo if plan.lo.shape[0] > 1 else None
+                return _pk_mm_call_batched(
+                    plan.dst_ss, plan.src_ids, plan.first_ss, plan.gt,
+                    plan.rhi, plan.vals, lane_tab, x,
+                    nd_out=(-(-plan.n_dst_tiles // 4)
+                            if plan.layout == "gi4" else plan.n_dst_tiles),
+                    ns=plan.n_src_tiles, n_ss=plan.n_ss, B=plan.batch,
+                    nrows=plan.nrows, nrhs=k, layout=plan.layout,
+                    interpret=interpret)
+            cols = [onehot_spmv(plan, x[:, j], interpret=interpret)
+                    for j in range(k)]
+            return jnp.stack(cols, axis=1)
         if (k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
                 and plan.batch * k <= 128):
             return _gt_mm_call_batched(
@@ -1298,9 +1329,13 @@ def onehot_spmm(plan, x, interpret: bool = False):
 # by construction, guaranteeing termination.
 
 _GT_LEVELS = 5
-_GT_FIX_US = 0.15      # same grid-step floor as v6
-_GT_VAR_US = 0.030     # dl chunk (T=1): gather + 8-way masked scatter
-_GT_VAR_GI_US = 0.015  # gi chunk: gather + plain accumulate
+_GT_FIX_US = 0.235      # per-super-step floor (probe round 2: stream count
+                        # does NOT move it; only B amortizes it)
+_GT_VAR_US = 0.030      # legacy dl chunk (T=1): 3-stream gather + scatter
+_GT_VAR_GI_US = 0.015   # legacy gi chunk: 3-stream gather + accumulate
+_GT_VAR_GI4_US = 0.0115  # v9 packed gather + 4-way quarter select (probe)
+_GT_VAR_DLP_US = 0.022   # v9 packed gather + 8-way rhi scatter (estimate:
+                         # probe packed 0.0069 + legacy scatter delta)
 _GT_DUMMY_US = 0.004   # branch-skipped padding chunk (cnt_ss)
 
 
@@ -1431,10 +1466,38 @@ def _gt_place_native(run, lc, locc, vals_e, rhi_e, dt_e, st_e, T,
             sdst, ssrc, ovf)
 
 
+def _dl_assign_lanes(run, rows, st, nd, ns):
+    """(assigned lane per nnz, lane_tab (nd*8,128)) via the C++ balanced
+    assignment, or None.  Pair data = per (padded row, src tile) counts."""
+    from .. import native
+
+    if not native.available():
+        return None
+    key = rows * np.int64(ns) + st
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.concatenate(([True], np.diff(ks) != 0))
+    pair_key = ks[first]
+    pair_cnt = np.diff(np.concatenate((np.nonzero(first)[0], [len(ks)])))
+    pair_row = pair_key // ns
+    pair_st = (pair_key % ns).astype(np.int32)
+    pair_off = np.zeros(nd * 1024 + 1, np.int64)
+    np.add.at(pair_off, pair_row + 1, 1)
+    pair_off = np.cumsum(pair_off)
+    out_lane = native.gt_assign_lanes(nd, ns, pair_off, pair_st,
+                                      pair_cnt.astype(np.int32))
+    if out_lane is None:
+        return None
+    return (out_lane[rows].astype(np.int64),
+            jnp.asarray(out_lane.reshape(nd * 8, 128)))
+
+
 class GtSpmvPlan:
-    """v7 gather-table plan (dst-lane layout + per-chunk g-tables +
-    super-steps).  Requires x VMEM-resident; build_onehot_spmv_plan falls
-    back to DlSpmvPlan otherwise."""
+    """v7/v9 gather-table plan (dst-lane or identity-scatter layout +
+    per-chunk g-tables + super-steps; v9 packs gt+lo into one int32 stream
+    and adds 4-tile output grouping / balanced lane assignment).  Requires
+    x VMEM-resident; build_onehot_spmv_plan falls back to DlSpmvPlan
+    otherwise."""
 
     def __init__(self, A, *, _fields=None):
         if _fields is not None:
@@ -1472,12 +1535,14 @@ class GtSpmvPlan:
         T = 1
         layout = "dl"
         out0 = None
+        lane_tab = None
         if nnz:
-            # layout choice: identity-scatter ("gi", slot sublane == dst
-            # sublane, scatter = plain accumulate) vs dst-lane ("dl", 8-way
-            # masked-reduction scatter).  gi chunks/run = max per-ROW count,
-            # dl = max per-lane count / 8; gi wins when rows spread their
-            # nnz thinly across runs (structured/banded patterns).
+            # layout choice: identity-scatter ("gi"/v9 "gi4", slot sublane
+            # == dst sublane, scatter = plain accumulate + 4-tile grouped
+            # output) vs dst-lane ("dl"/v9 "dlp", 8-way masked-reduction
+            # scatter + balanced lane assignment).  gi chunks/run = max
+            # per-ROW count, dl = max per-lane count / 8; gi wins when rows
+            # spread their nnz thinly across runs (structured patterns).
             kdl = run * 128 + lc
             u, c = np.unique(kdl, return_counts=True)
             rs = np.nonzero(np.concatenate(([1], np.diff(u // 128) != 0)))[0]
@@ -1486,7 +1551,7 @@ class GtSpmvPlan:
             u, c = np.unique(kgi, return_counts=True)
             rs = np.nonzero(np.concatenate(([1], np.diff(u // 1024) != 0)))[0]
             chunks_gi = int(np.maximum.reduceat(c, rs).sum())
-            if chunks_gi * _GT_VAR_GI_US < chunks_dl * _GT_VAR_US:
+            if chunks_gi * _GT_VAR_GI4_US < chunks_dl * _GT_VAR_DLP_US:
                 out0 = _gt_place_native(run, lc, locc, vals, rhi_e, dt, st,
                                         T, max_grow=8, lock_sublane=True)
                 if out0 is not None:
@@ -1496,7 +1561,28 @@ class GtSpmvPlan:
                         # lock; pathological conflicts fall back to dl
                         out0, layout = None, "dl"
             if out0 is None:
-                out0 = _gt_place_native(run, lc, locc, vals, rhi_e, dt, st, T)
+                # balanced per-run-group lane assignment (C++): kills the
+                # Poisson max-lane skew that sets dl's chunks/run; the
+                # output lane un-permute is one XLA lane gather (lane_tab)
+                lc_use = lc
+                asg = _dl_assign_lanes(run, rows, st, nd, ns)
+                if asg is not None:
+                    lc2, tab2 = asg
+                    k2 = run * 128 + lc2
+                    u2, c2 = np.unique(k2, return_counts=True)
+                    rs2 = np.nonzero(np.concatenate(
+                        ([1], np.diff(u2 // 128) != 0)))[0]
+                    chunks_dl2 = int(np.ceil(
+                        np.maximum.reduceat(c2, rs2) / 8).sum())
+                    if chunks_dl2 < chunks_dl:
+                        lc_use, lane_tab = lc2, tab2
+                out0 = _gt_place_native(run, lc_use, locc, vals, rhi_e,
+                                        dt, st, T)
+                if out0 is not None and out0[6].any() and lane_tab is not None:
+                    # overflow under the assigned lanes: retry natural
+                    out0 = _gt_place_native(run, lc, locc, vals, rhi_e,
+                                            dt, st, T)
+                    lane_tab = None
         if out0 is not None:
             parts.append(out0[:6])
             levels = 1
@@ -1542,6 +1628,12 @@ class GtSpmvPlan:
             rhi_a = np.zeros((0, 8, 128), np.int32)
             sdst = np.zeros(0, np.int64)
             ssrc = np.zeros(0, np.int64)
+        # v9 packed path: single-table placement succeeded with no overflow
+        # levels -> pack gt+lo into one int32 stream and use the probe-tuned
+        # kernels (_gi4_call_batched / _dlp_call_batched)
+        v9 = levels == 1 and T == 1 and parts and start_lvl == 1
+        if v9:
+            layout = "gi4" if layout == "gi" else "dlp"
         valid = np.ones(len(sdst), bool)  # real chunks (vs init dummies)
         # dummy steps for dst tiles with no chunks (output init)
         missing = np.setdiff1d(np.arange(nd, dtype=np.int64), np.unique(sdst),
@@ -1560,15 +1652,20 @@ class GtSpmvPlan:
         lo_a, gt_a, vals_a, rhi_a = lo_a[ordc], gt_a[ordc], vals_a[ordc], rhi_a[ordc]
         valid = valid[ordc]
         S = len(sdst)
+        ssub = sdst % 4  # gi4 quarter within the 4-tile output block
 
-        # super-step schedule (B by cost model, as in DlSpmvPlan)
+        # super-step schedule (B by cost model); gi4 groups FOUR dst tiles
+        # per output block so B can grow ~4x on matrices whose per-tile
+        # chunk counts are small (the ~0.23us step floor dominates there)
+        gids = sdst // 4 if layout == "gi4" else sdst
         counts = np.diff(np.concatenate((
-            np.nonzero(np.concatenate(([1], (sdst[1:] != sdst[:-1])
+            np.nonzero(np.concatenate(([1], (gids[1:] != gids[:-1])
                                        .astype(np.int64))))[0], [S])))
         B = 1
         best = float("inf")
-        var = (_GT_VAR_GI_US if layout == "gi" else _GT_VAR_US) * T
-        for cand in (1, 2, 4, 8, 16, 32):
+        var = {"gi4": _GT_VAR_GI4_US, "dlp": _GT_VAR_DLP_US,
+               "gi": _GT_VAR_GI_US * T}.get(layout, _GT_VAR_US * T)
+        for cand in range(1, 33):
             nss_c = int(np.ceil(counts / cand).sum())
             # padding chunks compute zeros at full rate (a branch-skip via
             # scratch-ref accumulator measured 45% SLOWER than wasting them:
@@ -1589,22 +1686,35 @@ class GtSpmvPlan:
             vals_a = np.concatenate([vals_a, np.zeros((1, 8, 128), np.float32)])[cidx]
             rhi_a = np.concatenate([rhi_a, np.zeros((1, 8, 128), np.int32)])[cidx]
             ssrc = np.concatenate([ssrc, [0]])[cidx]
+            ssub = np.concatenate([ssub, [0]])[cidx]
             valid = np.concatenate([valid, [False]])[cidx]
-            sdst = sdst[gb[gid]]
+            gids = gids[gb[gid]]
             S = len(cidx)
-        first = np.ones(S, np.int32)
-        first[1:] = (sdst[1:] != sdst[:-1]).astype(np.int32)
+        gss = gids[::B]  # per-super-step output-block id
+        first = np.ones(len(gss), np.int32)
+        first[1:] = (gss[1:] != gss[:-1]).astype(np.int32)
         # valid chunks are contiguous at the front of each super-step
-        # (B-group padding appends at the tail): the kernel skips the rest
-        # by branching on cnt_ss
+        # (B-group padding appends at the tail): the legacy kernels skip
+        # the rest by branching on cnt_ss; v9 padding chunks compute zeros
         cnt = valid.reshape(S // B, B).sum(axis=1).astype(np.int32)
-        self.lo = jnp.asarray(lo_a.reshape(S * 8, 128))
-        self.gt = jnp.asarray(gt_a.reshape(S * T * 8, 128))
+        if v9:
+            pk = ((gt_a.reshape(S, 8, 128) << 7) | lo_a).astype(np.int32)
+            self.gt = jnp.asarray(pk.reshape(S * 8, 128))
+            self.lo = (lane_tab if layout == "dlp" and lane_tab is not None
+                       else jnp.zeros((1, 128), jnp.int32))
+            self.rhi = (jnp.asarray(rhi_a.reshape(S * 8, 128))
+                        if layout == "dlp"
+                        else jnp.zeros((1, 128), jnp.int32))
+            src_pack = (ssrc << 2) | ssub if layout == "gi4" else ssrc
+            self.src_ids = jnp.asarray(src_pack.astype(np.int32))
+        else:
+            self.lo = jnp.asarray(lo_a.reshape(S * 8, 128))
+            self.gt = jnp.asarray(gt_a.reshape(S * T * 8, 128))
+            self.rhi = jnp.asarray(rhi_a.reshape(S * 8, 128))
+            self.src_ids = jnp.asarray(ssrc.astype(np.int32))
         self.vals = jnp.asarray(vals_a.reshape(S * 8, 128))
-        self.rhi = jnp.asarray(rhi_a.reshape(S * 8, 128))
-        self.src_ids = jnp.asarray(ssrc.astype(np.int32))
-        self.dst_ss = jnp.asarray(sdst[::B].astype(np.int32))
-        self.first_ss = jnp.asarray(first[::B])
+        self.dst_ss = jnp.asarray(gss.astype(np.int32))
+        self.first_ss = jnp.asarray(first)
         self.cnt_ss = jnp.asarray(cnt)
         self.nrows, self.ncols = n, m
         self.n_dst_tiles, self.n_src_tiles = nd, ns
@@ -1630,6 +1740,158 @@ class GtSpmvPlan:
 
 
 jax.tree_util.register_pytree_node_class(GtSpmvPlan)
+
+
+def _pk_gather(X, pk, SR):
+    """xg[s,l] = X[gt[s, lo], lo] with gt/lo PACKED in one int32 stream
+    (pk = gt*128 + lo, T=1 only): hoisted bit-ops make each 8-row block
+    3 vector ops (take/cmp/sel) instead of 7 — probe-measured round 2 at
+    6.9ns per (8,128) chunk vs 14.3ns for the 3-stream clip-form gather
+    (scripts/probe_ss_cost.py)."""
+    gt_and = (pk >> 7) & 7
+    gt_blk = pk >> 10
+    lo = pk & 127
+    t2 = jnp.zeros(pk.shape, jnp.float32)
+    for b in range(SR // 8):
+        blk = X[b * 8:(b + 1) * 8, :]
+        tb = jnp.take_along_axis(blk, gt_and, axis=0)
+        t2 = jnp.where(gt_blk == b, tb, t2)
+    return jnp.take_along_axis(t2, lo, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nd4", "ns", "n_ss", "B",
+                                             "nrows", "reduce", "interpret"))
+def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
+                      nd4, ns, n_ss, B, nrows, reduce="sum", interpret):
+    """v9 identity-scatter kernel: packed gt+lo stream (2 streams/chunk) and
+    a (32,128) output block covering FOUR dst tiles — per-chunk sub (packed
+    into srcsub upper bits) selects the 8-row quarter.  The 4-tile grouping
+    lets B grow ~4x on matrices whose per-tile chunk counts are small
+    (structured patterns), amortizing the ~0.23us grid-step floor."""
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+
+    def kernel(dst_ref, srcsub_ref, first_ref, pk_ref, v_ref, x_ref, y_ref):
+        g = pl.program_id(0)
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
+        for j in range(B):
+            ss = srcsub_ref[g * B + j]
+            src = ss >> 2
+            sub = ss & 3
+            X = x_ref[pl.ds(src * SR, SR), :]
+            sl = slice(j * 8, (j + 1) * 8)
+            pv = v_ref[sl, :] * _pk_gather(X, pk_ref[sl, :], SR)
+            for q in range(4):
+                upd = accs[q] + pv if reduce == "sum" \
+                    else jnp.maximum(accs[q], pv)
+                accs[q] = jnp.where(sub == q, upd, accs[q])
+        acc = jnp.concatenate(accs, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = (y_ref[:, :] + acc if reduce == "sum"
+                           else jnp.maximum(y_ref[:, :], acc))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, 128), lambda g, d, s, f: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_gi4",
+        out_shape=jax.ShapeDtypeStruct((nd4 * 32, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, srcsub_ids, first_ss, pk, vals, x2)
+    return y2.reshape(nd4 * 4 * TD)[:nrows].astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B",
+                                             "nrows", "reduce", "interpret"))
+def _dlp_call_batched(dst_ss, src_ids, first_ss, pk, rhi, vals, lane_tab, x,
+                      *, nd, ns, n_ss, B, nrows, reduce="sum", interpret):
+    """v9 dst-lane kernel: packed gt+lo stream + 8-way rhi scatter; when the
+    C++ balanced lane assignment replaced the natural row%128 lanes, the
+    per-super-step partial sum is lane-un-permuted INSIDE the kernel (one
+    Mosaic take_along_axis per super-step, lane_tab streamed per dst tile).
+    Sum/max commute with the gather so per-super-step un-permute is exact.
+    An XLA-side take_along_axis on the output was 6x SLOWER than the whole
+    kernel (XLA scalarizes TPU gathers — measured round 2, rand100k
+    920us vs 155us modeled)."""
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    has_tab = lane_tab is not None
+    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+
+    def kernel(dst_ref, src_ref, first_ref, *refs):
+        if has_tab:
+            pk_ref, rhi_ref, v_ref, tab_ref, x_ref, y_ref = refs
+        else:
+            pk_ref, rhi_ref, v_ref, x_ref, y_ref = refs
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            src = src_ref[g * B + j]
+            X = x_ref[pl.ds(src * SR, SR), :]
+            sl = slice(j * 8, (j + 1) * 8)
+            pv = v_ref[sl, :] * _pk_gather(X, pk_ref[sl, :], SR)
+            rhi2 = rhi_ref[sl, :]
+            red = jnp.sum if reduce == "sum" else jnp.max
+            crows = [red(jnp.where(rhi2 == d, pv, 0.0), axis=0,
+                         keepdims=True) for d in range(8)]
+            con = jnp.concatenate(crows, axis=0)
+            acc = acc + con if reduce == "sum" else jnp.maximum(acc, con)
+        if has_tab:
+            acc = jnp.take_along_axis(acc, tab_ref[:, :], axis=1)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            y_ref[:, :] = (y_ref[:, :] + acc if reduce == "sum"
+                           else jnp.maximum(y_ref[:, :], acc))
+
+    stream = pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [stream, stream, stream]
+    args = [pk, rhi, vals]
+    if has_tab:
+        in_specs.append(pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(lane_tab)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.append(x2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_dlp",
+        out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, src_ids, first_ss, *args)
+    return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
 
 
 def _gt_gather(X, gts, lop, SR, T):
@@ -1844,3 +2106,91 @@ def _gt_mm_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals,
         interpret=interpret,
     )(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals, x3)
     return y3.reshape(k, nd * TD)[:, :nrows].T.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nd_out", "ns", "n_ss", "B",
+                                             "nrows", "nrhs", "layout",
+                                             "interpret"))
+def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, pk, rhi, vals,
+                        lane_tab, x, *, nd_out, ns, n_ss, B, nrows, nrhs,
+                        layout, interpret):
+    """Multi-RHS v9 kernel: packed gt+lo stream; layout 'gi4' accumulates
+    into a (k,32,128) four-tile block, 'dlp' does the 8-way rhi reduction
+    into (k,8,128) with optional output lane un-permute."""
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+    k = nrhs
+    gi4 = layout == "gi4"
+    QT = 4 if gi4 else 1
+    has_tab = lane_tab is not None
+    x3 = jnp.pad(x.astype(jnp.float32),
+                 ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * SR, 128)
+
+    def kernel(dst_ref, srcsub_ref, first_ref, *refs):
+        if has_tab:
+            pk_ref, rhi_ref, v_ref, tab_ref, x_ref, y_ref = refs
+        else:
+            pk_ref, rhi_ref, v_ref, x_ref, y_ref = refs
+        g = pl.program_id(0)
+        accs = [[jnp.zeros((8, 128), jnp.float32) for _ in range(QT)]
+                for _ in range(k)]
+        for j in range(B):
+            ss = srcsub_ref[g * B + j]
+            src = ss >> 2 if gi4 else ss
+            sub = ss & 3
+            sl = slice(j * 8, (j + 1) * 8)
+            pkj = pk_ref[sl, :]
+            vj = v_ref[sl, :]
+            rhij = None if gi4 else rhi_ref[sl, :]
+            for c in range(k):
+                pv = vj * _pk_gather(x_ref[c, pl.ds(src * SR, SR), :],
+                                     pkj, SR)
+                if gi4:
+                    for q in range(QT):
+                        accs[c][q] = jnp.where(sub == q, accs[c][q] + pv,
+                                               accs[c][q])
+                else:
+                    crows = [jnp.sum(jnp.where(rhij == d, pv, 0.0),
+                                     axis=0, keepdims=True)
+                             for d in range(8)]
+                    accs[c][0] = accs[c][0] + jnp.concatenate(crows, axis=0)
+        for c in range(k):
+            acc = jnp.concatenate(accs[c], axis=0) if gi4 else accs[c][0]
+            if has_tab:
+                acc = jnp.take_along_axis(acc, tab_ref[:, :], axis=1)
+
+            @pl.when(first_ref[g] == 1)
+            def _(c=c, acc=acc):
+                y_ref[c] = acc
+
+            @pl.when(first_ref[g] == 0)
+            def _(c=c, acc=acc):
+                y_ref[c] = y_ref[c] + acc
+
+    OB = 32 if gi4 else 8
+    stream = pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [stream, stream, stream]
+    args = [pk, rhi, vals]
+    if has_tab:
+        in_specs.append(pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(lane_tab)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.append(x3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, OB, 128),
+                               lambda g, d, s, f: (0, d[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y3 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name=f"tpukk_spmm_{layout}",
+        out_shape=jax.ShapeDtypeStruct((k, nd_out * OB, 128), jnp.float32),
+        interpret=interpret,
+    )(dst_ss, srcsub_ids, first_ss, *args)
+    return y3.reshape(k, nd_out * OB * 128)[:, :nrows].T.astype(x.dtype)
