@@ -147,6 +147,32 @@ def bench_spmv_f64():
          time_us=round(t * 1e6, 1), gnnz=round(A.nnz / t / 1e9, 2),
          algorithm="dia_double_single", accuracy="~1e-13 rel")
 
+    # unstructured f64: the gi4-locked double-single gather kernel
+    from tpukk.containers import generate_random_csr
+    from tpukk.sparse.spmv_pallas import (build_onehot_ds_plan,
+                                          onehot_spmv_ds_planes)
+
+    Ar = generate_random_csr(100_000, 100_000, 16, seed=3, dtype=np.float64)
+    pr = build_onehot_ds_plan(Ar)
+    if pr is not None:
+        xh, xl = ds_split_f64(rng.standard_normal(Ar.ncols) * 0.01)
+        c0 = (jax.device_put(xh), jax.device_put(xl))
+
+        def mkr(K):
+            def step(c, _):
+                ys, ye = onehot_spmv_ds_planes(pr, c[0], c[1])
+                return (ys * 0.125, ye * 0.125), None
+            return jax.jit(lambda p, c: jax.lax.scan(step, c, None,
+                                                     length=K)[0])
+
+        tr = chain_time_slope(mkr, (pr, c0), k1=20, k2=100, reps=4)
+        gbps_r = csr_bytes(Ar, 8) / tr / 1e9
+        emit("spmv_f64_ds_rand100k_gbps", gbps_r, "GB/s", gbps_r / target,
+             time_us=round(tr * 1e6, 1),
+             gnnz=round(Ar.nnz / tr / 1e9, 2),
+             algorithm="onehot_gi4_double_single",
+             pad=round(pr.base.real_pad_ratio, 2))
+
 
 def bench_spgemm():
     """SpGEMM A·A: structured (gt pair kernel), scattered-random, and the

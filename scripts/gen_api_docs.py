@@ -72,6 +72,13 @@ PAGES = {
                        ["triangle_count", "triangle_count_per_row"]),
     "ode": ("tpukk.ode", None),
     "dist": ("tpukk.dist", None),
+    "common/permute": ("tpukk.common.permute",
+                       ["build_permute_plan", "static_permute",
+                        "StaticPermutePlan"]),
+    "sparse/spmv_ds": ("tpukk.sparse.spmv_pallas",
+                       ["build_onehot_ds_plan", "onehot_spmv_ds",
+                        "onehot_spmv_ds_planes", "DiaDsPlan", "dia_spmv_ds",
+                        "ds_split_f64"]),
     "common/tracing": ("tpukk.common.tracing",
                        ["profile_region", "annotate", "trace", "region_name"]),
     "common/controls": ("tpukk.common.controls",

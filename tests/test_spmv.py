@@ -230,3 +230,21 @@ def test_dia_ds_f64_interpret(rng):
     ref = A.to_scipy() @ x
     rel = np.abs(y - ref).max() / np.abs(ref).max()
     assert rel < 1e-6, rel
+
+
+def test_onehot_ds_f64_interpret(rng):
+    """Arbitrary-pattern f64 double-single gather kernel (gi4-locked,
+    compensated accumulate) vs the f64 scipy oracle."""
+    from tpukk.sparse.spmv_pallas import build_onehot_ds_plan, onehot_spmv_ds
+
+    for A in (generate_structured_laplacian(40, 40, dtype=np.float64),
+              generate_random_csr(2500, 2500, 8, seed=9, dtype=np.float64)):
+        plan = build_onehot_ds_plan(A)
+        if plan is None:
+            import pytest
+            pytest.skip("native placer unavailable")
+        x = rng.standard_normal(A.ncols)
+        y = onehot_spmv_ds(plan, x, interpret=True)
+        ref = A.to_scipy() @ x
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 1e-12

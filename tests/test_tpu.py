@@ -141,3 +141,21 @@ def test_spgemm_sort_pair_on_tpu(rngm):
     ref.sort_indices()
     np.testing.assert_allclose(np.asarray(C.values), ref.data,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_onehot_ds_f64_on_tpu(rngm):
+    """Unstructured f64 double-single kernel accuracy on hardware (the
+    compensated arithmetic only lowers faithfully through Mosaic)."""
+    _require_tpu()
+    from tpukk.containers import generate_random_csr
+    from tpukk.sparse.spmv_pallas import build_onehot_ds_plan, onehot_spmv_ds
+
+    A = generate_random_csr(20_000, 20_000, 12, seed=3, dtype=np.float64)
+    plan = build_onehot_ds_plan(A)
+    if plan is None:
+        pytest.skip("native placer unavailable")
+    x = rngm.standard_normal(A.ncols)
+    y = onehot_spmv_ds(plan, x)
+    ref = A.to_scipy() @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-12, rel

@@ -70,13 +70,29 @@ def _coo_arrays(csr):
     return coo.row.astype(np.int64), coo.col.astype(np.int64)
 
 
+def _bucket(x: int) -> int:
+    """Round up to {1, 1.25, 1.5, 1.75}·2^k — the shape-bucketing that lets
+    the jitted sweep kernels be REUSED across outer iterations (each outer
+    iteration changes the pattern; unbucketed shapes forced 2 recompiles
+    per iteration, which dominates wall time on a remote-compile TPU)."""
+    if x <= 64:
+        return 64
+    k = max(0, int(np.floor(np.log2(x))) - 2)
+    q = 1 << k
+    return int(-(-x // q) * q)
+
+
 class _SweepPlan:
     """Host-built static schedule for one (patL, patU) pattern pair.
 
     Targets are the concatenation [L entries (CSR order), U entries]; the
     plan maps every retained product pair to its target slot and records the
     per-target A value, the U-diagonal slot for the L scaling, and where A's
-    own entries live (for the pattern-restricted residual norm)."""
+    own entries live (for the pattern-restricted residual norm).  All
+    device arrays and the static segment sizes are BUCKET-PADDED (_bucket);
+    true sizes live in nnzL_true/nnzU_true; padded slots route to a trash
+    segment past nmiss and padded L/U values stay exactly 0 through the
+    sweeps (aL pad 0, no pairs target them)."""
 
     def __init__(self, patL, patU, Asp):
         n = patL.shape[0]
@@ -152,17 +168,40 @@ class _SweepPlan:
         a_idx, b_idx, slot = a_idx[keep2], b_idx[keep2], slot[keep2]
         order = np.argsort(slot, kind="stable")
 
-        self.nnzL, self.nnzU, self.n = nnzL, nnzU, n
-        self.nmiss = M
-        self.aM = jnp.asarray(aM)
-        self.a_idx = jnp.asarray(a_idx[order].astype(np.int32))
-        self.b_idx = jnp.asarray(b_idx[order].astype(np.int32))
-        self.slot = jnp.asarray(slot[order].astype(np.int32))
-        self.aL = jnp.asarray(aL)
-        self.aU = jnp.asarray(aU)
+        # bucket-pad every device array + static size (jit reuse across
+        # outer iterations); padded pairs hit the trash segment, padded
+        # L/U/miss entries carry value 0 and are never targeted
+        nnzL_p, nnzU_p = _bucket(nnzL), _bucket(nnzU)
+        M_p, P_p = _bucket(M), _bucket(len(a_idx))
+        # re-base segment indices onto the padded offsets
+        slot_p = np.where(slot < nnzL, slot,
+                          np.where(slot < nnzL + nnzU,
+                                   slot - nnzL + nnzL_p,
+                                   slot - nnzL - nnzU + nnzL_p + nnzU_p))
+        apos_p = np.where(apos < nnzL, apos,
+                          np.where(apos < nnzL + nnzU,
+                                   apos - nnzL + nnzL_p,
+                                   apos - nnzL - nnzU + nnzL_p + nnzU_p))
+        trash = nnzL_p + nnzU_p + M_p
+
+        def pad(a, size, fill=0):
+            out = np.full(size, fill, a.dtype if len(a) else np.float64)
+            out[:len(a)] = a
+            return out
+
+        sp_order = slot_p[order]
+        self.nnzL, self.nnzU, self.nmiss = nnzL_p, nnzU_p, M_p
+        self.nnzL_true, self.nnzU_true, self.nmiss_true = nnzL, nnzU, M
+        self.n = n
+        self.aM = jnp.asarray(pad(aM, M_p))
+        self.a_idx = jnp.asarray(pad(a_idx[order], P_p).astype(np.int32))
+        self.b_idx = jnp.asarray(pad(b_idx[order], P_p).astype(np.int32))
+        self.slot = jnp.asarray(pad(sp_order, P_p, trash).astype(np.int32))
+        self.aL = jnp.asarray(pad(aL, nnzL_p))
+        self.aU = jnp.asarray(pad(aU, nnzU_p))
         self.diag_slot = jnp.asarray(diag_pos.astype(np.int32))
-        self.colL = jnp.asarray(Lent.astype(np.int32))
-        self.a_pos = jnp.asarray(apos.astype(np.int32))
+        self.colL = jnp.asarray(pad(Lent, nnzL_p).astype(np.int32))
+        self.a_pos = jnp.asarray(apos_p.astype(np.int32))
         self.rowL_np, self.colL_np = rowL, Lent
         self.rowU_np, self.colU_np = rowU, Uent
 
@@ -182,10 +221,13 @@ def _restrict(Acsr, rows, cols, n):
 
 
 @functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss", "n_sweeps"))
+@functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss",
+                                             "n_sweeps"))
 def _device_sweeps(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
                    lvals, uvals, *, nnzL, nnzU, nmiss, n_sweeps):
-    """n_sweeps Jacobi fixed-point sweeps + residual on A's full pattern."""
-    nseg = nnzL + nnzU + nmiss
+    """n_sweeps Jacobi fixed-point sweeps + residual on A's full pattern.
+    Sizes arrive bucket-padded (+1 trash segment for padded pairs)."""
+    nseg = nnzL + nnzU + nmiss + 1
 
     def one(_, lu):
         lv, uv = lu
@@ -208,7 +250,7 @@ def _device_sweeps(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
     udiag = jnp.take(uv, diag_slot)
     lu_full = jnp.concatenate([s[:nnzL] + lv * jnp.take(udiag, colL),
                                s[nnzL:nnzL + nnzU] + uv,
-                               s[nnzL + nnzU:]])
+                               s[nnzL + nnzU:nnzL + nnzU + nmiss]])
     a_full = jnp.concatenate([aL, aU, aM])
     r = jnp.take(a_full - lu_full, a_pos)
     return lv, uv, jnp.sqrt(jnp.sum(r * r))
@@ -227,8 +269,14 @@ def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, Cs
     patU.sum_duplicates()
     patU.sort_indices()
     plan = _SweepPlan(_pattern(patL), _pattern(patU), Asp)
-    lvals = np.array(plan.aL)
-    uvals = np.array(plan.aU)
+
+    def padded(v, size):
+        out = np.zeros(size, np.asarray(v).dtype)
+        out[:len(v)] = v
+        return out
+
+    lvals = np.array(plan.aL)[:plan.nnzL_true]
+    uvals = np.array(plan.aU)[:plan.nnzU_true]
     # make sure U's diagonal starts nonzero
     dslot = np.asarray(plan.diag_slot)
     uvals[dslot] = np.where(uvals[dslot] != 0, uvals[dslot], 1.0)
@@ -260,9 +308,12 @@ def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, Cs
         lvals, uvals, _ = map(np.asarray, _device_sweeps(
             plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
             plan.diag_slot, plan.colL, plan.a_pos,
-            jnp.asarray(lvals), jnp.asarray(uvals),
+            jnp.asarray(padded(lvals, plan.nnzL)),
+            jnp.asarray(padded(uvals, plan.nnzU)),
             nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
             n_sweeps=handle.sweeps_per_iter))
+        lvals = lvals[:plan.nnzL_true]
+        uvals = uvals[:plan.nnzU_true]
         # ---- threshold prune to budget (keep diagonals) ----------------
         keepL = _keep_mask(np.abs(lvals), budget_l, None)
         is_diag = plan.rowU_np == plan.colU_np
@@ -281,10 +332,12 @@ def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, Cs
         lvals, uvals, rnorm = _device_sweeps(
             plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
             plan.diag_slot, plan.colL, plan.a_pos,
-            jnp.asarray(lvals), jnp.asarray(uvals),
+            jnp.asarray(padded(lvals, plan.nnzL)),
+            jnp.asarray(padded(uvals, plan.nnzU)),
             nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
             n_sweeps=handle.sweeps_per_iter)
-        lvals, uvals = np.asarray(lvals), np.asarray(uvals)
+        lvals = np.asarray(lvals)[:plan.nnzL_true]
+        uvals = np.asarray(uvals)[:plan.nnzU_true]
         res = float(rnorm) / max(anorm, 1e-30)
         if res <= handle.residual_tol:
             break

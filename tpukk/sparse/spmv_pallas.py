@@ -1499,7 +1499,7 @@ class GtSpmvPlan:
     x VMEM-resident; build_onehot_spmv_plan falls back to DlSpmvPlan
     otherwise."""
 
-    def __init__(self, A, *, _fields=None):
+    def __init__(self, A, *, _fields=None, force_gi=False):
         if _fields is not None:
             (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
              self.dst_ss, self.first_ss, self.cnt_ss, self.nrows, self.ncols,
@@ -1551,16 +1551,21 @@ class GtSpmvPlan:
             u, c = np.unique(kgi, return_counts=True)
             rs = np.nonzero(np.concatenate(([1], np.diff(u // 1024) != 0)))[0]
             chunks_gi = int(np.maximum.reduceat(c, rs).sum())
-            if chunks_gi * _GT_VAR_GI4_US < chunks_dl * _GT_VAR_DLP_US:
+            if force_gi or chunks_gi * _GT_VAR_GI4_US < chunks_dl * _GT_VAR_DLP_US:
                 out0 = _gt_place_native(run, lc, locc, vals, rhi_e, dt, st,
-                                        T, max_grow=8, lock_sublane=True)
+                                        T, max_grow=16 if force_gi else 8,
+                                        lock_sublane=True)
                 if out0 is not None:
                     layout = "gi"
                     if out0[6].any():
                         # guarantee-level slots cannot honor the sublane
                         # lock; pathological conflicts fall back to dl
                         out0, layout = None, "dl"
-            if out0 is None:
+            if out0 is None and force_gi:
+                # ds caller requires the gi layout: signal via the levels
+                # fallback (layout stays dl -> builder returns None)
+                pass
+            elif out0 is None:
                 # balanced per-run-group lane assignment (C++): kills the
                 # Poisson max-lane skew that sets dl's chunks/run; the
                 # output lane un-permute is one XLA lane gather (lane_tab)
@@ -2194,3 +2199,182 @@ def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, pk, rhi, vals,
         interpret=interpret,
     )(dst_ss, srcsub_ids, first_ss, *args)
     return y3.reshape(k, nd_out * OB * 128)[:, :nrows].T.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Unstructured f64 SpMV: double-single (two-f32) gather-table kernel.
+# BASELINE config 1's scalar is double; the DIA ds kernel only covers
+# banded patterns.  This is the gi4 kernel carrying (hi, lo) value planes
+# and (hi, lo) x planes with Dekker two_prod + compensated (two_sum)
+# accumulation per slot — the sublane-locked (gi) placement is FORCED so
+# the per-quarter accumulate stays a masked plain add (the dl 8-way
+# reduction cannot be compensated without re-ordering the sum).
+# Reference analog: double is the default ETI scalar
+# (cmake/KokkosKernels_config.h.in:44-105).
+# ---------------------------------------------------------------------------
+
+class OnehotDsPlan:
+    """GtSpmvPlan locked to the gi4 layout + full-precision (hi, lo) f32
+    value planes.  None-able builder: use `build_onehot_ds_plan`."""
+
+    def __init__(self, base: "GtSpmvPlan", vals_hi, vals_lo):
+        self.base = base
+        self.vals_hi = vals_hi
+        self.vals_lo = vals_lo
+
+    def tree_flatten(self):
+        return (self.base, self.vals_hi, self.vals_lo), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(OnehotDsPlan)
+
+
+def build_onehot_ds_plan(A):
+    """Double-single plan for an arbitrary-pattern CSR matrix with f64
+    values; None when the native placer is unavailable, the gi placement
+    overflows, or x would not be VMEM-resident.
+
+    The lo-plane slot values come from REPLAYING the plan build with the lo
+    values: placement is value-independent and fully deterministic (C++
+    greedy + stable sorts), so both builds produce identical slot layouts —
+    no slot-source plumbing needed (2x symbolic cost, zero extra state)."""
+    from ..containers.csr import CsrMatrix
+
+    ns = max(1, -(-A.ncols // _OH_SRC))
+    if 2 * ns * _OH_SRC * 4 > _X_VMEM_CAP:
+        return None  # both x planes must be VMEM-resident
+    v64 = np.asarray(A.host_values(), np.float64)
+    vh = v64.astype(np.float32)
+    vl = (v64 - vh.astype(np.float64)).astype(np.float32)
+    rm, ent = A.host_row_map(), A.host_entries()
+    Ah = CsrMatrix.from_arrays(rm, ent, vh, nrows=A.nrows, ncols=A.ncols)
+    base = GtSpmvPlan(Ah, force_gi=True)
+    if base.layout != "gi4":
+        return None
+    Al = CsrMatrix.from_arrays(rm, ent, vl, nrows=A.nrows, ncols=A.ncols)
+    low = GtSpmvPlan(Al, force_gi=True)
+    if low.layout != "gi4" or low.vals.shape != base.vals.shape:
+        return None
+    return OnehotDsPlan(base, base.vals, low.vals)
+
+
+def _ds_two_sum(s, p):
+    """(s', err) = two_sum(s, p) with Mosaic-safe barriers."""
+    t = _fp_barrier(s + p)
+    bb = _fp_barrier(t - s)
+    e = _fp_barrier((s - _fp_barrier(t - bb)) + _fp_barrier(p - bb))
+    return t, e
+
+
+@functools.partial(jax.jit, static_argnames=("nd4", "ns", "n_ss", "B",
+                                             "nrows", "interpret"))
+def _gi4_ds_call_batched(dst_ss, srcsub_ids, first_ss, pk, vh, vl,
+                         xh, xl, *, nd4, ns, n_ss, B, nrows, interpret):
+    TD, TS = _OH_DST, _OH_SRC
+    SR = TS // 128
+    m_pad = ns * TS
+
+    def pad2(v):
+        return jnp.pad(v.astype(jnp.float32),
+                       (0, m_pad - v.shape[0])).reshape(ns * SR, 128)
+
+    xh2, xl2 = pad2(xh), pad2(xl)
+
+    def kernel(dst_ref, srcsub_ref, first_ref, pk_ref, vh_ref, vl_ref,
+               xh_ref, xl_ref, ys_ref, ye_ref):
+        g = pl.program_id(0)
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
+        acce = [jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
+        for j in range(B):
+            ss = srcsub_ref[g * B + j]
+            src = ss >> 2
+            sub = ss & 3
+            sl = slice(j * 8, (j + 1) * 8)
+            pkj = pk_ref[sl, :]
+            Xh = xh_ref[pl.ds(src * SR, SR), :]
+            Xl = xl_ref[pl.ds(src * SR, SR), :]
+            gh = _pk_gather(Xh, pkj, SR)
+            gl = _pk_gather(Xl, pkj, SR)
+            ah = vh_ref[sl, :]
+            al = vl_ref[sl, :]
+            # Dekker two_prod(ah, gh) via 12-bit bitmask splits
+            a1, a2 = _f32_split12(ah)
+            b1, b2 = _f32_split12(gh)
+            p = _fp_barrier(ah * gh)
+            e = ((_fp_barrier(a1 * b1) - p) + a1 * b2 + a2 * b1) + a2 * b2
+            e = e + ah * gl + al * gh
+            for q in range(4):
+                m = jnp.where(sub == q, 1.0, 0.0).astype(jnp.float32)
+                s2, err = _ds_two_sum(accs[q], p * m)
+                accs[q] = s2
+                acce[q] = acce[q] + err + e * m
+        acc_s = jnp.concatenate(accs, axis=0)
+        acc_e = jnp.concatenate(acce, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            ys_ref[:, :] = acc_s
+            ye_ref[:, :] = acc_e
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            s2 = _fp_barrier(ys_ref[:, :] + acc_s)
+            bb = _fp_barrier(s2 - ys_ref[:, :])
+            err = _fp_barrier((ys_ref[:, :] - _fp_barrier(s2 - bb))
+                              + _fp_barrier(acc_s - bb))
+            ys_ref[:, :] = s2
+            ye_ref[:, :] = ye_ref[:, :] + acc_e + err
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((32, 128), lambda g, d, s, f: (d[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 128), lambda g, d, s, f: (d[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        )
+    ys, ye = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name="tpukk_spmv_gi4_ds",
+        out_shape=[jax.ShapeDtypeStruct((nd4 * 32, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nd4 * 32, 128), jnp.float32)],
+        interpret=interpret,
+    )(dst_ss, srcsub_ids, first_ss, pk, vh, vl, xh2, xl2)
+    n4 = nd4 * 4 * TD
+    return ys.reshape(n4)[:nrows], ye.reshape(n4)[:nrows]
+
+
+def onehot_spmv_ds_planes(plan: OnehotDsPlan, xh, xl,
+                          interpret: bool = False):
+    """(y_sum, y_err) f32 pair for arbitrary-pattern f64 SpMV; y = sum at
+    f64 by the caller (x64-free device path)."""
+    b = plan.base
+    return _gi4_ds_call_batched(
+        b.dst_ss, b.src_ids, b.first_ss, b.gt, plan.vals_hi, plan.vals_lo,
+        xh, xl, nd4=-(-b.n_dst_tiles // 4), ns=b.n_src_tiles, n_ss=b.n_ss,
+        B=b.batch, nrows=b.nrows, interpret=interpret)
+
+
+def onehot_spmv_ds(plan: OnehotDsPlan, x, interpret: bool = False):
+    """y = A·x for f64 A/x through the gather-table double-single kernel
+    (~1e-13 rel).  Host-side split/combine — works with x64 disabled."""
+    xh, xl = ds_split_f64(np.asarray(x))
+    ys, ye = onehot_spmv_ds_planes(plan, jnp.asarray(xh), jnp.asarray(xl),
+                                   interpret=interpret)
+    return np.asarray(ys, np.float64) + np.asarray(ye, np.float64)
