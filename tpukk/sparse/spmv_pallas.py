@@ -1141,8 +1141,8 @@ def onehot_spmv(plan, x, interpret: bool = False, reduce: str = "sum"):
         if plan.layout == "dlp":
             lane_tab = plan.lo if plan.lo.shape[0] > 1 else None
             return _dlp_call_batched(plan.dst_ss, plan.src_ids,
-                                     plan.first_ss, plan.gt, plan.rhi,
-                                     plan.vals, lane_tab, x,
+                                     plan.first_ss, plan.cnt_ss, plan.gt,
+                                     plan.rhi, plan.vals, lane_tab, x,
                                      nd=plan.n_dst_tiles,
                                      ns=plan.n_src_tiles, n_ss=plan.n_ss,
                                      B=plan.batch, nrows=plan.nrows,
@@ -1266,8 +1266,8 @@ def onehot_spmm(plan, x, interpret: bool = False):
                     and plan.batch * k <= 128):
                 lane_tab = plan.lo if plan.lo.shape[0] > 1 else None
                 return _pk_mm_call_batched(
-                    plan.dst_ss, plan.src_ids, plan.first_ss, plan.gt,
-                    plan.rhi, plan.vals, lane_tab, x,
+                    plan.dst_ss, plan.src_ids, plan.first_ss, plan.cnt_ss,
+                    plan.gt, plan.rhi, plan.vals, lane_tab, x,
                     nd_out=(-(-plan.n_dst_tiles // 4)
                             if plan.layout == "gi4" else plan.n_dst_tiles),
                     ns=plan.n_src_tiles, n_ss=plan.n_ss, B=plan.batch,
@@ -1466,30 +1466,74 @@ def _gt_place_native(run, lc, locc, vals_e, rhi_e, dt_e, st_e, T,
             sdst, ssrc, ovf)
 
 
-def _dl_assign_lanes(run, rows, st, nd, ns):
-    """(assigned lane per nnz, lane_tab (nd*8,128)) via the C++ balanced
-    assignment, or None.  Pair data = per (padded row, src tile) counts."""
+def _dl_assign_lanes(run, rows, st, nd, ns, group_target: int = 1 << 30):
+    """Group-scoped balanced lane assignment: each dst tile's runs are cut
+    into consecutive GROUPS of ~group_target estimated chunks, and each
+    group gets its OWN row->lane bijection (the per-super-step lane_tab
+    stream un-permutes inside the kernel).  Scoping the assignment to a
+    group removes cross-run coupling in the assignment.  Measured round 2
+    (rand100k deg16): finer groups DO cut the placement estimate (4976
+    natural -> 4083 at target 32) but conflict growth during placement
+    eats the gain (real pad unchanged) while the group-partitioned
+    super-steps pay the ~0.23us step floor more often — so the default is
+    effectively whole-tile; the group machinery stays for experimentation.
+
+    Returns (lane per nnz, tab (ngroups*8,128) jnp, group id per run-sorted
+    unique run, run_keys) or None.  The C++ `tpukk_gt_assign_lanes` is
+    reused unchanged by treating each GROUP as a pseudo dst tile."""
     from .. import native
 
     if not native.available():
         return None
-    key = rows * np.int64(ns) + st
+    # unique (run, row) pair counts, run-major
+    key = (run * np.int64(nd) * 1024 + rows)  # run-major, row within
     order = np.argsort(key, kind="stable")
     ks = key[order]
     first = np.concatenate(([True], np.diff(ks) != 0))
     pair_key = ks[first]
     pair_cnt = np.diff(np.concatenate((np.nonzero(first)[0], [len(ks)])))
-    pair_row = pair_key // ns
-    pair_st = (pair_key % ns).astype(np.int32)
-    pair_off = np.zeros(nd * 1024 + 1, np.int64)
-    np.add.at(pair_off, pair_row + 1, 1)
+    pair_run = pair_key // (np.int64(nd) * 1024)
+    pair_row = pair_key % (np.int64(nd) * 1024)
+    # unique runs + estimated chunks (natural lanes): ceil(max lane count/8)
+    kdl = run * 128 + (rows % 128)
+    u, c = np.unique(kdl, return_counts=True)
+    urun = u // 128
+    rstart = np.nonzero(np.concatenate(([1], np.diff(urun) != 0)))[0]
+    run_keys = urun[rstart]
+    est = np.ceil(np.maximum.reduceat(c, rstart) / 8).astype(np.int64)
+    # consecutive grouping per tile, cut at ~group_target cumulative chunks
+    tile_of = run_keys // ns
+    cs = np.cumsum(est)
+    tfirst = np.concatenate(([1], (np.diff(tile_of) != 0).astype(np.int64)))
+    tstart = np.nonzero(tfirst)[0]
+    tile_id = np.cumsum(tfirst) - 1
+    base = (cs[tstart] - est[tstart])[tile_id]
+    within = cs - base
+    sub = np.maximum(0, (within - 1) // group_target)
+    _, group_of_run = np.unique(tile_id * (int(sub.max()) + 1) + sub,
+                                return_inverse=True)
+    group_of_run = group_of_run.astype(np.int64)
+    ngroups = int(group_of_run.max()) + 1
+    # pseudo-tile pair data: pseudo_row = group*1024 + (row % 1024)
+    run_idx = np.searchsorted(run_keys, pair_run)
+    pg = group_of_run[run_idx]
+    pseudo_row = pg * 1024 + (pair_row % 1024)
+    porder = np.argsort(pseudo_row, kind="stable")
+    pseudo_row = pseudo_row[porder]
+    p_st = (pair_run[porder] % ns).astype(np.int32)
+    p_cnt = pair_cnt[porder].astype(np.int32)
+    pair_off = np.zeros(ngroups * 1024 + 1, np.int64)
+    np.add.at(pair_off, pseudo_row + 1, 1)
     pair_off = np.cumsum(pair_off)
-    out_lane = native.gt_assign_lanes(nd, ns, pair_off, pair_st,
-                                      pair_cnt.astype(np.int32))
+    out_lane = native.gt_assign_lanes(ngroups, ns, pair_off, p_st, p_cnt)
     if out_lane is None:
         return None
-    return (out_lane[rows].astype(np.int64),
-            jnp.asarray(out_lane.reshape(nd * 8, 128)))
+    # lane per nnz: group of its run, then pseudo-row lookup
+    nnz_run_idx = np.searchsorted(run_keys, run)
+    nnz_group = group_of_run[nnz_run_idx]
+    lane = out_lane[nnz_group * 1024 + (rows % 1024)].astype(np.int64)
+    return (lane, jnp.asarray(out_lane.reshape(ngroups * 8, 128)),
+            group_of_run, run_keys)
 
 
 class GtSpmvPlan:
@@ -1536,6 +1580,7 @@ class GtSpmvPlan:
         layout = "dl"
         out0 = None
         lane_tab = None
+        lane_groups = None
         if nnz:
             # layout choice: identity-scatter ("gi"/v9 "gi4", slot sublane
             # == dst sublane, scatter = plain accumulate + 4-tile grouped
@@ -1572,7 +1617,7 @@ class GtSpmvPlan:
                 lc_use = lc
                 asg = _dl_assign_lanes(run, rows, st, nd, ns)
                 if asg is not None:
-                    lc2, tab2 = asg
+                    lc2, tab2, grp_of_run, run_keys = asg
                     k2 = run * 128 + lc2
                     u2, c2 = np.unique(k2, return_counts=True)
                     rs2 = np.nonzero(np.concatenate(
@@ -1581,13 +1626,14 @@ class GtSpmvPlan:
                         np.maximum.reduceat(c2, rs2) / 8).sum())
                     if chunks_dl2 < chunks_dl:
                         lc_use, lane_tab = lc2, tab2
+                        lane_groups = (grp_of_run, run_keys)
                 out0 = _gt_place_native(run, lc_use, locc, vals, rhi_e,
                                         dt, st, T)
                 if out0 is not None and out0[6].any() and lane_tab is not None:
                     # overflow under the assigned lanes: retry natural
                     out0 = _gt_place_native(run, lc, locc, vals, rhi_e,
                                             dt, st, T)
-                    lane_tab = None
+                    lane_tab, lane_groups = None, None
         if out0 is not None:
             parts.append(out0[:6])
             levels = 1
@@ -1661,8 +1707,35 @@ class GtSpmvPlan:
 
         # super-step schedule (B by cost model); gi4 groups FOUR dst tiles
         # per output block so B can grow ~4x on matrices whose per-tile
-        # chunk counts are small (the ~0.23us step floor dominates there)
-        gids = sdst // 4 if layout == "gi4" else sdst
+        # chunk counts are small (the ~0.23us step floor dominates there).
+        # dlp-with-lane-maps partitions super-steps by lane-map GROUP (each
+        # ss reads its group's lane_tab via the tabidx scalar stream).
+        tabidx_chunk = None
+        if layout == "gi4":
+            gids = sdst // 4
+        elif lane_groups is not None and layout == "dlp":
+            grp_of_run, run_keys = lane_groups
+            crun = sdst * ns + ssrc
+            ok_run = np.searchsorted(run_keys, crun)
+            ok_run = np.minimum(ok_run, max(0, len(run_keys) - 1))
+            cgrp = np.where(
+                (len(run_keys) > 0) & (run_keys[ok_run] == crun),
+                grp_of_run[ok_run], -1)
+            # dummy chunks (missing tiles) get fresh identity-map groups
+            n_main = int(grp_of_run.max()) + 1 if len(grp_of_run) else 0
+            dummy = cgrp < 0
+            if dummy.any():
+                dt_d = sdst[dummy]
+                ud, inv = np.unique(dt_d, return_inverse=True)
+                cgrp[dummy] = n_main + inv
+                ident = np.tile(np.arange(128, dtype=np.int32)[None, :],
+                                (len(ud) * 8, 1))
+                lane_tab = jnp.concatenate(
+                    [lane_tab, jnp.asarray(ident)], axis=0)
+            tabidx_chunk = cgrp
+            gids = cgrp
+        else:
+            gids = sdst
         counts = np.diff(np.concatenate((
             np.nonzero(np.concatenate(([1], (gids[1:] != gids[:-1])
                                        .astype(np.int64))))[0], [S])))
@@ -1693,11 +1766,18 @@ class GtSpmvPlan:
             ssrc = np.concatenate([ssrc, [0]])[cidx]
             ssub = np.concatenate([ssub, [0]])[cidx]
             valid = np.concatenate([valid, [False]])[cidx]
+            sdst = sdst[gb[gid]]
             gids = gids[gb[gid]]
             S = len(cidx)
-        gss = gids[::B]  # per-super-step output-block id
+        # output-block id per super-step (first/init breaks on THIS, not on
+        # the ss-partition id: dlp lane-map groups subdivide a tile and
+        # must keep accumulating into it)
+        out_pc = sdst // 4 if layout == "gi4" else sdst
+        gss = out_pc[::B]
         first = np.ones(len(gss), np.int32)
         first[1:] = (gss[1:] != gss[:-1]).astype(np.int32)
+        tabidx_ss = (gids[::B].astype(np.int32)
+                     if tabidx_chunk is not None else None)
         # valid chunks are contiguous at the front of each super-step
         # (B-group padding appends at the tail): the legacy kernels skip
         # the rest by branching on cnt_ss; v9 padding chunks compute zeros
@@ -1720,7 +1800,11 @@ class GtSpmvPlan:
         self.vals = jnp.asarray(vals_a.reshape(S * 8, 128))
         self.dst_ss = jnp.asarray(gss.astype(np.int32))
         self.first_ss = jnp.asarray(first)
-        self.cnt_ss = jnp.asarray(cnt)
+        # cnt_ss: legacy kernels branch on per-ss valid counts; the v9
+        # dlp-with-lane-maps kernel repurposes the slot for the per-ss
+        # lane-map GROUP index (tab stream BlockSpec index)
+        self.cnt_ss = jnp.asarray(tabidx_ss if tabidx_ss is not None
+                                  else cnt)
         self.nrows, self.ncols = n, m
         self.n_dst_tiles, self.n_src_tiles = nd, ns
         self.num_steps = S
@@ -1827,7 +1911,8 @@ def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
 
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B",
                                              "nrows", "reduce", "interpret"))
-def _dlp_call_batched(dst_ss, src_ids, first_ss, pk, rhi, vals, lane_tab, x,
+def _dlp_call_batched(dst_ss, src_ids, first_ss, tabidx_ss, pk, rhi, vals,
+                      lane_tab, x,
                       *, nd, ns, n_ss, B, nrows, reduce="sum", interpret):
     """v9 dst-lane kernel: packed gt+lo stream + 8-way rhi scatter; when the
     C++ balanced lane assignment replaced the natural row%128 lanes, the
@@ -1843,7 +1928,7 @@ def _dlp_call_batched(dst_ss, src_ids, first_ss, pk, rhi, vals, lane_tab, x,
     has_tab = lane_tab is not None
     x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
 
-    def kernel(dst_ref, src_ref, first_ref, *refs):
+    def kernel(dst_ref, src_ref, first_ref, tabidx_ref, *refs):
         if has_tab:
             pk_ref, rhi_ref, v_ref, tab_ref, x_ref, y_ref = refs
         else:
@@ -1873,21 +1958,23 @@ def _dlp_call_batched(dst_ss, src_ids, first_ss, pk, rhi, vals, lane_tab, x,
             y_ref[:, :] = (y_ref[:, :] + acc if reduce == "sum"
                            else jnp.maximum(y_ref[:, :], acc))
 
-    stream = pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+    stream = pl.BlockSpec((8 * B, 128), lambda g, d, s, f, t: (g, 0),
                           memory_space=pltpu.VMEM)
     in_specs = [stream, stream, stream]
     args = [pk, rhi, vals]
     if has_tab:
-        in_specs.append(pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+        # per-ss lane-map group via the tabidx scalar stream
+        in_specs.append(pl.BlockSpec((8, 128),
+                                     lambda g, d, s, f, t: (t[g], 0),
                                      memory_space=pltpu.VMEM))
         args.append(lane_tab)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     args.append(x2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_ss,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+        out_specs=pl.BlockSpec((8, 128), lambda g, d, s, f, t: (d[g], 0),
                                memory_space=pltpu.VMEM),
     )
     y2 = pl.pallas_call(
@@ -1895,7 +1982,7 @@ def _dlp_call_batched(dst_ss, src_ids, first_ss, pk, rhi, vals, lane_tab, x,
         name="tpukk_spmv_dlp",
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
-    )(dst_ss, src_ids, first_ss, *args)
+    )(dst_ss, src_ids, first_ss, tabidx_ss, *args)
     return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
 
 
@@ -2116,9 +2203,9 @@ def _gt_mm_call_batched(dst_ss, src_ids, first_ss, cnt_ss, gt, lo, rhi, vals,
 @functools.partial(jax.jit, static_argnames=("nd_out", "ns", "n_ss", "B",
                                              "nrows", "nrhs", "layout",
                                              "interpret"))
-def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, pk, rhi, vals,
-                        lane_tab, x, *, nd_out, ns, n_ss, B, nrows, nrhs,
-                        layout, interpret):
+def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, tabidx_ss, pk, rhi,
+                        vals, lane_tab, x, *, nd_out, ns, n_ss, B, nrows,
+                        nrhs, layout, interpret):
     """Multi-RHS v9 kernel: packed gt+lo stream; layout 'gi4' accumulates
     into a (k,32,128) four-tile block, 'dlp' does the 8-way rhi reduction
     into (k,8,128) with optional output lane un-permute."""
@@ -2132,7 +2219,7 @@ def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, pk, rhi, vals,
     x3 = jnp.pad(x.astype(jnp.float32),
                  ((0, m_pad - x.shape[0]), (0, 0))).T.reshape(k, ns * SR, 128)
 
-    def kernel(dst_ref, srcsub_ref, first_ref, *refs):
+    def kernel(dst_ref, srcsub_ref, first_ref, tabidx_ref, *refs):
         if has_tab:
             pk_ref, rhi_ref, v_ref, tab_ref, x_ref, y_ref = refs
         else:
@@ -2174,22 +2261,23 @@ def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, pk, rhi, vals,
                 y_ref[c] = y_ref[c] + acc
 
     OB = 32 if gi4 else 8
-    stream = pl.BlockSpec((8 * B, 128), lambda g, d, s, f: (g, 0),
+    stream = pl.BlockSpec((8 * B, 128), lambda g, d, s, f, t: (g, 0),
                           memory_space=pltpu.VMEM)
     in_specs = [stream, stream, stream]
     args = [pk, rhi, vals]
     if has_tab:
-        in_specs.append(pl.BlockSpec((8, 128), lambda g, d, s, f: (d[g], 0),
+        in_specs.append(pl.BlockSpec((8, 128),
+                                     lambda g, d, s, f, t: (t[g], 0),
                                      memory_space=pltpu.VMEM))
         args.append(lane_tab)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     args.append(x3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_ss,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((k, OB, 128),
-                               lambda g, d, s, f: (0, d[g], 0),
+                               lambda g, d, s, f, t: (0, d[g], 0),
                                memory_space=pltpu.VMEM),
     )
     y3 = pl.pallas_call(
@@ -2197,7 +2285,7 @@ def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, pk, rhi, vals,
         name=f"tpukk_spmm_{layout}",
         out_shape=jax.ShapeDtypeStruct((k, nd_out * OB, 128), jnp.float32),
         interpret=interpret,
-    )(dst_ss, srcsub_ids, first_ss, *args)
+    )(dst_ss, srcsub_ids, first_ss, tabidx_ss, *args)
     return y3.reshape(k, nd_out * OB * 128)[:, :nrows].T.astype(x.dtype)
 
 
