@@ -105,7 +105,12 @@ def test_pcg_solve_on_tpu():
     b = np.ones(A.nrows, np.float32)
     x, stats = pcg(A, b, tol=1e-5, max_iters=800)
     r = b - A.to_scipy() @ np.asarray(x)
-    assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b)
+    # f32 CG: the TRUE residual floors near eps_f32 * cond(A) (~5e-4 for
+    # this 100x100 Laplacian, cond ~ 4e3) even when the recurrence
+    # residual hits tol — assert the attainable bound, and that the
+    # recurrence converged
+    assert stats.converged
+    assert np.linalg.norm(r) < 2e-3 * np.linalg.norm(b)
 
 
 def test_static_permute_on_tpu(rngm):

@@ -167,9 +167,14 @@ class CsrMatrix:
         import scipy.sparse as sps
 
         # copies: host mirrors are shared caches and jax views are
-        # read-only, while scipy may mutate in place
+        # read-only, while scipy may mutate in place.  Values use the
+        # FULL-precision host cache: a matrix built from f64 data keeps its
+        # f64 values here even when the device copy was narrowed to f32
+        # (x64 off) — oracles built from to_scipy must not be degraded
+        # below the double-single kernels they validate (found round 2:
+        # the dia ds kernel was MORE accurate than its scipy reference).
         return sps.csr_matrix(
-            (self.host_values().copy(), self.host_entries().copy(),
+            (self.host_values_full().copy(), self.host_entries().copy(),
              self.host_row_map().copy()),
             shape=self.shape,
         )
