@@ -164,3 +164,21 @@ def test_onehot_ds_f64_on_tpu(rngm):
     ref = A.to_scipy() @ x
     rel = np.abs(y - ref).max() / np.abs(ref).max()
     assert rel < 1e-12, rel
+
+
+def test_public_spmv_f64_route_on_tpu(rngm):
+    """The public spmv() with an f64 matrix + host f64 vector routes
+    through the double-single kernels on the narrowed device (~1e-13,
+    not the silent-f32 1e-8)."""
+    _require_tpu()
+    from tpukk.containers import generate_banded_csr, generate_random_csr
+    from tpukk.sparse import spmv
+
+    for A in (generate_banded_csr(50_000, 3, dtype=np.float64, seed=3),
+              generate_random_csr(30_000, 30_000, 10, seed=5,
+                                  dtype=np.float64)):
+        x = rngm.standard_normal(A.ncols)
+        y = spmv(A, x)
+        ref = A.to_scipy() @ x
+        rel = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+        assert rel < 5e-13, rel

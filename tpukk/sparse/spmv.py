@@ -113,6 +113,14 @@ class SpmvHandle:
             p = spmv_impl.build_segsum_plan(A)
         elif key == "dense":
             p = jnp.asarray(A.to_dense())
+        elif key == "ds":
+            from . import spmv_pallas
+
+            offs = spmv_impl.detect_dia_offsets(A, max_diags=32)
+            if offs is not None and len(offs) * A.nrows <= 4 * max(A.nnz, 1):
+                p = spmv_pallas.DiaDsPlan(spmv_impl.build_dia_plan(A))
+            else:
+                p = spmv_pallas.build_onehot_ds_plan(A)  # may be None
         elif key == "bsr_rows":
             p = spmv_impl.build_bsr_rows(A)
         else:  # pragma: no cover
@@ -172,9 +180,47 @@ class SpmvHandle:
             return spmv_pallas.apply(self, x)
         raise NotImplementedError(alg)
 
+    # -- f64 double-single path (x64-free) ------------------------------
+    def _narrowed_f64(self) -> bool:
+        """True when the matrix was built from f64 data but the device copy
+        was narrowed to f32 (x64 off — the TPU situation)."""
+        full = getattr(self.A, "host_values_full", None)
+        return (full is not None and full().dtype == np.float64
+                and jnp.result_type(self.A.values.dtype) == jnp.float32)
+
+    def matvec_f64(self, x):
+        """y = A·x at ~1e-13 rel for an f64 matrix on an x64-free device:
+        double-single (two-f32) kernels — DIA planes for banded patterns,
+        the gi4-locked gather-table kernel otherwise.  Host numpy in/out;
+        exact host product as the fallback when no ds plan applies.
+        Reference parity: double is the default ETI scalar
+        (cmake/KokkosKernels_config.h.in:44-105)."""
+        from . import spmv_pallas
+
+        x = np.asarray(x, np.float64)
+        if spmv_pallas.supports_pallas():
+            p = self._plan("ds")
+            if p is not None:
+                if isinstance(p, spmv_pallas.DiaDsPlan):
+                    return spmv_pallas.dia_spmv_ds(p, x)
+                return spmv_pallas.onehot_spmv_ds(p, x)
+        return self.A.to_scipy() @ x
+
     def __call__(self, x, alpha=1.0, beta=0.0, y=None, mode: str = "N"):
         m = mode.upper()
         check(m in ("N", "T", "C", "H"), f"spmv: invalid mode '{mode}'")
+        # f64 matrix + host f64 vector on a narrowed device: route through
+        # the double-single kernels (silently computing in f32 would be a
+        # 1e-8 precision lie; the reference's default scalar is double)
+        if (self.algorithm == SpmvAlgorithm.DS
+                or (m == "N" and isinstance(x, np.ndarray)
+                    and x.dtype == np.float64 and x.ndim == 1
+                    and self._narrowed_f64())):
+            check(m == "N", "spmv ds: mode N only")
+            ax = self.matvec_f64(x)
+            if y is None or _is_zero(beta):
+                return ax if _is_one(alpha) else alpha * ax
+            return beta * np.asarray(y, np.float64) + alpha * ax
         h = self
         if m in ("T", "H"):
             h = self.transposed()

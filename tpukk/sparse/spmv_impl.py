@@ -58,6 +58,9 @@ class SpmvAlgorithm(enum.Enum):
                            # the analog of spmv_struct: _spmv_struct_impl.hpp:92-97)
     PALLAS = "pallas"      # hand-written Pallas kernel path
     ONEHOT = "onehot"      # tiled one-hot MXU kernel (unstructured, gather-free)
+    DS = "ds"              # double-single f64 (two-f32 planes; DIA or
+                           # gather-table by pattern) — the x64-free f64
+                           # fast path (reference default scalar = double)
 
 
 # ----------------------------------------------------------------------
