@@ -221,8 +221,6 @@ def _restrict(Acsr, rows, cols, n):
 
 
 @functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss", "n_sweeps"))
-@functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss",
-                                             "n_sweeps"))
 def _device_sweeps(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
                    lvals, uvals, *, nnzL, nnzU, nmiss, n_sweeps):
     """n_sweeps Jacobi fixed-point sweeps + residual on A's full pattern.

@@ -58,6 +58,9 @@ class SpmvHandle:
 
     def __init__(self, A, algorithm: SpmvAlgorithm = SpmvAlgorithm.AUTO):
         self.A = A
+        # remember whether the caller pinned an algorithm: the f64 auto-route
+        # in __call__ must not override an explicit (non-AUTO/DS) choice
+        self._user_algorithm = algorithm
         if isinstance(A, BsrMatrix):
             if algorithm == SpmvAlgorithm.AUTO:
                 # a banded block graph is a banded SCALAR matrix: each b×b
@@ -117,9 +120,16 @@ class SpmvHandle:
             from . import spmv_pallas
 
             offs = spmv_impl.detect_dia_offsets(A, max_diags=32)
+            p = None
             if offs is not None and len(offs) * A.nrows <= 4 * max(A.nnz, 1):
-                p = spmv_pallas.DiaDsPlan(spmv_impl.build_dia_plan(A))
-            else:
+                # DiaDsPlan refuses diagonal spans wider than its x-chunk
+                # (e.g. a 5-pt Laplacian with nx >= chunk): fall through to
+                # the unstructured ds plan instead of crashing the auto-route
+                try:
+                    p = spmv_pallas.DiaDsPlan(spmv_impl.build_dia_plan(A))
+                except ValueError:
+                    p = None
+            if p is None:
                 p = spmv_pallas.build_onehot_ds_plan(A)  # may be None
         elif key == "bsr_rows":
             p = spmv_impl.build_bsr_rows(A)
@@ -204,6 +214,14 @@ class SpmvHandle:
                 if isinstance(p, spmv_pallas.DiaDsPlan):
                     return spmv_pallas.dia_spmv_ds(p, x)
                 return spmv_pallas.onehot_spmv_ds(p, x)
+        if not getattr(self, "_warned_host_f64", False):
+            self._warned_host_f64 = True
+            import warnings
+
+            warnings.warn(
+                "spmv f64: no double-single device plan applies to this "
+                "matrix; computing on host (scipy) each call — exact but "
+                "device->host synchronous", RuntimeWarning, stacklevel=3)
         return self.A.to_scipy() @ x
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None, mode: str = "N"):
@@ -211,11 +229,17 @@ class SpmvHandle:
         check(m in ("N", "T", "C", "H"), f"spmv: invalid mode '{mode}'")
         # f64 matrix + host f64 vector on a narrowed device: route through
         # the double-single kernels (silently computing in f32 would be a
-        # 1e-8 precision lie; the reference's default scalar is double)
+        # 1e-8 precision lie; the reference's default scalar is double).
+        # NOTE: this route supersedes the handle's AUTO-chosen algorithm and
+        # returns a HOST f64 ndarray (a device array cannot hold f64 with
+        # x64 off — returning one would round the result and defeat the
+        # route).  An explicitly pinned non-DS algorithm is respected.
         if (self.algorithm == SpmvAlgorithm.DS
                 or (m == "N" and isinstance(x, np.ndarray)
                     and x.dtype == np.float64 and x.ndim == 1
-                    and self._narrowed_f64())):
+                    and self._narrowed_f64()
+                    and self._user_algorithm in (SpmvAlgorithm.AUTO,
+                                                 SpmvAlgorithm.DS))):
             check(m == "N", "spmv ds: mode N only")
             ax = self.matvec_f64(x)
             if y is None or _is_zero(beta):

@@ -280,7 +280,14 @@ def _fp_barrier(v):
     multi-chunk ds kernel).  `lax.optimization_barrier` has no Mosaic
     lowering (NotImplementedError on TPU, observed round 2), so inside
     pallas kernels the barrier is an int32 bitcast round-trip: value-
-    preserving, and opaque to floating-point reassociation passes."""
+    preserving, and opaque to floating-point reassociation passes.
+
+    COMPILER-VERSION FRAGILITY: a canonicalization folding
+    bitcast(bitcast(x)) -> x would be legal and would silently re-enable
+    FMA contraction (quiet ~1e-7-scale ds errors, not a crash).  The
+    hardware accuracy tests in tests/test_tpu.py (ds kernels asserted at
+    <1e-12 rel against full-precision oracles) are the pinned canary;
+    revisit with lax.optimization_barrier when Mosaic grows a lowering."""
     vi = jax.lax.bitcast_convert_type(v, jnp.int32)
     return jax.lax.bitcast_convert_type(vi, jnp.float32)
 
@@ -2335,7 +2342,11 @@ def build_onehot_ds_plan(A):
     ns = max(1, -(-A.ncols // _OH_SRC))
     if 2 * ns * _OH_SRC * 4 > _X_VMEM_CAP:
         return None  # both x planes must be VMEM-resident
-    v64 = np.asarray(A.host_values(), np.float64)
+    # host_values() is the f32-NARROWED device mirror when x64 is off (the
+    # TPU configuration this path exists for); the f64 originals live in
+    # host_values_full().  Splitting the narrowed copy would make vl == 0
+    # and silently compute at f32 accuracy.
+    v64 = np.asarray(A.host_values_full(), np.float64)
     vh = v64.astype(np.float32)
     vl = (v64 - vh.astype(np.float64)).astype(np.float32)
     rm, ent = A.host_row_map(), A.host_entries()
