@@ -1,0 +1,259 @@
+"""Fast distributed SpMV: the single-chip v9 gather-table Pallas kernels
+running INSIDE `shard_map`.
+
+Round-2 verdict: every dist/ local compute was an XLA `jnp.take` gather
+(~0.12 G elem/s on v5e) while the single-chip Pallas paths run 14-40 Gnnz/s
+— a ~100x gap the moment real multi-chip hardware runs the distributed
+kernels.  This module closes it:
+
+* Each part p gets its own LOCAL CSR (rows [p*rpp, (p+1)*rpp), columns
+  remapped into x_ext = [x_local | halo] coordinates via the import lists —
+  the Tpetra-Import analog, `halo.import_index`).
+* Each local CSR gets a full `GtSpmvPlan` (sparse/spmv_pallas.py — the C++
+  conflict-aware slot placer + packed gather streams).  SPMD requires one
+  program for all shards, so every part is built with the SAME layout
+  (gi4 or dlp) and super-step batch B (force_{gi,dl} / force_batch), and
+  the per-part streams are padded to a common super-step count and stacked
+  on a leading parts axis — dummy super-steps accumulate zeros into output
+  block 0 (valid because their value planes are zero).
+* Apply = `shard_map` body: gather the send lists from x_local, exchange
+  with one `all_to_all` over the mesh axis (ICI), concatenate x_ext, and
+  run the gi4/dlp Pallas kernel on the shard's stream slice.
+
+Reference parity: the reference has NO distributed layer (README.md:9-16
+scopes it to single-process; SURVEY.md §2.11/§5.8 make this layer our
+addition) — the bar here is that distributing must not abandon the
+single-chip kernel speed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..common import round_up
+from ..containers import CsrMatrix
+from ..sparse import spmv_pallas
+from .halo import import_index
+
+__all__ = ["DistGtPlan", "build_dist_gt_plan", "dist_spmv_gt",
+           "shard_dist_gt_plan"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DistGtPlan:
+    """Stacked per-part v9 gather-table streams + halo exchange schedule.
+
+    Stream shapes (P = n_parts, S = n_ss * B):
+      send_idx (P, P, H) | dst_ss/first_ss/cnt_ss (P, n_ss) |
+      src_ids (P, S) | gt/vals (P, S*8, 128) | rhi (P, S*8, 128 dlp; P,1,128 gi4)
+    """
+
+    send_idx: Any
+    dst_ss: Any
+    src_ids: Any
+    first_ss: Any
+    cnt_ss: Any
+    gt: Any
+    rhi: Any
+    vals: Any
+    layout: str          # "gi4" | "dlp" (uniform across parts)
+    n_ss: int            # super-steps (uniform, padded)
+    batch: int           # chunks per super-step
+    nrows: int           # global rows
+    ncols: int           # global cols
+    n_parts: int
+    rows_per_part: int
+    halo: int            # H
+    ncols_ext: int       # rpp + n_parts * H
+    pad_ratio: float     # worst-part slots/nnz diagnostic
+
+    def tree_flatten(self):
+        ch = (self.send_idx, self.dst_ss, self.src_ids, self.first_ss,
+              self.cnt_ss, self.gt, self.rhi, self.vals)
+        aux = (self.layout, self.n_ss, self.batch, self.nrows, self.ncols,
+               self.n_parts, self.rows_per_part, self.halo, self.ncols_ext,
+               self.pad_ratio)
+        return ch, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_parts * self.rows_per_part
+
+
+def _local_csr_of_part(rm, ent, vals, p, n, rpp, rem_cols, rem_ids):
+    """Part p's rows as HOST CSR arrays over x_ext coordinates (vectorized
+    remap; no device transfer — the local CSR only feeds the plan build)."""
+    lo, hi = p * rpp, min(n, (p + 1) * rpp)
+    nr_real = max(0, hi - lo)
+    if nr_real == 0:
+        return (np.zeros(rpp + 1, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float32))
+    s, e = rm[lo], rm[hi]
+    c = ent[s:e]
+    v = vals[s:e].astype(np.float32, copy=False)
+    local = (c >= lo) & (c < lo + rpp)
+    mapped = np.where(local, c - lo, 0)
+    if rem_cols.size:
+        ridx = np.searchsorted(rem_cols, c[~local])
+        mapped[~local] = rem_ids[ridx]
+    rm_p = np.zeros(rpp + 1, np.int64)
+    rm_p[: nr_real + 1] = rm[lo: hi + 1] - s
+    rm_p[nr_real + 1:] = rm_p[nr_real]
+    return rm_p, mapped, v
+
+
+def _pad_stack(streams, layout, B):
+    """Pad each part's v9 host streams (dicts with numpy arrays) to a common
+    super-step count and stack — ONE device transfer per stacked stream.
+
+    Dummy super-steps: dst block 0, first=0 (accumulate), zero value plane —
+    they add exact zeros to an already-initialized output block."""
+    n_ss = max(s["n_ss"] for s in streams)
+    S = n_ss * B
+    dst, src, first, cnt, gts, rhis, valsl = [], [], [], [], [], [], []
+    for s in streams:
+        pad_ss = n_ss - s["n_ss"]
+        pad_ch = S - s["S"]
+        dst.append(np.pad(s["dst_ss"], (0, pad_ss)))
+        first.append(np.pad(s["first_ss"], (0, pad_ss)))
+        cnt.append(np.pad(s["cnt_ss"], (0, pad_ss)))
+        src.append(np.pad(s["src_ids"], (0, pad_ch)))
+        gts.append(np.pad(s["pk"], ((0, pad_ch * 8), (0, 0))))
+        valsl.append(np.pad(s["vals"], ((0, pad_ch * 8), (0, 0))))
+        if layout == "dlp":
+            rhis.append(np.pad(s["rhi"], ((0, pad_ch * 8), (0, 0))))
+        else:
+            rhis.append(np.zeros((1, 128), np.int32))
+    return (jnp.asarray(np.stack(dst)), jnp.asarray(np.stack(src)),
+            jnp.asarray(np.stack(first)), jnp.asarray(np.stack(cnt)),
+            jnp.asarray(np.stack(gts)), jnp.asarray(np.stack(rhis)),
+            jnp.asarray(np.stack(valsl)), n_ss)
+
+
+def _plan_to_host_streams(p) -> dict:
+    """Host-stream dict from a built GtSpmvPlan (fallback path: pulls the
+    device arrays back — avoid when build_gt_streams_host is available)."""
+    return {"pk": np.asarray(p.gt), "vals": np.asarray(p.vals),
+            "rhi": np.asarray(p.rhi) if p.layout == "dlp" else None,
+            "src_ids": np.asarray(p.src_ids), "dst_ss": np.asarray(p.dst_ss),
+            "first_ss": np.asarray(p.first_ss),
+            "cnt_ss": np.asarray(p.cnt_ss), "S": p.num_steps,
+            "n_ss": p.n_ss, "B": p.batch, "layout": p.layout}
+
+
+def build_dist_gt_plan(A: CsrMatrix, n_parts: int,
+                       row_block: int = 8) -> "DistGtPlan | None":
+    """Build the fast distributed plan; None when the gather-table layouts
+    cannot be made uniform across parts (callers fall back to the
+    correctness-first HaloPlan/RowPartition schedules)."""
+    assert A.nrows == A.ncols, "dist gt plan: square matrices"
+    rm = np.asarray(A.host_row_map(), np.int64)
+    ent = np.asarray(A.host_entries(), np.int64)
+    vals = np.asarray(A.host_values())
+    n = A.nrows
+    rpp = round_up(-(-n // n_parts), row_block)
+    send_idx, rem_cols, rem_ids, H = import_index(rm, ent, n, n_parts, rpp)
+    ncols_ext = rpp + n_parts * H
+    ns = max(1, -(-ncols_ext // spmv_pallas._OH_SRC))
+    if ns * spmv_pallas._OH_SRC * 4 > spmv_pallas._X_VMEM_CAP:
+        return None  # x_ext must be VMEM-resident for the gather kernels
+
+    locals_ = [_local_csr_of_part(rm, ent, vals, p, n, rpp,
+                                  rem_cols[p], rem_ids[p])
+               for p in range(n_parts)]
+    # per-part streams: native host build (no device round-trips) with the
+    # built-plan pull-back as the no-native fallback
+    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext)
+    if s0 is not None:
+        layout, B = s0["layout"], s0["B"]
+        streams = [s0]
+        for p in range(1, n_parts):
+            sp_ = spmv_pallas.build_gt_streams_host(
+                *locals_[p], rpp, ncols_ext, force_gi=(layout == "gi4"),
+                force_dl=(layout == "dlp"), force_batch=B)
+            if sp_ is None or sp_["layout"] != layout or sp_["B"] != B:
+                return None
+            streams.append(sp_)
+    else:
+        mats = [CsrMatrix.from_arrays(*lc, nrows=rpp, ncols=ncols_ext)
+                for lc in locals_]
+        plan0 = spmv_pallas.GtSpmvPlan(mats[0], no_lane_tab=True)
+        if plan0.layout not in ("gi4", "dlp"):
+            return None
+        layout, B = plan0.layout, plan0.batch
+        plans = [plan0]
+        for p in range(1, n_parts):
+            pl_p = spmv_pallas.GtSpmvPlan(
+                mats[p], force_gi=(layout == "gi4"),
+                force_dl=(layout == "dlp"), no_lane_tab=True, force_batch=B)
+            if pl_p.layout != layout or pl_p.batch != B:
+                return None
+            plans.append(pl_p)
+        streams = [_plan_to_host_streams(p) for p in plans]
+    dst, src, first, cnt, gt, rhi, valsj, n_ss = _pad_stack(streams, layout, B)
+    pad = max(s["S"] * 1024 / max(1, len(lc[1]))
+              for s, lc in zip(streams, locals_))
+    return DistGtPlan(jnp.asarray(send_idx), dst, src, first, cnt, gt, rhi,
+                      valsj, layout, n_ss, B, n, A.ncols, n_parts, rpp, H,
+                      ncols_ext, pad)
+
+
+def shard_dist_gt_plan(plan: DistGtPlan, mesh: Mesh,
+                       axis: str = "parts") -> DistGtPlan:
+    """Place every stacked stream on the mesh axis (leading parts dim)."""
+    spec = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), plan)
+
+
+def _local_gt_body(send_idx, dst_ss, src_ids, first_ss, cnt_ss, gt, rhi,
+                   vals, x_shard, *, axis, layout, n_ss, B, ns, rpp, nd,
+                   interpret):
+    x = x_shard[0]
+    sends = jnp.take(x, send_idx[0], axis=0)                 # (P, H)
+    recv = jax.lax.all_to_all(sends, axis, split_axis=0, concat_axis=0)
+    x_ext = jnp.concatenate([x, recv.reshape(-1)])
+    if layout == "gi4":
+        y = spmv_pallas._gi4_call_batched(
+            dst_ss[0], src_ids[0], first_ss[0], gt[0], vals[0], x_ext,
+            nd4=-(-nd // 4), ns=ns, n_ss=n_ss, B=B, nrows=rpp,
+            reduce="sum", interpret=interpret)
+    else:
+        y = spmv_pallas._dlp_call_batched(
+            dst_ss[0], src_ids[0], first_ss[0], cnt_ss[0], gt[0], rhi[0],
+            vals[0], None, x_ext, nd=nd, ns=ns, n_ss=n_ss, B=B, nrows=rpp,
+            reduce="sum", interpret=interpret)
+    return y[None]
+
+
+def dist_spmv_gt(plan: DistGtPlan, x_padded, mesh: Mesh,
+                 axis: str = "parts", interpret: bool | None = None):
+    """y = A·x with x_padded (n_parts*rpp,) row-sharded: one all_to_all halo
+    exchange + the v9 gather-table Pallas kernel per shard."""
+    if interpret is None:
+        interpret = not spmv_pallas.supports_pallas()
+    ns = max(1, -(-plan.ncols_ext // spmv_pallas._OH_SRC))
+    nd = max(1, -(-plan.rows_per_part // spmv_pallas._OH_DST))
+    f = jax.shard_map(
+        partial(_local_gt_body, axis=axis, layout=plan.layout,
+                n_ss=plan.n_ss, B=plan.batch, ns=ns, rpp=plan.rows_per_part,
+                nd=nd, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis),) * 9,
+        out_specs=P(axis),
+        check_vma=False,  # pallas_call out_shape carries no vma annotation
+    )
+    y2 = f(plan.send_idx, plan.dst_ss, plan.src_ids, plan.first_ss,
+           plan.cnt_ss, plan.gt, plan.rhi, plan.vals,
+           x_padded.reshape(plan.n_parts, plan.rows_per_part))
+    return y2.reshape(-1)

@@ -64,9 +64,9 @@ class HaloPlan:
         return self.n_parts * self.rows_per_part
 
 
-def import_lists(rm, ent, n, n_parts, rpp):
-    """Compute (send_idx[(q,p,H)], ext_map per part {global col -> x_ext id},
-    H) — the Tpetra-Import analog shared by SpMV and distributed GS plans."""
+def _import_sets(rm, ent, n, n_parts, rpp):
+    """Per-part import sets + the packed send schedule — the Tpetra-Import
+    analog shared by the SpMV / GS / gather-table distributed plans."""
     part_of = lambda g: np.minimum(g // rpp, n_parts - 1)
     imports = [[np.empty(0, np.int64)] * n_parts for _ in range(n_parts)]
     H = 1
@@ -85,15 +85,42 @@ def import_lists(rm, ent, n, n_parts, rpp):
                 H = max(H, imp.size)
     H = round_up(H, 8)
     send_idx = np.zeros((n_parts, n_parts, H), np.int32)
-    ext_map = [dict() for _ in range(n_parts)]
     for p in range(n_parts):
         for q in range(n_parts):
             imp = imports[p][q]
             # q sends x_local_q[imp - q*rpp] to p
             send_idx[q, p, :imp.size] = (imp - q * rpp).astype(np.int32)
-            for h, g in enumerate(imp):
+    return imports, send_idx, H
+
+
+def import_lists(rm, ent, n, n_parts, rpp):
+    """(send_idx[(q,p,H)], ext_map per part {global col -> x_ext id}, H)."""
+    imports, send_idx, H = _import_sets(rm, ent, n, n_parts, rpp)
+    ext_map = [dict() for _ in range(n_parts)]
+    for p in range(n_parts):
+        for q in range(n_parts):
+            for h, g in enumerate(imports[p][q]):
                 ext_map[p][int(g)] = rpp + q * H + h
     return send_idx, ext_map, H
+
+
+def import_index(rm, ent, n, n_parts, rpp):
+    """Vectorized form of the ext map: (send_idx, rem_cols, rem_ids, H) with
+    rem_cols[p] globally sorted remote column ids of part p and rem_ids[p]
+    their x_ext slots — remap via
+    rem_ids[p][np.searchsorted(rem_cols[p], c)] (O(nnz log) instead of the
+    per-entry dict lookups of import_lists)."""
+    imports, send_idx, H = _import_sets(rm, ent, n, n_parts, rpp)
+    rem_cols, rem_ids = [], []
+    for p in range(n_parts):
+        # part-q blocks are disjoint ascending global ranges -> concat sorted
+        rem_cols.append(np.concatenate(
+            [imports[p][q] for q in range(n_parts)]
+            or [np.empty(0, np.int64)]))
+        rem_ids.append(np.concatenate(
+            [rpp + q * H + np.arange(len(imports[p][q]), dtype=np.int64)
+             for q in range(n_parts)] or [np.empty(0, np.int64)]))
+    return send_idx, rem_cols, rem_ids, H
 
 
 def build_halo_plan(A: CsrMatrix, n_parts: int, row_block: int = 8) -> HaloPlan:

@@ -96,6 +96,14 @@ def dist_spmv_halo(plan: HaloPlan, x_padded, mesh: Mesh, axis: str = "parts"):
     return y2.reshape(-1)
 
 
+def _spmv_fn_for(plan):
+    from .gt_spmv import DistGtPlan, dist_spmv_gt
+
+    if isinstance(plan, DistGtPlan):
+        return dist_spmv_gt
+    return dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
+
+
 def dist_dot(x, y, mesh: Mesh, axis: str = "parts"):
     """<x,y> over row-sharded vectors (psum over the mesh axis)."""
 
@@ -127,10 +135,11 @@ def dist_pcg(plan, b_padded, mesh: Mesh, tol: float = 1e-8,
     """Full distributed (Jacobi-)preconditioned CG solve on row-sharded
     vectors — SpMV, dots and the convergence test all run on-device with ICI
     collectives inside one jitted `lax.while_loop` (no host round-trips per
-    iteration).  `plan` is a sharded RowPartition (all-gather schedule) or
-    HaloPlan (import-list all_to_all schedule); `inv_diag` (row-sharded)
+    iteration).  `plan` is a sharded RowPartition (all-gather schedule),
+    HaloPlan (import-list all_to_all schedule) or DistGtPlan (Pallas
+    gather-table local kernels — the fast path); `inv_diag` (row-sharded)
     enables Jacobi preconditioning.  Returns (x, iters, rel_res)."""
-    spmv_fn = dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
+    spmv_fn = _spmv_fn_for(plan)
 
     def prec(r):
         return r if inv_diag is None else inv_diag * r
@@ -184,7 +193,7 @@ def dist_gmres(plan, b_padded, mesh: Mesh, m: int = 30, tol: float = 1e-8,
 
     from ..sparse.gmres import Ortho, _arnoldi_cycle
 
-    spmv_fn = dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
+    spmv_fn = _spmv_fn_for(plan)
 
     class _Prec:
         def apply(self, r):

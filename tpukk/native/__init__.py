@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "spgemm_symbolic", "triangle_count"]
+__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "spgemm_symbolic", "triangle_count"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -82,6 +82,15 @@ def _load():
             lib.tpukk_permute_route.restype = ctypes.c_int32
             lib.tpukk_permute_route.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p]
+            lib.tpukk_gt_build.restype = ctypes.c_int64
+            lib.tpukk_gt_build.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i32p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p]
+            lib.tpukk_gt_fetch.restype = ctypes.c_int32
+            lib.tpukk_gt_fetch.argtypes = [
+                i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -243,6 +252,44 @@ def permute_route(R, C, src):
         raise ValueError("permute_route: invalid input (C must be a power "
                          "of two, src a permutation)")
     return t1, t2, t3
+
+
+def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
+             max_grow_dl=4, force_batch=0, fix_us=0.235, var_gi4=0.0115,
+             var_dlp=0.022):
+    """Full v9 gather-table stream build (see tpukk_gt_build); None when the
+    native lib is unavailable or the build must fall back to Python (layout
+    overflow, unsupported sizes).  Returns a dict with the packed streams +
+    the per-slot element-index map (eidx; -1 = empty) so callers gather any
+    value plane without re-running the build."""
+    lib = _load()
+    if lib is None:
+        return None
+    rm = np.ascontiguousarray(rm, np.int64)
+    ent = _i32(ent)
+    meta = np.zeros(8, np.int64)
+    rc = lib.tpukk_gt_build(n, m, len(ent), rm, ent, td, ts,
+                            force_layout, max_grow_gi, max_grow_dl,
+                            force_batch, fix_us, var_gi4, var_dlp, meta)
+    if rc != 0:
+        return None
+    S, n_ss, B, layout, n_valid, nd, ns = (int(v) for v in meta[:7])
+    pk = np.empty(S * 1024, np.int32)
+    eidx = np.empty(S * 1024, np.int32)
+    rhi = np.empty(S * 1024, np.int32) if layout == 1 else None
+    src_ids = np.empty(S, np.int32)
+    dst_ss = np.empty(n_ss, np.int32)
+    first_ss = np.empty(n_ss, np.int32)
+    cnt_ss = np.empty(n_ss, np.int32)
+    lib.tpukk_gt_fetch(
+        pk, eidx,
+        rhi.ctypes.data_as(ctypes.c_void_p) if rhi is not None else None,
+        src_ids, dst_ss, first_ss, cnt_ss)
+    return {"pk": pk, "eidx": eidx, "rhi": rhi, "src_ids": src_ids,
+            "dst_ss": dst_ss, "first_ss": first_ss, "cnt_ss": cnt_ss,
+            "S": S, "n_ss": n_ss, "B": B,
+            "layout": "gi4" if layout == 0 else "dlp",
+            "n_valid": n_valid, "nd": nd, "ns": ns}
 
 
 def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):

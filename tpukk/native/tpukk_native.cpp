@@ -812,4 +812,292 @@ int32_t tpukk_permute_route(int64_t R, int64_t C, const int64_t* src,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Full v9 SpMV gather-table stream build (spmv_pallas.GtSpmvPlan fast path).
+// Everything the Python plan builder did around tpukk_gt_place — CSR
+// expansion, (run, lo, hi) radix sort, layout choice by chunk-count cost
+// model, placement, chunk assembly, missing-tile dummies, super-step batch
+// selection and padding, v9 gt+lo packing — in one call, so plan build is
+// O(nnz) C++ instead of a chain of numpy sorts + fancy-indexing (measured
+// round 3: lap1000 build 16.4 s Python -> target < 1 s).
+// Two-call ABI: tpukk_gt_build computes and stores the streams in a
+// thread-local workspace and reports sizes via out_meta
+// [S, n_ss, B, layout(0=gi4,1=dlp), n_valid, nd, ns]; tpukk_gt_fetch copies
+// them into caller buffers.  Values never enter: the element-index stream
+// (eidx, -1 = empty slot) lets the caller gather any value plane (and the
+// f64 double-single LO plane) without re-running the build.
+// Returns 0 ok; <0 = caller must use the Python fallback (overflow /
+// unsupported sizes).
+
+static thread_local struct {
+  std::vector<int32_t> pk, eidx, rhi, src_ids, dst_ss, first_ss, cnt_ss;
+  int64_t S = 0, n_ss = 0, B = 1, layout = 0, n_valid = 0, nd = 0, ns = 0;
+} g_gt;
+
+static void gt_radix_sort(std::vector<uint64_t>& a) {
+  size_t n = a.size();
+  static thread_local std::vector<uint64_t> tmp;
+  tmp.resize(n);
+  static thread_local std::vector<size_t> hist;
+  hist.resize(1 << 16);
+  uint64_t* src = a.data();
+  uint64_t* dst = tmp.data();
+  for (int pass = 0; pass < 4; ++pass) {
+    int shift = pass * 16;
+    std::fill(hist.begin(), hist.end(), 0);
+    for (size_t i = 0; i < n; ++i) hist[(src[i] >> shift) & 0xffff]++;
+    size_t sum = 0;
+    bool skip = false;
+    for (size_t b = 0; b < (1 << 16); ++b) {
+      if (hist[b] == n) { skip = true; break; }
+      size_t c = hist[b]; hist[b] = sum; sum += c;
+    }
+    if (skip) continue;
+    for (size_t i = 0; i < n; ++i)
+      dst[hist[(src[i] >> shift) & 0xffff]++] = src[i];
+    std::swap(src, dst);
+  }
+  if (src != a.data()) std::memcpy(a.data(), src, n * sizeof(uint64_t));
+}
+
+int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
+                       const int64_t* rm, const int32_t* ent,
+                       int32_t td, int32_t ts,
+                       int32_t force_layout,  // 0 auto, 1 gi, 2 dl
+                       int32_t max_grow_gi, int32_t max_grow_dl,
+                       int32_t force_batch,
+                       double fix_us, double var_gi4_us, double var_dlp_us,
+                       int64_t* out_meta) {
+  if (nnz <= 0 || n <= 0) return -1;
+  int64_t nd = (n + td - 1) / td;
+  int64_t ns = (m + ts - 1) / ts;
+  int32_t SR = ts / 128;
+  if (SR > 64) return -2;                       // key packs hi into 6 bits
+  if (nd * ns * 8192 >= ((int64_t)1 << 32)) return -2;
+  if (nnz >= ((int64_t)1 << 32)) return -2;
+
+  // --- expansion + (run, lo, hi | element) sort keys ----------------------
+  std::vector<int32_t> rows(nnz);
+  std::vector<uint64_t> keys(nnz);
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t dt = r / td;
+    for (int64_t k = rm[r]; k < rm[r + 1]; ++k) {
+      rows[k] = (int32_t)r;
+      int64_t c = ent[k];
+      int64_t st = c / ts;
+      int64_t locc = c - st * ts;
+      uint64_t key = (((uint64_t)(dt * ns + st) * 128 + (locc & 127)) << 6)
+                     | (uint64_t)(locc >> 7);
+      keys[k] = (key << 32) | (uint64_t)k;
+    }
+  }
+  gt_radix_sort(keys);
+
+  // --- sorted per-element arrays + run offsets ----------------------------
+  std::vector<int32_t> lane_s(nnz), lo_s(nnz), hi_s(nnz), srow_s(nnz);
+  std::vector<int64_t> run_off;
+  std::vector<int64_t> run_ids;
+  run_off.reserve(1024);
+  run_ids.reserve(1024);
+  uint64_t prev_run = ~0ull;
+  for (int64_t i = 0; i < nnz; ++i) {
+    uint64_t key = keys[i] >> 32;
+    int64_t e = (int64_t)(keys[i] & 0xffffffffull);
+    uint64_t run = key >> 13;
+    lo_s[i] = (int32_t)((key >> 6) & 127);
+    hi_s[i] = (int32_t)(key & 63);
+    int64_t locr = rows[e] % td;
+    lane_s[i] = (int32_t)(locr & 127);
+    srow_s[i] = (int32_t)(locr >> 7);
+    if (run != prev_run) {
+      run_off.push_back(i);
+      run_ids.push_back((int64_t)run);
+      prev_run = run;
+    }
+  }
+  run_off.push_back(nnz);
+  int64_t n_runs = (int64_t)run_ids.size();
+
+  // --- layout choice: estimated chunk counts under each layout ------------
+  bool gi = force_layout == 1;
+  if (force_layout == 0) {
+    static thread_local std::vector<int32_t> cnt_lane, cnt_row;
+    static thread_local std::vector<int64_t> ep_lane, ep_row;
+    cnt_lane.assign(128, 0); ep_lane.assign(128, -1);
+    cnt_row.assign(td, 0); ep_row.assign(td, -1);
+    int64_t chunks_dl = 0, chunks_gi = 0;
+    for (int64_t r = 0; r < n_runs; ++r) {
+      int32_t mx_lane = 0, mx_row = 0;
+      for (int64_t i = run_off[r]; i < run_off[r + 1]; ++i) {
+        int32_t L = lane_s[i];
+        if (ep_lane[L] != r) { cnt_lane[L] = 0; ep_lane[L] = r; }
+        if (++cnt_lane[L] > mx_lane) mx_lane = cnt_lane[L];
+        int32_t R = srow_s[i] * 128 + lane_s[i];
+        if (ep_row[R] != r) { cnt_row[R] = 0; ep_row[R] = r; }
+        if (++cnt_row[R] > mx_row) mx_row = cnt_row[R];
+      }
+      chunks_dl += (mx_lane + 7) / 8;
+      chunks_gi += mx_row;
+    }
+    gi = chunks_gi * var_gi4_us < chunks_dl * var_dlp_us;
+  }
+
+  // --- placement (retry dl when the gi attempt overflows, auto only) ------
+  std::vector<int32_t> out_c(nnz), out_s(nnz), out_ti(nnz);
+  std::vector<int32_t> nch(n_runs);
+  auto attempt = [&](bool use_gi, int32_t mg) -> bool {
+    tpukk_gt_place(n_runs, run_off.data(), lane_s.data(), lo_s.data(),
+                   hi_s.data(), 1, mg, out_c.data(), out_s.data(),
+                   out_ti.data(), nch.data(),
+                   use_gi ? srow_s.data() : nullptr, use_gi ? 1 : 0);
+    for (int64_t i = 0; i < nnz; ++i)
+      if (out_c[i] < 0) return false;
+    return true;
+  };
+  if (gi && !attempt(true, max_grow_gi)) {
+    if (force_layout == 1) return -3;
+    gi = false;
+  }
+  if (!gi && !attempt(false, max_grow_dl)) return -3;
+
+  // --- chunk assembly in real (run-major == dst-major) order --------------
+  std::vector<int64_t> base(n_runs + 1, 0);
+  for (int64_t r = 0; r < n_runs; ++r) base[r + 1] = base[r] + nch[r];
+  int64_t S_real = base[n_runs];
+  std::vector<int32_t> ch_dst(S_real), ch_src(S_real);
+  for (int64_t r = 0; r < n_runs; ++r) {
+    int32_t dt = (int32_t)(run_ids[r] / ns), st = (int32_t)(run_ids[r] % ns);
+    for (int64_t c = base[r]; c < base[r + 1]; ++c) {
+      ch_dst[c] = dt; ch_src[c] = st;
+    }
+  }
+  std::vector<int32_t> eidx_r(S_real * 1024, -1), pk_r(S_real * 1024, 0);
+  std::vector<int32_t> rhi_r;
+  if (!gi) rhi_r.assign(S_real * 1024, 0);
+  for (int64_t r = 0; r < n_runs; ++r)
+    for (int64_t i = run_off[r]; i < run_off[r + 1]; ++i) {
+      int64_t rowb = ((base[r] + out_c[i]) * 8 + out_s[i]) * 128;
+      eidx_r[rowb + lane_s[i]] = (int32_t)(keys[i] & 0xffffffffull);
+      // v9 pk packing mirrors the two scattered planes of the Python build:
+      // lo (low 7 bits) sits at the SLOT lane, hi (bits >= 7) at the SOURCE
+      // lane — the kernel gather reads gt at position lo[slot] (table-cell
+      // semantics; consistent across elements by the <=T-distinct-hi cap)
+      pk_r[rowb + lane_s[i]] |= lo_s[i];
+      pk_r[rowb + lo_s[i]] |= hi_s[i] << 7;
+      if (!gi) rhi_r[rowb + lane_s[i]] = srow_s[i];
+    }
+
+  // --- merge missing-tile dummy chunks (dst-sorted) -----------------------
+  // entry >= 0: real chunk id; -1: dummy init chunk for tile `dm_dst`
+  std::vector<int64_t> ch_list;
+  std::vector<int32_t> list_dst, list_src;
+  ch_list.reserve(S_real + nd);
+  int64_t next_tile = 0, ci = 0;
+  while (ci < S_real || next_tile < nd) {
+    int32_t dt = ci < S_real ? ch_dst[ci] : (int32_t)nd;
+    while (next_tile < dt) {
+      ch_list.push_back(-1);
+      list_dst.push_back((int32_t)next_tile);
+      list_src.push_back(0);
+      ++next_tile;
+    }
+    if (ci >= S_real) break;
+    ch_list.push_back(ci);
+    list_dst.push_back(ch_dst[ci]);
+    list_src.push_back(ch_src[ci]);
+    next_tile = ch_dst[ci] + 1;
+    ++ci;
+  }
+  int64_t S0 = (int64_t)ch_list.size();
+
+  // --- super-step groups + batch selection --------------------------------
+  std::vector<int64_t> gid(S0);
+  for (int64_t i = 0; i < S0; ++i)
+    gid[i] = gi ? list_dst[i] / 4 : list_dst[i];
+  std::vector<int64_t> counts, gstart;
+  for (int64_t i = 0; i < S0; ++i)
+    if (i == 0 || gid[i] != gid[i - 1]) { gstart.push_back(i); counts.push_back(1); }
+    else ++counts.back();
+  gstart.push_back(S0);
+  int64_t B = 1;
+  if (force_batch > 0) {
+    B = force_batch;
+  } else {
+    double best = std::numeric_limits<double>::infinity();
+    double var = gi ? var_gi4_us : var_dlp_us;
+    for (int64_t cand = 1; cand <= 32; ++cand) {
+      int64_t nss_c = 0;
+      for (int64_t g = 0; g < (int64_t)counts.size(); ++g)
+        nss_c += (counts[g] + cand - 1) / cand;
+      double cost = nss_c * (fix_us + cand * var);
+      if (cost < best) { best = cost; B = cand; }
+    }
+  }
+
+  // --- final stream assembly with per-group B padding ---------------------
+  int64_t S = 0;
+  for (int64_t g = 0; g < (int64_t)counts.size(); ++g)
+    S += ((counts[g] + B - 1) / B) * B;
+  int64_t n_ss = S / B;
+  g_gt.pk.assign(S * 1024, 0);
+  g_gt.eidx.assign(S * 1024, -1);
+  if (!gi) g_gt.rhi.assign(S * 1024, 0); else g_gt.rhi.clear();
+  g_gt.src_ids.assign(S, 0);
+  g_gt.dst_ss.assign(n_ss, 0);
+  g_gt.first_ss.assign(n_ss, 0);
+  g_gt.cnt_ss.assign(n_ss, 0);
+  int64_t fpos = 0;
+  for (int64_t g = 0; g < (int64_t)counts.size(); ++g) {
+    int64_t out_pc = gi ? gid[gstart[g]] : gid[gstart[g]];
+    int64_t padded = ((counts[g] + B - 1) / B) * B;
+    for (int64_t j = 0; j < padded; ++j, ++fpos) {
+      int64_t ss = fpos / B;
+      if (j % B == 0) g_gt.dst_ss[ss] = (int32_t)out_pc;
+      if (j >= counts[g]) continue;  // B-padding chunk: stays zero
+      int64_t li = gstart[g] + j;
+      int64_t rc = ch_list[li];
+      if (gi)
+        g_gt.src_ids[fpos] = (list_src[li] << 2) | (list_dst[li] & 3);
+      else
+        g_gt.src_ids[fpos] = list_src[li];
+      if (rc >= 0) {
+        std::memcpy(&g_gt.pk[fpos * 1024], &pk_r[rc * 1024], 1024 * 4);
+        std::memcpy(&g_gt.eidx[fpos * 1024], &eidx_r[rc * 1024], 1024 * 4);
+        if (!gi)
+          std::memcpy(&g_gt.rhi[fpos * 1024], &rhi_r[rc * 1024], 1024 * 4);
+        g_gt.cnt_ss[fpos / B]++;
+      }
+    }
+  }
+  // first_ss: 1 exactly when the super-step starts a new output block
+  {
+    int64_t prev = -1;
+    for (int64_t ss = 0; ss < n_ss; ++ss) {
+      g_gt.first_ss[ss] = g_gt.dst_ss[ss] != prev ? 1 : 0;
+      prev = g_gt.dst_ss[ss];
+    }
+  }
+  g_gt.S = S; g_gt.n_ss = n_ss; g_gt.B = B;
+  g_gt.layout = gi ? 0 : 1;
+  g_gt.n_valid = S_real; g_gt.nd = nd; g_gt.ns = ns;
+  out_meta[0] = S; out_meta[1] = n_ss; out_meta[2] = B;
+  out_meta[3] = g_gt.layout; out_meta[4] = S_real;
+  out_meta[5] = nd; out_meta[6] = ns;
+  return 0;
+}
+
+int32_t tpukk_gt_fetch(int32_t* pk, int32_t* eidx, int32_t* rhi,
+                       int32_t* src_ids, int32_t* dst_ss, int32_t* first_ss,
+                       int32_t* cnt_ss) {
+  if (g_gt.S == 0) return -1;
+  std::memcpy(pk, g_gt.pk.data(), g_gt.pk.size() * 4);
+  std::memcpy(eidx, g_gt.eidx.data(), g_gt.eidx.size() * 4);
+  if (!g_gt.rhi.empty() && rhi) std::memcpy(rhi, g_gt.rhi.data(), g_gt.rhi.size() * 4);
+  std::memcpy(src_ids, g_gt.src_ids.data(), g_gt.src_ids.size() * 4);
+  std::memcpy(dst_ss, g_gt.dst_ss.data(), g_gt.dst_ss.size() * 4);
+  std::memcpy(first_ss, g_gt.first_ss.data(), g_gt.first_ss.size() * 4);
+  std::memcpy(cnt_ss, g_gt.cnt_ss.data(), g_gt.cnt_ss.size() * 4);
+  return 0;
+}
+
 }  // extern "C"

@@ -18,6 +18,7 @@ own software pipelining.  Keep it serial.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1550,7 +1551,8 @@ class GtSpmvPlan:
     x VMEM-resident; build_onehot_spmv_plan falls back to DlSpmvPlan
     otherwise."""
 
-    def __init__(self, A, *, _fields=None, force_gi=False):
+    def __init__(self, A, *, _fields=None, force_gi=False, force_dl=False,
+                 no_lane_tab=False, force_batch=None):
         if _fields is not None:
             (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
              self.dst_ss, self.first_ss, self.cnt_ss, self.nrows, self.ncols,
@@ -1567,6 +1569,26 @@ class GtSpmvPlan:
         nd = max(1, -(-n // TD))
         ns = max(1, -(-m // TS))
         nnz = len(ent)
+        # v9 fast path: the whole stream build in C++ (tpukk_gt_build —
+        # expansion, radix sort, layout cost model, placement, batching,
+        # packing) — O(nnz) native instead of chained numpy sorts (round 3:
+        # lap1000 16.4 s -> sub-second).  The Python path below remains for
+        # native-lib absence, placement overflow (multi-level fallback) and
+        # the dlp balanced-lane-map variant.
+        if nnz and not int(os.environ.get("TPUKK_NO_NATIVE_GT", "0")):
+            from .. import native
+
+            if native.available():
+                fl = 1 if force_gi else (2 if force_dl else 0)
+                res = native.gt_build(
+                    rm, ent, n, m, TD, TS, force_layout=fl,
+                    max_grow_gi=16 if force_gi else 8, max_grow_dl=4,
+                    force_batch=int(force_batch or 0),
+                    fix_us=_GT_FIX_US, var_gi4=_GT_VAR_GI4_US,
+                    var_dlp=_GT_VAR_DLP_US)
+                if res is not None:
+                    self._init_from_native(res, vals, n, m, nnz)
+                    return
         rows = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
         dt = rows // TD
         st = ent // TS
@@ -1603,7 +1625,9 @@ class GtSpmvPlan:
             u, c = np.unique(kgi, return_counts=True)
             rs = np.nonzero(np.concatenate(([1], np.diff(u // 1024) != 0)))[0]
             chunks_gi = int(np.maximum.reduceat(c, rs).sum())
-            if force_gi or chunks_gi * _GT_VAR_GI4_US < chunks_dl * _GT_VAR_DLP_US:
+            if not force_dl and (
+                    force_gi
+                    or chunks_gi * _GT_VAR_GI4_US < chunks_dl * _GT_VAR_DLP_US):
                 out0 = _gt_place_native(run, lc, locc, vals, rhi_e, dt, st,
                                         T, max_grow=16 if force_gi else 8,
                                         lock_sublane=True)
@@ -1622,7 +1646,7 @@ class GtSpmvPlan:
                 # Poisson max-lane skew that sets dl's chunks/run; the
                 # output lane un-permute is one XLA lane gather (lane_tab)
                 lc_use = lc
-                asg = _dl_assign_lanes(run, rows, st, nd, ns)
+                asg = None if no_lane_tab else _dl_assign_lanes(run, rows, st, nd, ns)
                 if asg is not None:
                     lc2, tab2, grp_of_run, run_keys = asg
                     k2 = run * 128 + lc2
@@ -1758,6 +1782,9 @@ class GtSpmvPlan:
             cost = nss_c * (_GT_FIX_US + cand * var)
             if cost < best:
                 best, B = cost, cand
+        if force_batch is not None:
+            # SPMD stacking (dist/) needs one B across all shards' plans
+            B = int(force_batch)
         if B > 1:
             padc = (-counts) % B
             tot = counts + padc
@@ -1823,6 +1850,37 @@ class GtSpmvPlan:
         self.n_tables = T
         self.layout = layout
 
+    def _init_from_native(self, res, vals_host, n, m, nnz):
+        """Fill the plan fields from a tpukk_gt_build result; the per-slot
+        element-index map stays on the host (host_eidx) so value planes —
+        incl. the double-single LO plane — are one numpy gather away."""
+        S, B, n_ss = res["S"], res["B"], res["n_ss"]
+        layout = res["layout"]
+        eidx = res["eidx"]
+        vplane = np.zeros(S * 1024, np.float32)
+        selm = eidx >= 0
+        vplane[selm] = vals_host[eidx[selm]]
+        self.gt = jnp.asarray(res["pk"].reshape(S * 8, 128))
+        self.vals = jnp.asarray(vplane.reshape(S * 8, 128))
+        self.rhi = (jnp.asarray(res["rhi"].reshape(S * 8, 128))
+                    if layout == "dlp" else jnp.zeros((1, 128), jnp.int32))
+        self.lo = jnp.zeros((1, 128), jnp.int32)
+        self.src_ids = jnp.asarray(res["src_ids"])
+        self.dst_ss = jnp.asarray(res["dst_ss"])
+        self.first_ss = jnp.asarray(res["first_ss"])
+        self.cnt_ss = jnp.asarray(res["cnt_ss"])
+        self.nrows, self.ncols = n, m
+        self.n_dst_tiles, self.n_src_tiles = res["nd"], res["ns"]
+        self.num_steps = S
+        self.n_ss = n_ss
+        self.batch = B
+        self.pad_ratio = S * 1024 / max(1, nnz)
+        self.real_pad_ratio = res["n_valid"] * 1024 / max(1, nnz)
+        self.n_levels = 1
+        self.n_tables = 1
+        self.layout = layout
+        self.host_eidx = eidx  # host-only; not part of the pytree
+
     def tree_flatten(self):
         aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
                self.num_steps, self.n_ss, self.batch, self.pad_ratio,
@@ -1836,6 +1894,42 @@ class GtSpmvPlan:
 
 
 jax.tree_util.register_pytree_node_class(GtSpmvPlan)
+
+
+def build_gt_streams_host(rm, ent, vals, nrows, ncols, *, force_gi=False,
+                          force_dl=False, force_batch=None):
+    """Native v9 stream build from raw host CSR arrays, returning HOST numpy
+    streams + meta (no device transfer) — used by dist/ to assemble stacked
+    per-part plans without round-tripping anything through the (possibly
+    remote) device.  None when the native builder is unavailable or falls
+    back."""
+    from .. import native
+
+    if int(os.environ.get("TPUKK_NO_NATIVE_GT", "0")) or not native.available():
+        return None
+    rm = np.asarray(rm, dtype=np.int64)
+    ent = np.asarray(ent, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float32)
+    if not len(ent):
+        return None
+    fl = 1 if force_gi else (2 if force_dl else 0)
+    res = native.gt_build(rm, ent, nrows, ncols, _OH_DST, _OH_SRC,
+                          force_layout=fl,
+                          max_grow_gi=16 if force_gi else 8, max_grow_dl=4,
+                          force_batch=int(force_batch or 0),
+                          fix_us=_GT_FIX_US, var_gi4=_GT_VAR_GI4_US,
+                          var_dlp=_GT_VAR_DLP_US)
+    if res is None:
+        return None
+    eidx = res["eidx"]
+    vplane = np.zeros(res["S"] * 1024, np.float32)
+    selm = eidx >= 0
+    vplane[selm] = vals[eidx[selm]]
+    res["vals"] = vplane.reshape(res["S"] * 8, 128)
+    res["pk"] = res["pk"].reshape(res["S"] * 8, 128)
+    if res["rhi"] is not None:
+        res["rhi"] = res["rhi"].reshape(res["S"] * 8, 128)
+    return res
 
 
 def _pk_gather(X, pk, SR):
@@ -2354,6 +2448,15 @@ def build_onehot_ds_plan(A):
     base = GtSpmvPlan(Ah, force_gi=True)
     if base.layout != "gi4":
         return None
+    eidx = getattr(base, "host_eidx", None)
+    if eidx is not None:
+        # native build exposes the slot -> element map: the lo plane is one
+        # numpy gather, no plan replay needed
+        lop = np.zeros(eidx.shape[0], np.float32)
+        selm = eidx >= 0
+        lop[selm] = vl[eidx[selm]]
+        return OnehotDsPlan(base, base.vals,
+                            jnp.asarray(lop.reshape(-1, 128)))
     Al = CsrMatrix.from_arrays(rm, ent, vl, nrows=A.nrows, ncols=A.ncols)
     low = GtSpmvPlan(Al, force_gi=True)
     if low.layout != "gi4" or low.vals.shape != base.vals.shape:
