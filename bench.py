@@ -61,6 +61,17 @@ def csr_bytes(A, itemsize):
             + (A.ncols + A.nrows) * itemsize)
 
 
+# SpGEMM numeric traffic model: per multiply-pair the kernel must move the
+# two source values + two index-stream words (4B each); output writes are
+# amortized (nnz_c << pairs).  target pairs/s = 0.7 * HBM / 16B — the
+# roofline all spgemm rows are scored against (no more vs_baseline = value).
+SPGEMM_PAIR_BYTES = 16.0
+
+
+def spgemm_pair_target(kind: str) -> float:
+    return 0.70 * peak_hbm_gbps(kind) * 1e9 / SPGEMM_PAIR_BYTES  # pairs/s
+
+
 def _chain_onehot(plan, A, k1=50, k2=250):
     import jax
     import jax.numpy as jnp
@@ -221,9 +232,12 @@ def bench_spgemm():
 
         k1 = 20 if fast else 3
         t = chain_time_slope(mk, (A.values,), k1=k1, k2=5 * k1, reps=4)
-        emit(name, npairs / t / 1e9, "Gpair/s", npairs / t / 1e9 / 1.0,
+        kind = jax.devices()[0].device_kind
+        emit(name, npairs / t / 1e9, "Gpair/s",
+             (npairs / t) / spgemm_pair_target(kind),
              numeric_us=round(t * 1e6, 1), symbolic_s=round(t_sym, 2),
-             path=path, pairs=npairs, nnz_c=h.nnz_c)
+             path=path, pairs=npairs, nnz_c=h.nnz_c,
+             baseline_model=f"0.7*HBM/{SPGEMM_PAIR_BYTES:.0f}B per pair")
 
 
 def bench_sptrsv():
@@ -251,8 +265,14 @@ def bench_sptrsv():
         return jax.jit(lambda x: jax.lax.scan(step, x, None, length=K)[0])
 
     t = chain_time_slope(mk, (b0,), k1=20, k2=100, reps=4)
-    emit("sptrsv_fused_lap300_us", t * 1e6, "us", 1.0,
-         levels=int(h.num_levels), gnnz=round(L.nnz / t / 1e9, 2))
+    kind = jax.devices()[0].device_kind
+    gbps = csr_bytes(L, 4) / t / 1e9
+    emit("sptrsv_fused_lap300_us", t * 1e6, "us",
+         gbps / (0.70 * peak_hbm_gbps(kind)),
+         levels=int(h.num_levels), gnnz=round(L.nnz / t / 1e9, 2),
+         gbps=round(gbps, 1),
+         baseline_model="csr bytes / 0.7*HBM (level-latency-bound: "
+                        "~0.23us/level floor dominates)")
 
 
 def bench_solvers():
@@ -283,7 +303,13 @@ def bench_solvers():
         return jax.jit(lambda s: jax.lax.scan(body, s, None, length=K)[0])
 
     t = chain_time_slope(mk, (st,), k1=50, k2=250, reps=4)
-    emit("pcg_twostage_iter_us", t * 1e6, "us", 1.0, n=A.nrows, nnz=A.nnz)
+    # per-iteration traffic model: 1 spmv pass + ~2 GS-inner passes over A
+    # + ~10 n-vector streams (dots/axpbys)
+    kind = jax.devices()[0].device_kind
+    model_bytes = 3 * csr_bytes(A, 4) + 10 * A.nrows * 4
+    vs = (model_bytes / t / 1e9) / (0.70 * peak_hbm_gbps(kind))
+    emit("pcg_twostage_iter_us", t * 1e6, "us", vs, n=A.nrows, nnz=A.nnz,
+         baseline_model="(3 A-passes + 10 n-vectors) / 0.7*HBM")
 
 
 def bench_graph():
@@ -315,11 +341,297 @@ def bench_graph():
         rs = [run() for _ in range(10)]
         np.asarray(rs[-1])
         t_dev = (time.perf_counter() - t0) / 10
-    emit("graph_color_lap400_ms", t * 1e3, "ms", 1.0,
+    emit("graph_color_lap400_ms", t * 1e3, "ms", 0.100 / t,
          colors=int(colors.max()), n=A.nrows,
          device_rounds_ms=round(t_dev * 1e3, 2) if t_dev else None,
          note="one-shot incl. host plan build; device_rounds_ms = "
-              "pipelined device-only resolve")
+              "pipelined device-only resolve",
+         baseline_model="target 100ms one-shot (reference colors "
+                        "160k-vertex graphs in ms-scale)")
+
+
+def bench_spmm_blas():
+    """BASELINE config 2: multi-vector SpMM (8 RHS) + BLAS1/2/3 vs roofline
+    (reference: perf_test/sparse/KokkosSparse_spmv.cpp:94-106 multivector,
+    benchmarks/blas/*)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.common.timing import chain_time_slope
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import SpmvAlgorithm, SpmvHandle
+
+    kind = jax.devices()[0].device_kind
+    target = 0.70 * peak_hbm_gbps(kind)
+    rng = np.random.default_rng(0)
+
+    # --- SpMM 8 RHS through the fused DIA multi-RHS kernel ---------------
+    nrhs = 8
+    A = generate_structured_laplacian(1000, 1000, dtype=np.float32)
+    h = SpmvHandle(A, SpmvAlgorithm.DIA)
+    X0 = jax.device_put(
+        (rng.standard_normal((A.ncols, nrhs)) * 0.01).astype(np.float32))
+
+    def mk(K):
+        def step(c, _):
+            y = h.matvec(c)
+            return y * 0.125, None
+        return jax.jit(lambda x: jax.lax.scan(step, x, None, length=K)[0])
+
+    t = chain_time_slope(mk, (X0,), k1=30, k2=150, reps=4)
+    useful = (A.nnz * 8 + (A.nrows + 1) * 4
+              + (A.ncols + A.nrows) * 4 * nrhs)
+    gbps = useful / t / 1e9
+    emit("spmm_8rhs_lap1000_gbps", gbps, "GB/s", gbps / target,
+         time_us=round(t * 1e6, 1),
+         gflops=round(2 * A.nnz * nrhs / t / 1e9, 1), nrhs=nrhs)
+
+    # --- BLAS1: dot + axpby on 16M elements ------------------------------
+    n = 1 << 24
+    x0 = jax.device_put((rng.standard_normal(n) * 0.01).astype(np.float32))
+
+    def mk_dot(K):
+        def body(c, _):
+            d = jnp.dot(c, c)
+            return c * (0.999 + 1e-20 * d), None
+        return jax.jit(lambda x: jax.lax.scan(body, x, None, length=K)[0])
+
+    t = chain_time_slope(mk_dot, (x0,), k1=30, k2=150, reps=4)
+    gbps = n * 4 / t / 1e9
+    emit("blas1_dot_16m_gbps", gbps, "GB/s", gbps / target,
+         time_us=round(t * 1e6, 1))
+
+    def mk_axpby(K):
+        return jax.jit(lambda x: jax.lax.scan(
+            lambda c, _: (c * 0.999 + 0.001, None), x, None, length=K)[0])
+
+    t = chain_time_slope(mk_axpby, (x0,), k1=30, k2=150, reps=4)
+    gbps = 2 * n * 4 / t / 1e9  # one read + one write stream
+    emit("blas1_axpby_16m_gbps", gbps, "GB/s", gbps / target,
+         time_us=round(t * 1e6, 1))
+
+    # --- BLAS2 gemv 4096 --------------------------------------------------
+    g = 4096
+    Ag = jax.device_put((rng.standard_normal((g, g)) / g).astype(np.float32))
+    xg = jax.device_put(rng.standard_normal(g).astype(np.float32))
+
+    def mk_gemv(K):
+        return jax.jit(lambda a, v: jax.lax.scan(
+            lambda c, _: (a @ c * 0.5 + v, None), v, None, length=K)[0])
+
+    t = chain_time_slope(mk_gemv, (Ag, xg), k1=30, k2=150, reps=4)
+    gbps = g * g * 4 / t / 1e9
+    emit("blas2_gemv_4096_gbps", gbps, "GB/s", gbps / target,
+         time_us=round(t * 1e6, 1), gflops=round(2 * g * g / t / 1e9, 1))
+
+    # --- BLAS3 gemm 2048 bf16->f32 (MXU peak check) ----------------------
+    m = 2048
+    peak_tf = {"v5 lite": 197.0, "v4": 275.0, "v5p": 459.0,
+               "v6e": 918.0}.get(
+        next((k for k in ("v5 lite", "v4", "v5p", "v6e")
+              if k in kind.lower()), "v5 lite"), 197.0)
+    Am = jax.device_put((rng.standard_normal((m, m)) / m).astype(jnp.bfloat16))
+
+    def mk_gemm(K):
+        return jax.jit(lambda a: jax.lax.scan(
+            lambda c, _: (jnp.dot(c, a,
+                                  preferred_element_type=jnp.bfloat16), None),
+            jnp.eye(m, dtype=jnp.bfloat16), None, length=K)[0])
+
+    t = chain_time_slope(mk_gemm, (Am,), k1=30, k2=150, reps=4)
+    tf = 2 * m ** 3 / t / 1e12
+    emit("blas3_gemm2048_bf16_tflops", tf, "TF/s", tf / (0.70 * peak_tf),
+         time_us=round(t * 1e6, 1), peak_tflops=peak_tf)
+
+
+def bench_gs_gmres():
+    """GS symmetric-sweep + GMRES per-iteration families (reference:
+    perf_test/sparse/KokkosSparse_gs.cpp, example/gmres)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.common.timing import chain_time_slope
+    from tpukk.containers import generate_structured_laplacian, read_mtx
+    from tpukk.sparse import (GsHandle, gauss_seidel_numeric,
+                              gauss_seidel_symbolic)
+    from tpukk.sparse.gauss_seidel import _point_half_sweep
+
+    kind = jax.devices()[0].device_kind
+    target = 0.70 * peak_hbm_gbps(kind)
+
+    A = generate_structured_laplacian(400, 400, dtype=np.float32)
+    h = GsHandle()
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, omega=1.0)
+    b = jax.device_put(np.random.default_rng(0)
+                       .standard_normal(A.nrows).astype(np.float32))
+
+    def mk(K):
+        def f(x, bb):
+            def body(i, xx):
+                xx = _point_half_sweep(h, xx, bb, True)
+                return _point_half_sweep(h, xx, bb, False)
+            return jax.lax.fori_loop(0, K, body, x)
+        return jax.jit(f)
+
+    t = chain_time_slope(mk, (jnp.zeros(A.nrows, jnp.float32), b),
+                         k1=20, k2=100, reps=4)
+    gbps = 2 * csr_bytes(A, 4) / t / 1e9  # fwd + bwd pass over A
+    emit("gs_sym_sweep_lap400_us", t * 1e6, "us", gbps / target,
+         gnnz=round(2 * A.nnz / t / 1e9, 2), gbps=round(gbps, 1),
+         baseline_model="2 A-passes / 0.7*HBM")
+
+    # GMRES(30) CGS2 per-iteration cost on the real fem matrix
+    from tpukk.sparse.gmres import Ortho, _arnoldi_cycle
+    from tpukk.sparse.spmv import SpmvHandle
+
+    F = read_mtx("data/fem2d_30k.mtx.gz", value_dtype=np.float32)
+    Fh = SpmvHandle(F)
+    mdim = 30
+
+    class _Ident:
+        def apply(self, r):
+            return r
+
+    bb = jax.device_put(np.random.default_rng(1)
+                        .standard_normal(F.nrows).astype(np.float32))
+    cycle = jax.jit(lambda x, r: _arnoldi_cycle(
+        lambda v: Fh.matvec(v), _Ident(), r, x, mdim, Ortho.CGS2))
+
+    def mkc(K):
+        def step(x, _):
+            xn, _ = cycle(x, bb)
+            return xn * 0.5, None
+        return jax.jit(lambda x: jax.lax.scan(step, x, None, length=K)[0])
+
+    t_cyc = chain_time_slope(mkc, (jnp.zeros(F.nrows, jnp.float32),),
+                             k1=3, k2=15, reps=3)
+    t_it = t_cyc / mdim
+    # per-iter traffic: one spmv pass + CGS2's ~4 passes over the avg j~m/2
+    # basis prefix
+    model = csr_bytes(F, 4) + 4 * (mdim / 2) * F.nrows * 4
+    vs = (model / t_it / 1e9) / target
+    emit("gmres30_cgs2_iter_us", t_it * 1e6, "us", vs, n=F.nrows, nnz=F.nnz,
+         cycle_ms=round(t_cyc * 1e3, 2),
+         baseline_model="(A-pass + 4*(m/2) basis streams) / 0.7*HBM")
+
+
+def bench_bsr_banded():
+    """BSR SpMV (8x8 blocks) + banded offset-convolution SpGEMM (reference:
+    KokkosSparse_spmv_bsr.cpp, spgemm on banded inputs)."""
+    import jax
+    import scipy.sparse as sps
+
+    from tpukk.common.timing import chain_time_slope
+    from tpukk.containers import (BsrMatrix, generate_banded_csr,
+                                  generate_structured_laplacian)
+    from tpukk.sparse import SpmvHandle
+
+    kind = jax.devices()[0].device_kind
+    target = 0.70 * peak_hbm_gbps(kind)
+    rng = np.random.default_rng(4)
+
+    G = generate_structured_laplacian(158, 158, dtype=np.float32)
+    sp = G.to_scipy().tocsr()
+    bdim = 8
+    nb = sp.nnz
+    blocks = (rng.standard_normal((nb, bdim, bdim)) * 0.05).astype(np.float32)
+    bsr = sps.bsr_matrix((blocks, sp.indices, sp.indptr),
+                         shape=(sp.shape[0] * bdim, sp.shape[1] * bdim))
+    A = BsrMatrix.from_scipy_bsr(bsr)
+    h = SpmvHandle(A)
+    x0 = jax.device_put((rng.standard_normal(A.ncols) * 0.01)
+                        .astype(np.float32))
+
+    def mk(K):
+        return jax.jit(lambda xx: jax.lax.scan(
+            lambda c, _: (h.matvec(c) * 0.125, None), xx, None, length=K)[0])
+
+    t = chain_time_slope(mk, (x0,), k1=30, k2=150, reps=4)
+    nnz = nb * bdim * bdim
+    useful = nnz * 4 + nb * 4 + (A.n_block_rows + 1) * 4 + 2 * A.nrows * 4
+    gbps = useful / t / 1e9
+    emit("spmv_bsr8_200k_gbps", gbps, "GB/s", gbps / target,
+         time_us=round(t * 1e6, 1), gflops=round(2 * nnz / t / 1e9, 1),
+         route=h.algorithm.value)
+
+    # banded SpGEMM (offset convolution)
+    from tpukk.sparse import spgemm_dia
+
+    Ab = generate_banded_csr(1_000_000, 3, dtype=np.float32, seed=2)
+    plan = spgemm_dia.build_dia_spgemm_plan(Ab, Ab)
+    if plan is None:
+        return
+    spgemm_dia.dia_spgemm_numeric(plan, Ab, Ab)
+    fn = plan._jit_numeric
+    ea, eb = plan.a_refresh._eplan, plan.b_refresh._eplan
+    nnzA = Ab.nnz
+
+    def mk2(K):
+        def f(v):
+            def body(i, c):
+                out = fn(c, c, ea, eb)
+                return c * 0.5 + out[:nnzA] * 1e-20
+            return jax.lax.fori_loop(0, K, body, v)
+        return jax.jit(f)
+
+    t = chain_time_slope(mk2, (Ab.values,), k1=10, k2=50, reps=4)
+    kA = len(plan.a_refresh.offsets)
+    pairs = nnzA * kA
+    emit("spgemm_dia_banded1m_gpair", pairs / t / 1e9, "Gpair/s",
+         (pairs / t) / spgemm_pair_target(kind),
+         time_us=round(t * 1e6, 1), diags=kA,
+         baseline_model=f"0.7*HBM/{SPGEMM_PAIR_BYTES:.0f}B per pair")
+
+
+def bench_dist():
+    """Distributed SpMV on a 1-chip mesh: the gather-table dist path must
+    hold single-chip kernel speed (vs_baseline = dist/single rate ratio;
+    SURVEY.md §2.11 — the layer the reference does not have)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpukk.common.timing import chain_time_slope
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.dist import build_dist_gt_plan, dist_spmv_gt, shard_dist_gt_plan
+    from tpukk.sparse.spmv_pallas import GtSpmvPlan, onehot_spmv
+
+    A = generate_structured_laplacian(1000, 1000, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(A.nrows) * 0.01).astype(np.float32)
+
+    p1 = GtSpmvPlan(A)
+    xd = jax.device_put(x)
+
+    def mk1(K):
+        def step(c, _):
+            y = onehot_spmv(p1, c)
+            return y * 0.125, None
+        return jax.jit(lambda xx: jax.lax.scan(step, xx, None, length=K)[0])
+
+    t1 = chain_time_slope(mk1, (xd,), k1=30, k2=150, reps=4)
+
+    t0 = time.perf_counter()
+    dp = build_dist_gt_plan(A, 1)
+    t_build = time.perf_counter() - t0
+    mesh = Mesh(np.array(jax.devices()[:1]), ("parts",))
+    dp = shard_dist_gt_plan(dp, mesh)
+    xp = jax.device_put(np.pad(x, (0, dp.padded_rows - A.nrows)))
+
+    def mk2(K):
+        def step(c, _):
+            y = dist_spmv_gt(dp, c, mesh)
+            return y * 0.125, None
+        return jax.jit(lambda xx: jax.lax.scan(step, xx, None, length=K)[0])
+
+    t2 = chain_time_slope(mk2, (xp,), k1=30, k2=150, reps=4)
+    emit("dist_spmv_gt_lap1000_gnnz", A.nnz / t2 / 1e9, "Gnnz/s",
+         (A.nnz / t2) / (A.nnz / t1),
+         single_chip_gnnz=round(A.nnz / t1 / 1e9, 2),
+         time_us=round(t2 * 1e6, 1), layout=dp.layout,
+         plan_build_s=round(t_build, 2), n_parts=1,
+         baseline_model="single-chip v9 kernel rate (ratio, target 1.0)")
 
 
 def bench_flagship():
@@ -381,7 +693,8 @@ def bench_flagship():
 def main():
     t_start = time.time()
     for fn in (bench_spmv_unstructured, bench_spmv_f64, bench_spgemm,
-               bench_sptrsv, bench_solvers, bench_graph):
+               bench_sptrsv, bench_solvers, bench_graph, bench_spmm_blas,
+               bench_gs_gmres, bench_bsr_banded, bench_dist):
         family(fn)
     family(bench_flagship)  # LAST line = headline
     try:

@@ -160,3 +160,65 @@ class TestDistGmres:
         xr = np.asarray(x)[: M.nrows]
         res = sp @ xr - b
         assert np.abs(res).max() < 1e-7 * max(1, np.abs(b).max())
+
+
+class TestDistGt:
+    """Fast distributed SpMV: v9 gather-table Pallas kernels inside
+    shard_map (dist/gt_spmv.py) — interpret mode on the CPU mesh."""
+
+    def _plan(self, A, mesh):
+        from tpukk.dist import build_dist_gt_plan, shard_dist_gt_plan
+
+        plan = build_dist_gt_plan(A, mesh.devices.size)
+        assert plan is not None, "gt plan build fell back unexpectedly"
+        return shard_dist_gt_plan(plan, mesh)
+
+    def test_structured_matches_scipy(self, rng):
+        from tpukk.dist import dist_spmv_gt
+
+        mesh = _mesh()
+        A = generate_structured_laplacian(40, 40, dtype=np.float32)
+        plan = self._plan(A, mesh)
+        x = rng.standard_normal(A.ncols).astype(np.float32)
+        xp = _pad(x, plan.padded_rows)
+        y = np.asarray(dist_spmv_gt(plan, jnp.asarray(xp), mesh))[: A.nrows]
+        ref = A.to_scipy() @ x
+        tol = 20 * np.finfo(np.float32).eps * max(1, np.abs(ref).max())
+        assert np.abs(y - ref).max() < tol
+
+    def test_unstructured_matches_scipy(self, rng):
+        import scipy.sparse as sps
+        from tpukk.containers import CsrMatrix
+        from tpukk.dist import dist_spmv_gt
+
+        mesh = _mesh()
+        n, deg = 3000, 7
+        r = np.repeat(np.arange(n), deg)
+        c = rng.integers(0, n, n * deg)
+        sp = sps.csr_matrix(
+            (rng.standard_normal(n * deg).astype(np.float32), (r, c)),
+            shape=(n, n))
+        sp.sum_duplicates()
+        A = CsrMatrix.from_scipy(sp)
+        plan = self._plan(A, mesh)
+        x = rng.standard_normal(n).astype(np.float32)
+        xp = _pad(x, plan.padded_rows)
+        y = np.asarray(dist_spmv_gt(plan, jnp.asarray(xp), mesh))[:n]
+        ref = sp @ x
+        tol = 40 * np.finfo(np.float32).eps * max(1, np.abs(ref).max()) * deg
+        assert np.abs(y - ref).max() < tol
+
+    def test_pcg_through_gt_plan(self, rng):
+        from tpukk.dist import dist_pcg
+
+        mesh = _mesh()
+        A = generate_structured_laplacian(24, 24, dtype=np.float32)
+        plan = self._plan(A, mesh)
+        b = np.zeros(plan.padded_rows, np.float32)
+        b[: A.nrows] = rng.standard_normal(A.nrows)
+        x, iters, rel = dist_pcg(plan, jnp.asarray(b), mesh, tol=1e-5,
+                                 max_iters=600)
+        assert float(rel) < 1e-4
+        xr = np.asarray(x)[: A.nrows]
+        r = A.to_scipy() @ xr - b[: A.nrows]
+        assert np.linalg.norm(r) / np.linalg.norm(b[: A.nrows]) < 1e-3

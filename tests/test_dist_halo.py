@@ -1,6 +1,7 @@
 """Halo-exchange SpMV, distributed colored GS, and ring SpGEMM on the
 virtual 8-device mesh (BASELINE config 5 coverage)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh
@@ -116,3 +117,28 @@ def test_ring_spgemm_value_reuse(mesh):
                                 b_vals_pad=plan.b_vals_pad * 3.0)
     C2 = ring_spgemm_numeric(plan2, mesh)
     np.testing.assert_allclose(np.asarray(C2.values), 6 * np.asarray(C1.values), rtol=1e-12)
+
+
+def test_dist_gs_gt_matches_ell_sweep(mesh, rng):
+    """Fast gather-table GS sweep == ELL-take GS sweep (same coloring)."""
+    from tpukk.dist import (build_dist_gs_gt_plan, build_dist_gs_plan,
+                            dist_gs_sweep, shard_dist_gs_plan)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    A = generate_structured_laplacian(20, 20, dtype=np.float32)
+    n = A.nrows
+    P_ = mesh.devices.size
+    gp = build_dist_gs_gt_plan(A, P_)
+    assert gp is not None
+    spec = NamedSharding(mesh, P("parts"))
+    gp = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), gp)
+    ep = shard_dist_gs_plan(build_dist_gs_plan(A, P_), mesh)
+    b = np.zeros(gp.padded_rows, np.float32)
+    b[:n] = rng.standard_normal(n).astype(np.float32)
+    x0 = jnp.zeros(gp.padded_rows, jnp.float32)
+    xg = dist_gs_sweep(gp, x0, jnp.asarray(b), mesh, num_sweeps=2)
+    xe = dist_gs_sweep(ep, x0, jnp.asarray(b), mesh, num_sweeps=2)
+    assert np.abs(np.asarray(xg)[:n] - np.asarray(xe)[:n]).max() < 1e-5
+    # and the sweep reduces the residual
+    r = np.linalg.norm(A.to_scipy() @ np.asarray(xg)[:n] - b[:n])
+    assert r < np.linalg.norm(b[:n])

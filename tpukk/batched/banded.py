@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..common.tracing import annotate
 
 __all__ = ["pbtrf_banded", "pbtrs_banded", "gbtrf_banded", "gbtrs_banded",
            "tbsv_banded"]
@@ -76,6 +77,7 @@ def _pbtrf_1(Ab):
     return jnp.moveaxis(Lcols, 0, -1)
 
 
+@annotate("batched.pbtrf_banded")
 def pbtrf_banded(Ab):
     """Cholesky of an SPD band matrix in lower band storage (..., kd+1, n).
     Returns L in the same layout (cf. KokkosBatched_Pbtrf.hpp)."""
@@ -134,6 +136,7 @@ def _pbtrs_1(Lb, b):
     return _lower_band_bwd_T(Lb, _lower_band_fwd(Lb, b))
 
 
+@annotate("batched.pbtrs_banded")
 def pbtrs_banded(Lb, b):
     """Solve A x = b from pbtrf_banded factors (cf. KokkosBatched_Pbtrs.hpp)."""
     bshape = b.shape[:-1]
@@ -185,6 +188,7 @@ def _gbtrf_1(Ab, kl, ku):
     return jnp.moveaxis(Ls, 0, -1), jnp.moveaxis(Us, 0, -1)
 
 
+@annotate("batched.gbtrf_banded")
 def gbtrf_banded(Ab, kl: int, ku: int):
     """LU (no pivoting) of a general band matrix in LAPACK band storage
     (..., kl+ku+1, n).  Returns (Lb, Ub): unit-lower multipliers column-
@@ -225,6 +229,7 @@ def _gbtrs_1(Lb, Ub, b):
     return xr[::-1]
 
 
+@annotate("batched.gbtrs_banded")
 def gbtrs_banded(Lb, Ub, b):
     """Solve A x = b from gbtrf_banded factors (cf. KokkosBatched_Gbtrs.hpp)."""
     bshape = b.shape[:-1]
@@ -236,6 +241,7 @@ def gbtrs_banded(Lb, Ub, b):
     return jax.vmap(_gbtrs_1)(Lf, Uf, bf).reshape(b.shape)
 
 
+@annotate("batched.tbsv_banded")
 def tbsv_banded(Ab, b, lower: bool = True, unit_diag: bool = False):
     """Triangular banded solve in band storage (cf. KokkosBatched_Tbsv.hpp).
     lower: Ab is (..., k+1, n) lower band (Ab[i,j] = A[j+i, j]);

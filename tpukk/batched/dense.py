@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..common import check
+from ..common.tracing import annotate
 
 __all__ = [
     "gemm", "gemv", "ger", "syr", "dot", "axpy", "xpay", "hadamard",
@@ -39,6 +40,7 @@ def _op(A, trans):
 
 # ---- BLAS-like ------------------------------------------------------------
 
+@annotate("batched.gemm")
 def gemm(transA, transB, alpha, A, B, beta, C):
     """(B,m,k)x(B,k,n): batched MXU matmul (cf. KokkosBatched_Gemm_Decl.hpp)."""
     pet = jnp.promote_types(A.dtype, jnp.float32)
@@ -47,15 +49,18 @@ def gemm(transA, transB, alpha, A, B, beta, C):
             .astype(pet)).astype(C.dtype)
 
 
+@annotate("batched.gemv")
 def gemv(trans, alpha, A, x, beta, y):
     return beta * y + alpha * jnp.einsum("bij,bj->bi", _op(A, trans), x,
                                          precision=jax.lax.Precision.HIGHEST)
 
 
+@annotate("batched.ger")
 def ger(alpha, x, y, A):
     return A + alpha * jnp.einsum("bi,bj->bij", x, jnp.conj(y))
 
 
+@annotate("batched.syr")
 def syr(uplo, alpha, x, A):
     full = alpha * jnp.einsum("bi,bj->bij", x, x)
     n = A.shape[-1]
@@ -63,14 +68,17 @@ def syr(uplo, alpha, x, A):
     return A + jnp.where(mask, full, 0)
 
 
+@annotate("batched.dot")
 def dot(x, y):
     return jnp.sum(jnp.conj(x) * y, axis=-1)
 
 
+@annotate("batched.axpy")
 def axpy(alpha, x, y):
     return y + _bcast(alpha, x) * x
 
 
+@annotate("batched.xpay")
 def xpay(beta, x, y):
     """x + beta*y (cf. KokkosBatched_Xpay.hpp)."""
     return x + _bcast(beta, y) * y
@@ -83,27 +91,33 @@ def _bcast(a, x):
     return a
 
 
+@annotate("batched.hadamard")
 def hadamard(alpha, x, y):
     return alpha * x * y
 
 
+@annotate("batched.copy")
 def copy(x):
     return jnp.array(x)
 
 
+@annotate("batched.set_value")
 def set_value(x, val):
     return jnp.full_like(x, val)
 
 
+@annotate("batched.scale")
 def scale(alpha, x):
     return _bcast(alpha, x) * x
 
 
+@annotate("batched.set_identity")
 def set_identity(A):
     n = A.shape[-1]
     return jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
 
 
+@annotate("batched.add_radial")
 def add_radial(eps, A):
     """A += eps*sign(diag)*I — diagonal stabilizer
     (cf. KokkosBatched_AddRadial_Decl.hpp)."""
@@ -114,6 +128,7 @@ def add_radial(eps, A):
 
 # ---- factorizations -------------------------------------------------------
 
+@annotate("batched.lu")
 def lu(A):
     """Unpivoted batched LU stored packed (L unit-lower, U upper in one
     matrix) — the KokkosBatched::LU semantic (no pivoting,
@@ -137,6 +152,7 @@ def lu(A):
     return M
 
 
+@annotate("batched.solve_lu")
 def solve_lu(LU, b, trans: str = "N"):
     """Solve with a packed unpivoted LU (cf. KokkosBatched_SolveLU_Decl.hpp)."""
     n = LU.shape[-1]
@@ -152,12 +168,14 @@ def solve_lu(LU, b, trans: str = "N"):
     return x[..., 0] if b.ndim == LU.ndim - 1 else x
 
 
+@annotate("batched.inverse_lu")
 def inverse_lu(LU):
     n = LU.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=LU.dtype), LU.shape)
     return solve_lu(LU, eye)
 
 
+@annotate("batched.trsm")
 def trsm(side, uplo, trans, diag, alpha, A, B):
     return jax.lax.linalg.triangular_solve(
         A, alpha * B, left_side=(side.upper() == "L"),
@@ -168,10 +186,12 @@ def trsm(side, uplo, trans, diag, alpha, A, B):
     )
 
 
+@annotate("batched.trsv")
 def trsv(uplo, trans, diag, A, b):
     return trsm("L", uplo, trans, diag, 1.0, A, b[..., None])[..., 0]
 
 
+@annotate("batched.trmm")
 def trmm(side, uplo, trans, diag, alpha, A, B):
     n = A.shape[-1]
     T = jnp.tril(A) if uplo.upper() == "L" else jnp.triu(A)
@@ -184,6 +204,7 @@ def trmm(side, uplo, trans, diag, alpha, A, B):
                     else jnp.matmul(B, T, precision=hp))
 
 
+@annotate("batched.trtri")
 def trtri(uplo, diag, A):
     n = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
@@ -192,25 +213,30 @@ def trtri(uplo, diag, A):
         unit_diagonal=(diag.upper() == "U"))
 
 
+@annotate("batched.qr")
 def qr(A):
     return jnp.linalg.qr(A, mode="reduced")
 
 
+@annotate("batched.apply_q")
 def apply_q(Q, B, trans: str = "N"):
     """Apply Q (from qr) to B (cf. KokkosBatched_ApplyQ_Decl.hpp)."""
     return jnp.matmul(_op(Q, trans), B, precision=jax.lax.Precision.HIGHEST)
 
 
+@annotate("batched.svd")
 def svd(A, full_matrices: bool = False):
     return jnp.linalg.svd(A, full_matrices=full_matrices)
 
 
+@annotate("batched.eigh")
 def eigh(A):
     """Symmetric eigendecomposition (the reference's Eigendecomposition
     targets general small matrices; symmetric path is the XLA-native one)."""
     return jnp.linalg.eigh(A)
 
 
+@annotate("batched.gesv")
 def gesv(A, b):
     """Batched solve with pivoting (cf. KokkosBatched_Gesv.hpp; the
     reference's static-pivoting variant is an optimization of the same
@@ -220,10 +246,12 @@ def gesv(A, b):
     return x[..., 0] if b.ndim == A.ndim - 1 else x
 
 
+@annotate("batched.getrf")
 def getrf(A):
     return jax.lax.linalg.lu(A)
 
 
+@annotate("batched.getrs")
 def getrs(lu_, piv, b, trans: str = "N"):
     rhs = b[..., None] if b.ndim == lu_.ndim - 1 else b
     n = lu_.shape[-1]
@@ -257,6 +285,7 @@ def _piv_to_perm(piv, n):
 
 # ---- banded / tridiagonal -------------------------------------------------
 
+@annotate("batched.pttrf")
 def pttrf(d, e):
     """LDLᵀ of a symmetric tridiagonal (d diag (B,n), e off-diag (B,n-1)) —
     cf. KokkosBatched_Pttrf.hpp.  Sequential recurrence via lax.scan."""
@@ -274,6 +303,7 @@ def pttrf(d, e):
     return d_out, jnp.moveaxis(l, 0, -1)
 
 
+@annotate("batched.pttrs")
 def pttrs(d, l, b):
     """Solve from pttrf factors."""
     n = b.shape[-1]
@@ -303,12 +333,14 @@ def pttrs(d, l, b):
     return x[..., ::-1]
 
 
+@annotate("batched.pbtrf")
 def pbtrf(A):
     """Banded Cholesky — dense-storage fallback (cf. KokkosBatched_Pbtrf.hpp;
     a band-storage kernel is a planned refinement)."""
     return jnp.linalg.cholesky(A)
 
 
+@annotate("batched.pbtrs")
 def pbtrs(L, b):
     rhs = b[..., None] if b.ndim == L.ndim - 1 else b
     y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
@@ -316,21 +348,25 @@ def pbtrs(L, b):
     return x[..., 0] if b.ndim == L.ndim - 1 else x
 
 
+@annotate("batched.gbtrf")
 def gbtrf(A):
     """Banded LU — dense-storage fallback (cf. KokkosBatched_Gbtrf.hpp)."""
     return jax.lax.linalg.lu(A)
 
 
+@annotate("batched.gbtrs")
 def gbtrs(lu_, piv, b):
     return getrs(lu_, piv, b)
 
 
+@annotate("batched.tbsv")
 def tbsv(uplo, trans, diag, A, b):
     """Triangular banded solve — dense-storage fallback
     (cf. KokkosBatched_Tbsv.hpp)."""
     return trsv(uplo, trans, diag, A, b)
 
 
+@annotate("batched.laswp")
 def laswp(piv, B):
     """Apply LAPACK-style row interchanges (cf. KokkosBatched_Laswp.hpp)."""
     n = B.shape[-2]
@@ -338,6 +374,7 @@ def laswp(piv, B):
     return jnp.take_along_axis(B, perm[..., None], axis=-2)
 
 
+@annotate("batched.iamax")
 def iamax(x):
     return jnp.argmax(jnp.abs(x), axis=-1)
 
@@ -352,6 +389,7 @@ def _batch_apply(fn, A, extra=()):
     return f(A, *extra)
 
 
+@annotate("batched.qr_with_column_pivoting")
 def qr_with_column_pivoting(A):
     """Householder QR with greedy column pivoting:  A[..., :, perm] = Q @ R
     (cf. batched/dense/src/KokkosBatched_QR_WithColumnPivoting_Decl.hpp).
@@ -395,6 +433,7 @@ def qr_with_column_pivoting(A):
     return _batch_apply(one, A)
 
 
+@annotate("batched.utv")
 def utv(A, rel_tol: float = 1e-6):
     """Rank-revealing UTV factorization (cf. KokkosBatched_UTV_Decl.hpp):
     A[..., :, perm] = U @ T @ Vᵀ with U (m,k), T (k,k) lower-triangular with
@@ -417,6 +456,7 @@ def utv(A, rel_tol: float = 1e-6):
     return _batch_apply(one, A)
 
 
+@annotate("batched.solve_utv")
 def solve_utv(U, T, V, perm, rank, b):
     """Min-norm least-squares solve from utv() factors (cf.
     KokkosBatched_SolveUTV_Decl.hpp):  x = argmin |x| s.t. x minimizes

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..common.tracing import annotate
 
 __all__ = ["hessenberg", "schur", "eig", "eigenvalues", "eigendecomposition"]
 
@@ -232,6 +233,7 @@ def _as_batch(A):
     return A, False
 
 
+@annotate("batched.hessenberg")
 def hessenberg(A):
     """Batched (H, Q) with Qᴴ A Q = H upper Hessenberg."""
     Ab, single = _as_batch(A)
@@ -239,6 +241,7 @@ def hessenberg(A):
     return (H[0], Q[0]) if single else (H, Q)
 
 
+@annotate("batched.schur")
 def schur(A, max_sweeps: int | None = None):
     """Batched complex Schur decomposition A = Z T Zᴴ (T upper triangular).
     Accepts real or complex input; returns complex (T, Z)."""
@@ -256,12 +259,14 @@ def schur(A, max_sweeps: int | None = None):
     return (T[0], Z[0]) if single else (T, Z)
 
 
+@annotate("batched.eigenvalues")
 def eigenvalues(A, max_sweeps: int | None = None):
     """Batched eigenvalues only (the reference's Eigenvalue interface)."""
     T, _ = schur(A, max_sweeps)
     return jnp.diagonal(T, axis1=-2, axis2=-1)
 
 
+@annotate("batched.eig")
 def eig(A, left: bool = True, right: bool = True,
         max_sweeps: int | None = None):
     """Batched general eigendecomposition: (w, VL, VR) complex with
@@ -288,6 +293,7 @@ def eig(A, left: bool = True, right: bool = True,
     return w, VL, VR
 
 
+@annotate("batched.eigendecomposition")
 def eigendecomposition(A, max_sweeps: int | None = None):
     """Reference-convention outputs (er, ei, UL, UR) for REAL batched A
     (Eigendecomposition_Decl.hpp: er(m)+ei(m)i with a conjugate pair stored
@@ -298,6 +304,28 @@ def eigendecomposition(A, max_sweeps: int | None = None):
     # conjugate pairs adjacent: stable sort by (re, −|im|, sign(im)≤0)
     re, im = jnp.real(wb), jnp.imag(wb)
     order = jnp.lexsort((im < 0, -jnp.abs(im), re), axis=-1)
+    ws0 = jnp.take_along_axis(wb, order, axis=-1)
+    # numerical asymmetry in a computed pair's re can flip (a+bi, a-bi)
+    # through the sort (re is the primary key): a vectorized swap pass
+    # restores the +b-first convention wherever an adjacent conjugate pair
+    # arrived negative-first
+    re_s, im_s = jnp.real(ws0), jnp.imag(ws0)
+    scale = jnp.max(jnp.abs(ws0), axis=-1, keepdims=True) + 1e-30
+    tol = 1e-7 * scale
+    nxt_im = jnp.concatenate([im_s[..., 1:], jnp.zeros_like(im_s[..., :1])],
+                             axis=-1)
+    nxt_re = jnp.concatenate([re_s[..., 1:], re_s[..., :1]], axis=-1)
+    flip = ((im_s < 0) & (nxt_im > 0)
+            & (jnp.abs(im_s + nxt_im) <= tol)
+            & (jnp.abs(re_s - nxt_re) <= tol))
+    prev = jnp.concatenate([jnp.zeros_like(flip[..., :1]), flip[..., :-1]],
+                           axis=-1)
+    flip = flip & ~prev
+    prev = jnp.concatenate([jnp.zeros_like(flip[..., :1]), flip[..., :-1]],
+                           axis=-1)
+    shift = flip.astype(order.dtype) - prev.astype(order.dtype)
+    idx = jnp.arange(ws0.shape[-1], dtype=order.dtype) + shift
+    order = jnp.take_along_axis(order, idx, axis=-1)
     take = lambda X: jnp.take_along_axis(X, order[..., None, :], axis=-1)
     ws = jnp.take_along_axis(wb, order, axis=-1)
     ULs = take(VL if VL.ndim == 3 else VL[None])

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..containers import CsrMatrix
 from ..sparse.spmv_impl import build_segsum_plan
+from ..common.tracing import annotate
 
 __all__ = ["BatchedCrsMatrix", "batched_spmv", "JacobiPrec", "IdentityPrec",
            "batched_cg", "batched_gmres"]
@@ -53,6 +54,7 @@ class BatchedCrsMatrix:
         return jnp.asarray(np.repeat(np.arange(self.nrows, dtype=np.int32), rm[1:] - rm[:-1]))
 
 
+@annotate("batched.batched_spmv")
 def batched_spmv(A: BatchedCrsMatrix, X, rows=None):
     """Y[b] = A[b] · X[b] for X of shape (B, n) —
     cf. KokkosBatched_Spmv_*_Impl.hpp."""
@@ -99,6 +101,7 @@ class JacobiPrec:
         return X / self.diag
 
 
+@annotate("batched.batched_cg")
 def batched_cg(A: BatchedCrsMatrix, B, max_iters: int = 100, tol: float = 1e-8,
                prec=None, X0=None):
     """Batched CG — cf. KokkosBatched_CG_*_Impl.hpp.  Returns (X, iters,
@@ -133,6 +136,7 @@ def batched_cg(A: BatchedCrsMatrix, B, max_iters: int = 100, tol: float = 1e-8,
     return X, max_iters, res
 
 
+@annotate("batched.batched_gmres")
 def batched_gmres(A: BatchedCrsMatrix, B, restart: int = 30, max_restarts: int = 5,
                   tol: float = 1e-8, prec=None, X0=None):
     """Batched restarted GMRES(m) with MGS orthogonalization —

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..common import arith_traits
+from ..common.tracing import annotate
 
 __all__ = [
     "abs", "axpy", "axpby", "dot", "fill", "iamax", "mult", "nrm1", "nrm2",
@@ -31,20 +32,24 @@ def _coef(a, x):
     return a
 
 
+@annotate("blas1.abs")
 def abs(x):  # noqa: A001 - matches KokkosBlas1_abs
     return jnp.abs(x)
 
 
+@annotate("blas1.axpy")
 def axpy(alpha, x, y):
     """y + alpha*x (functional: returns the new y)."""
     return _coef(alpha, x) * x + y
 
 
+@annotate("blas1.axpby")
 def axpby(alpha, x, beta, y):
     """alpha*x + beta*y, cf. blas/src/KokkosBlas1_axpby.hpp."""
     return _coef(alpha, x) * x + _coef(beta, y) * y
 
 
+@annotate("blas1.dot")
 def dot(x, y):
     """<x,y> with conjugation on x for complex types
     (cf. Kokkos_InnerProductSpaceTraits.hpp).  MV form: per-column dots."""
@@ -55,6 +60,7 @@ def dot(x, y):
     return jnp.sum(xc * y, axis=0)
 
 
+@annotate("blas1.fill")
 def fill(x, val):
     return jnp.full_like(x, val)
 
@@ -65,11 +71,13 @@ def set(y, x):  # noqa: A001 - matches KokkosBlas1_set (Y = X)
     return jnp.broadcast_to(x, y.shape).astype(y.dtype)
 
 
+@annotate("blas1.iamax")
 def iamax(x):
     """Index of max |x_i| (0-based; per column for MV)."""
     return jnp.argmax(jnp.abs(x), axis=0)
 
 
+@annotate("blas1.mult")
 def mult(gamma, y, alpha, a, x):
     """y = gamma*y + alpha*a*x elementwise (cf. KokkosBlas1_mult.hpp)."""
     if a.ndim == 1 and x.ndim == 2:
@@ -77,21 +85,25 @@ def mult(gamma, y, alpha, a, x):
     return gamma * y + alpha * a * x
 
 
+@annotate("blas1.nrm1")
 def nrm1(x):
     tr = arith_traits(x.dtype)
     return jnp.sum(jnp.abs(x), axis=0 if x.ndim == 2 else None).astype(tr.mag_dtype)
 
 
+@annotate("blas1.nrm2_squared")
 def nrm2_squared(x):
     tr = arith_traits(x.dtype)
     m = jnp.abs(x) if tr.is_complex else x
     return jnp.sum((m * m).real if tr.is_complex else m * m, axis=0 if x.ndim == 2 else None)
 
 
+@annotate("blas1.nrm2")
 def nrm2(x):
     return jnp.sqrt(nrm2_squared(x))
 
 
+@annotate("blas1.nrm2w")
 def nrm2w(x, w):
     """sqrt(sum((x_i/w_i)^2)) — cf. KokkosBlas1_nrm2w.hpp."""
     if w.ndim == 1 and x.ndim == 2:
@@ -100,37 +112,45 @@ def nrm2w(x, w):
     return jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0 if x.ndim == 2 else None))
 
 
+@annotate("blas1.nrminf")
 def nrminf(x):
     return jnp.max(jnp.abs(x), axis=0 if x.ndim == 2 else None)
 
 
+@annotate("blas1.reciprocal")
 def reciprocal(x):
     return 1.0 / x
 
 
+@annotate("blas1.scal")
 def scal(alpha, x):
     return _coef(alpha, x) * x
 
 
+@annotate("blas1.update")
 def update(alpha, x, beta, y, gamma, z):
     """alpha*x + beta*y + gamma*z (cf. KokkosBlas1_update.hpp)."""
     return _coef(alpha, x) * x + _coef(beta, y) * y + _coef(gamma, z) * z
 
 
+@annotate("blas1.sum")
 def sum(x):  # noqa: A001
     return jnp.sum(x, axis=0 if x.ndim == 2 else None)
 
 
+@annotate("blas1.swap")
 def swap(x, y):
     """Functional swap (returns (y, x)); cf. KokkosBlas1_swap.hpp."""
     return y, x
 
 
+@annotate("blas1.rot")
 def rot(x, y, c, s):
     """Apply Givens rotation: (c*x + s*y, c*y - s*x)."""
     return c * x + s * y, c * y - s * x
 
 
+@annotate("blas1.rotg")
 def rotg(a, b):
     """Construct Givens rotation zeroing b: returns (r, z, c, s) per BLAS."""
     a = jnp.asarray(a)
@@ -144,6 +164,7 @@ def rotg(a, b):
     return r, z, c, s
 
 
+@annotate("blas1.rotm")
 def rotm(x, y, param):
     """Apply modified Givens rotation H (param = [flag, h11, h21, h12, h22])."""
     flag = param[0]
@@ -157,6 +178,7 @@ def rotm(x, y, param):
     return h11 * x + h12 * y, h21 * x + h22 * y
 
 
+@annotate("blas1.rotmg")
 def rotmg(d1, d2, x1, y1):
     """Construct modified Givens rotation (reference LAPACK drotmg semantics,
     simplified: no rescaling against gamma thresholds)."""

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from ..common import arith_traits, check
+from ..common.tracing import annotate
 
 __all__ = ["gemv", "ger", "syr", "syr2"]
 
@@ -21,12 +22,14 @@ def _apply_trans(A, trans: str):
     return jnp.conj(A).T
 
 
+@annotate("blas2.gemv")
 def gemv(trans, alpha, A, x, beta, y):
     """y = beta*y + alpha*op(A)·x — cf. blas/src/KokkosBlas2_gemv.hpp."""
     op = _apply_trans(A, trans)
     return beta * y + alpha * jnp.matmul(op, x, precision=jax.lax.Precision.HIGHEST)
 
 
+@annotate("blas2.ger")
 def ger(alpha, x, y, A, conj_y: bool = True):
     """A += alpha * x yᴴ (rank-1 update) — cf. KokkosBlas2_ger.hpp."""
     tr = arith_traits(A.dtype)
@@ -34,6 +37,7 @@ def ger(alpha, x, y, A, conj_y: bool = True):
     return A + alpha * jnp.outer(x, yv)
 
 
+@annotate("blas2.syr")
 def syr(uplo, alpha, x, A):
     """Symmetric rank-1 update on the given triangle — cf. KokkosBlas2_syr.hpp."""
     full = alpha * jnp.outer(x, x)
@@ -41,6 +45,7 @@ def syr(uplo, alpha, x, A):
     return A + jnp.where(mask, full, 0)
 
 
+@annotate("blas2.syr2")
 def syr2(uplo, alpha, x, y, A):
     """Symmetric rank-2 update — cf. KokkosBlas2_syr2.hpp."""
     full = alpha * (jnp.outer(x, y) + jnp.outer(y, x))

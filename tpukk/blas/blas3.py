@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..common import check
+from ..common.tracing import annotate
 
 __all__ = ["gemm", "trmm", "trsm"]
 
@@ -27,6 +28,7 @@ def _op(A, trans: str):
     return jnp.conj(A).T
 
 
+@annotate("blas3.gemm")
 def gemm(transA, transB, alpha, A, B, beta, C, preferred_element_type=None):
     """C = beta*C + alpha*op(A)·op(B) — cf. blas/src/KokkosBlas3_gemm.hpp:96."""
     pet = preferred_element_type or jnp.promote_types(A.dtype, jnp.float32)
@@ -41,6 +43,7 @@ def _tri_mask(A, uplo: str, diag: str):
         m = m - jnp.diag(jnp.diag(m)) + jnp.eye(A.shape[0], dtype=A.dtype)
     return m
 
+@annotate("blas3.trmm")
 def trmm(side, uplo, trans, diag, alpha, A, B):
     """B = alpha*op(tri(A))·B (side='L') or alpha*B·op(tri(A)) (side='R')."""
     T = _op(_tri_mask(A, uplo, diag), trans)
@@ -50,6 +53,7 @@ def trmm(side, uplo, trans, diag, alpha, A, B):
     return alpha * jnp.matmul(B, T, precision=hp)
 
 
+@annotate("blas3.trsm")
 def trsm(side, uplo, trans, diag, alpha, A, B):
     """Solve op(tri(A))·X = alpha*B (side='L') or X·op(tri(A)) = alpha*B —
     via XLA's native triangular_solve (lax.linalg)."""

@@ -46,7 +46,11 @@ def profile_region(name: str):
 
 
 def annotate(api: str, *labels):
-    """Decorator putting a function body inside :func:`profile_region`."""
+    """Decorator putting a function body inside :func:`profile_region`.
+    The wrapped function carries ``_tpukk_region`` (the region string) so
+    coverage is testable (tests/test_tracing.py asserts every public API is
+    instrumented — the reference names literally every kernel,
+    sparse/impl/KokkosSparse_spmv_impl.hpp:331)."""
     name = region_name(api, *labels)
 
     def deco(fn):
@@ -55,6 +59,7 @@ def annotate(api: str, *labels):
             with profile_region(name):
                 return fn(*args, **kwargs)
 
+        wrapper._tpukk_region = name
         return wrapper
 
     return deco

@@ -1,4 +1,11 @@
-from .gauss_seidel import DistGsPlan, build_dist_gs_plan, dist_gs_sweep, shard_dist_gs_plan
+from .gauss_seidel import (
+    DistGsGtPlan,
+    DistGsPlan,
+    build_dist_gs_gt_plan,
+    build_dist_gs_plan,
+    dist_gs_sweep,
+    shard_dist_gs_plan,
+)
 from .gt_spmv import DistGtPlan, build_dist_gt_plan, dist_spmv_gt, shard_dist_gt_plan
 from .halo import HaloPlan, build_halo_plan, import_lists
 from .partition import RowPartition, partition_rows

@@ -19,8 +19,10 @@ from ..common import round_up
 from ..containers import CsrMatrix
 from ..graph.coloring import ColoringAlgorithm, graph_color
 from .halo import import_lists
+from ..common.tracing import annotate
 
-__all__ = ["DistGsPlan", "build_dist_gs_plan", "shard_dist_gs_plan", "dist_gs_sweep"]
+__all__ = ["DistGsPlan", "DistGsGtPlan", "build_dist_gs_plan",
+           "build_dist_gs_gt_plan", "shard_dist_gs_plan", "dist_gs_sweep"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -56,6 +58,7 @@ class DistGsPlan:
         return len(self.color_cols)
 
 
+@annotate("dist.build_dist_gs_plan")
 def build_dist_gs_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
                        row_block: int = 8,
                        coloring: ColoringAlgorithm = ColoringAlgorithm.VB) -> DistGsPlan:
@@ -106,9 +109,182 @@ def build_dist_gs_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
                       n, n_parts, rpp, H, float(omega))
 
 
+@annotate("dist.shard_dist_gs_plan")
 def shard_dist_gs_plan(plan: DistGsPlan, mesh: Mesh, axis: str = "parts") -> DistGsPlan:
     spec = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), plan)
+
+
+# ---------------------------------------------------------------------------
+# Fast variant: per-color local compute through the v9 gather-table Pallas
+# kernels (round-2 verdict: the per-color jnp.take gather runs ~0.12 Gelem/s
+# on v5e vs 14-40 Gnnz/s for the single-chip kernels).  Each color's rows
+# form a (rpp x ncols_ext) sub-matrix per part; its stacked stream set runs
+# inside shard_map and the x update is a masked vector op (no scatter).
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DistGsGtPlan:
+    send_idx: Any        # (P, P, H)
+    color_streams: tuple  # per color: (dst, src, first, cnt, gt, rhi, vals)
+    color_mask: tuple     # per color: (P, rpp) f32 1/0 update mask
+    color_invd: tuple     # per color: (P, rpp) f32 inv diag (0 off-color)
+    layouts: tuple        # per color: "gi4" | "dlp"
+    n_sss: tuple
+    batches: tuple
+    nrows: int
+    n_parts: int
+    rows_per_part: int
+    halo: int
+    ncols_ext: int
+    omega: float
+
+    def tree_flatten(self):
+        children = (self.send_idx, self.color_streams, self.color_mask,
+                    self.color_invd)
+        aux = (self.layouts, self.n_sss, self.batches, self.nrows,
+               self.n_parts, self.rows_per_part, self.halo, self.ncols_ext,
+               self.omega)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def padded_rows(self):
+        return self.n_parts * self.rows_per_part
+
+    @property
+    def num_colors(self):
+        return len(self.color_streams)
+
+
+@annotate("dist.build_dist_gs_gt_plan")
+def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
+                          row_block: int = 8,
+                          coloring: ColoringAlgorithm = ColoringAlgorithm.VB,
+                          ) -> "DistGsGtPlan | None":
+    """Fast distributed colored-GS plan; None when the gather-table layouts
+    cannot be made uniform (callers fall back to build_dist_gs_plan)."""
+    from ..sparse import spmv_pallas
+    from .gt_spmv import build_stacked_streams
+    from .halo import import_index
+
+    assert A.nrows == A.ncols
+    rm = A.host_row_map().astype(np.int64)
+    ent = A.host_entries().astype(np.int64)
+    vals = np.asarray(A.host_values(), np.float32)
+    n = A.nrows
+    rpp = round_up(-(-n // n_parts), row_block)
+    send_idx, rem_cols, rem_ids, H = import_index(rm, ent, n, n_parts, rpp)
+    ncols_ext = rpp + n_parts * H
+    ns = max(1, -(-ncols_ext // spmv_pallas._OH_SRC))
+    if ns * spmv_pallas._OH_SRC * 4 > spmv_pallas._X_VMEM_CAP:
+        return None
+    colors = graph_color(A, coloring)
+    ncolors = int(colors.max())
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
+
+    color_streams, color_mask, color_invd = [], [], []
+    layouts, n_sss, batches = [], [], []
+    diag = np.zeros(n, np.float32)
+    dsel = rows_all == ent
+    diag[rows_all[dsel]] = vals[dsel]
+    for c in range(1, ncolors + 1):
+        locals_c = []
+        mk = np.zeros((n_parts, rpp), np.float32)
+        iv = np.zeros((n_parts, rpp), np.float32)
+        for p in range(n_parts):
+            lo, hi = p * rpp, min(n, (p + 1) * rpp)
+            nr = max(0, hi - lo)
+            if nr == 0:
+                locals_c.append((np.zeros(rpp + 1, np.int64),
+                                 np.zeros(0, np.int64),
+                                 np.zeros(0, np.float32)))
+                continue
+            s, e = rm[lo], rm[hi]
+            erow = rows_all[s:e]
+            keep = (colors[erow] == c) & (ent[s:e] != erow)
+            cseg = ent[s:e][keep]
+            vseg = vals[s:e][keep]
+            # row map over kept entries
+            cnts = np.bincount((erow[keep] - lo).astype(np.int64),
+                               minlength=rpp)
+            rm_pc = np.zeros(rpp + 1, np.int64)
+            np.cumsum(cnts, out=rm_pc[1:])
+            local = (cseg >= lo) & (cseg < lo + rpp)
+            mapped = np.where(local, cseg - lo, 0)
+            if rem_cols[p].size:
+                ridx = np.searchsorted(rem_cols[p], cseg[~local])
+                mapped[~local] = rem_ids[p][ridx]
+            locals_c.append((rm_pc, mapped, vseg))
+            sel = colors[lo:hi] == c
+            mk[p, :nr] = sel
+            dloc = diag[lo:hi]
+            iv[p, :nr] = np.where(sel & (dloc != 0), 1.0 / np.where(
+                dloc == 0, 1.0, dloc), 0.0)
+        built = build_stacked_streams(locals_c, rpp, ncols_ext)
+        if built is None:
+            return None
+        dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, _ = built
+        color_streams.append((dst, src, first, cnt, gt, rhi, valsj))
+        color_mask.append(jnp.asarray(mk))
+        color_invd.append(jnp.asarray(iv))
+        layouts.append(layout)
+        n_sss.append(n_ss)
+        batches.append(B)
+    return DistGsGtPlan(jnp.asarray(send_idx), tuple(color_streams),
+                        tuple(color_mask), tuple(color_invd),
+                        tuple(layouts), tuple(n_sss), tuple(batches),
+                        n, n_parts, rpp, H, ncols_ext, float(omega))
+
+
+def _local_sweep_gt(send_idx, streams, masks, invds, x_shard, b_shard, *,
+                    axis, rpp, omega, reverse, layouts, n_sss, batches, ns,
+                    nd, interpret):
+    from .gt_spmv import apply_stacked_gt
+
+    x = x_shard[0]
+    b = b_shard[0]
+    ncolors = len(streams)
+    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
+    for c in order:
+        sends = jnp.take(x, send_idx[0], axis=0)
+        recv = jax.lax.all_to_all(sends, axis, split_axis=0, concat_axis=0)
+        x_ext = jnp.concatenate([x, recv.reshape(-1)])
+        dst, src, first, cnt, gt, rhi, valsj = streams[c]
+        y = apply_stacked_gt(dst, src, first, cnt, gt, rhi, valsj, x_ext,
+                             layout=layouts[c], n_ss=n_sss[c], B=batches[c],
+                             ns=ns, rpp=rpp, nd=nd, interpret=interpret)
+        xnew = (1.0 - omega) * x + omega * invds[c][0] * (b - y)
+        x = jnp.where(masks[c][0] > 0, xnew.astype(x.dtype), x)
+    return x[None]
+
+
+@functools.lru_cache(maxsize=64)
+def _sweep_fn_gt(mesh: Mesh, axis: str, rpp: int, n_parts: int, omega: float,
+                 layouts: tuple, n_sss: tuple, batches: tuple, ns: int,
+                 nd: int, fwd: bool, interpret: bool):
+    f = jax.shard_map(
+        partial(_local_sweep_gt, axis=axis, rpp=rpp, omega=omega,
+                reverse=not fwd, layouts=layouts, n_sss=n_sss,
+                batches=batches, ns=ns, nd=nd, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis),) * 4 + (P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(plan: DistGsGtPlan, x, b):
+        y2 = f(plan.send_idx, plan.color_streams, plan.color_mask,
+               plan.color_invd,
+               x.reshape(n_parts, rpp), b.reshape(n_parts, rpp))
+        return y2.reshape(-1)
+
+    return run
 
 
 def _local_sweep(send_idx, ccols, cvals, crows, cinvd, x_shard, b_shard, *,
@@ -155,15 +331,30 @@ def _sweep_fn(mesh: Mesh, axis: str, rpp: int, n_parts: int, omega: float,
     return run
 
 
-def dist_gs_sweep(plan: DistGsPlan, x_padded, b_padded, mesh: Mesh,
+@annotate("dist.dist_gs_sweep")
+def dist_gs_sweep(plan, x_padded, b_padded, mesh: Mesh,
                   num_sweeps: int = 1, direction: str = "symmetric",
-                  axis: str = "parts"):
-    """Colored GS sweeps on row-sharded x/b (padded to plan.padded_rows)."""
-    key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega)
+                  axis: str = "parts", interpret: bool | None = None):
+    """Colored GS sweeps on row-sharded x/b (padded to plan.padded_rows);
+    accepts a DistGsPlan (ELL jnp.take schedule) or DistGsGtPlan (Pallas
+    gather-table local kernels — the fast path)."""
+    if isinstance(plan, DistGsGtPlan):
+        from ..sparse import spmv_pallas
+
+        if interpret is None:
+            interpret = not spmv_pallas.supports_pallas()
+        ns = max(1, -(-plan.ncols_ext // spmv_pallas._OH_SRC))
+        nd = max(1, -(-plan.rows_per_part // spmv_pallas._OH_DST))
+        key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega,
+               plan.layouts, plan.n_sss, plan.batches, ns, nd)
+        fn = lambda fwd: _sweep_fn_gt(*key, fwd, interpret)
+    else:
+        key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega)
+        fn = lambda fwd: _sweep_fn(*key, fwd)
     x = x_padded
     for _ in range(num_sweeps):
         if direction in ("forward", "symmetric"):
-            x = _sweep_fn(*key, True)(plan, x, b_padded)
+            x = fn(True)(plan, x, b_padded)
         if direction in ("backward", "symmetric"):
-            x = _sweep_fn(*key, False)(plan, x, b_padded)
+            x = fn(False)(plan, x, b_padded)
     return x

@@ -40,6 +40,7 @@ from ..common import round_up
 from ..containers import CsrMatrix
 from ..sparse import spmv_pallas
 from .halo import import_index
+from ..common.tracing import annotate
 
 __all__ = ["DistGtPlan", "build_dist_gt_plan", "dist_spmv_gt",
            "shard_dist_gt_plan"]
@@ -152,28 +153,11 @@ def _plan_to_host_streams(p) -> dict:
             "n_ss": p.n_ss, "B": p.batch, "layout": p.layout}
 
 
-def build_dist_gt_plan(A: CsrMatrix, n_parts: int,
-                       row_block: int = 8) -> "DistGtPlan | None":
-    """Build the fast distributed plan; None when the gather-table layouts
-    cannot be made uniform across parts (callers fall back to the
-    correctness-first HaloPlan/RowPartition schedules)."""
-    assert A.nrows == A.ncols, "dist gt plan: square matrices"
-    rm = np.asarray(A.host_row_map(), np.int64)
-    ent = np.asarray(A.host_entries(), np.int64)
-    vals = np.asarray(A.host_values())
-    n = A.nrows
-    rpp = round_up(-(-n // n_parts), row_block)
-    send_idx, rem_cols, rem_ids, H = import_index(rm, ent, n, n_parts, rpp)
-    ncols_ext = rpp + n_parts * H
-    ns = max(1, -(-ncols_ext // spmv_pallas._OH_SRC))
-    if ns * spmv_pallas._OH_SRC * 4 > spmv_pallas._X_VMEM_CAP:
-        return None  # x_ext must be VMEM-resident for the gather kernels
-
-    locals_ = [_local_csr_of_part(rm, ent, vals, p, n, rpp,
-                                  rem_cols[p], rem_ids[p])
-               for p in range(n_parts)]
-    # per-part streams: native host build (no device round-trips) with the
-    # built-plan pull-back as the no-native fallback
+def build_stacked_streams(locals_, rpp, ncols_ext):
+    """Uniform-layout per-part v9 streams, padded + stacked: returns
+    (dst, src, first, cnt, gt, rhi, vals, layout, n_ss, B, pad) or None.
+    locals_ = per-part (rm, ent, vals) host CSR arrays over x_ext coords."""
+    n_parts = len(locals_)
     s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext)
     if s0 is not None:
         layout, B = s0["layout"], s0["B"]
@@ -204,11 +188,56 @@ def build_dist_gt_plan(A: CsrMatrix, n_parts: int,
     dst, src, first, cnt, gt, rhi, valsj, n_ss = _pad_stack(streams, layout, B)
     pad = max(s["S"] * 1024 / max(1, len(lc[1]))
               for s, lc in zip(streams, locals_))
+    return dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, pad
+
+
+def apply_stacked_gt(dst_ss, src_ids, first_ss, cnt_ss, gt, rhi, vals, x_ext,
+                     *, layout, n_ss, B, ns, rpp, nd, interpret):
+    """Run the shard's slice of a stacked stream set on x_ext — the inner
+    kernel call shared by dist_spmv_gt and the distributed GS sweeps
+    (arguments arrive shard_map-sliced with a leading parts axis of 1)."""
+    if layout == "gi4":
+        return spmv_pallas._gi4_call_batched(
+            dst_ss[0], src_ids[0], first_ss[0], gt[0], vals[0], x_ext,
+            nd4=-(-nd // 4), ns=ns, n_ss=n_ss, B=B, nrows=rpp,
+            reduce="sum", interpret=interpret)
+    return spmv_pallas._dlp_call_batched(
+        dst_ss[0], src_ids[0], first_ss[0], cnt_ss[0], gt[0], rhi[0],
+        vals[0], None, x_ext, nd=nd, ns=ns, n_ss=n_ss, B=B, nrows=rpp,
+        reduce="sum", interpret=interpret)
+
+
+@annotate("dist.build_dist_gt_plan")
+def build_dist_gt_plan(A: CsrMatrix, n_parts: int,
+                       row_block: int = 8) -> "DistGtPlan | None":
+    """Build the fast distributed plan; None when the gather-table layouts
+    cannot be made uniform across parts (callers fall back to the
+    correctness-first HaloPlan/RowPartition schedules)."""
+    assert A.nrows == A.ncols, "dist gt plan: square matrices"
+    rm = np.asarray(A.host_row_map(), np.int64)
+    ent = np.asarray(A.host_entries(), np.int64)
+    vals = np.asarray(A.host_values())
+    n = A.nrows
+    rpp = round_up(-(-n // n_parts), row_block)
+    send_idx, rem_cols, rem_ids, H = import_index(rm, ent, n, n_parts, rpp)
+    ncols_ext = rpp + n_parts * H
+    ns = max(1, -(-ncols_ext // spmv_pallas._OH_SRC))
+    if ns * spmv_pallas._OH_SRC * 4 > spmv_pallas._X_VMEM_CAP:
+        return None  # x_ext must be VMEM-resident for the gather kernels
+
+    locals_ = [_local_csr_of_part(rm, ent, vals, p, n, rpp,
+                                  rem_cols[p], rem_ids[p])
+               for p in range(n_parts)]
+    built = build_stacked_streams(locals_, rpp, ncols_ext)
+    if built is None:
+        return None
+    dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, pad = built
     return DistGtPlan(jnp.asarray(send_idx), dst, src, first, cnt, gt, rhi,
                       valsj, layout, n_ss, B, n, A.ncols, n_parts, rpp, H,
                       ncols_ext, pad)
 
 
+@annotate("dist.shard_dist_gt_plan")
 def shard_dist_gt_plan(plan: DistGtPlan, mesh: Mesh,
                        axis: str = "parts") -> DistGtPlan:
     """Place every stacked stream on the mesh axis (leading parts dim)."""
@@ -223,19 +252,13 @@ def _local_gt_body(send_idx, dst_ss, src_ids, first_ss, cnt_ss, gt, rhi,
     sends = jnp.take(x, send_idx[0], axis=0)                 # (P, H)
     recv = jax.lax.all_to_all(sends, axis, split_axis=0, concat_axis=0)
     x_ext = jnp.concatenate([x, recv.reshape(-1)])
-    if layout == "gi4":
-        y = spmv_pallas._gi4_call_batched(
-            dst_ss[0], src_ids[0], first_ss[0], gt[0], vals[0], x_ext,
-            nd4=-(-nd // 4), ns=ns, n_ss=n_ss, B=B, nrows=rpp,
-            reduce="sum", interpret=interpret)
-    else:
-        y = spmv_pallas._dlp_call_batched(
-            dst_ss[0], src_ids[0], first_ss[0], cnt_ss[0], gt[0], rhi[0],
-            vals[0], None, x_ext, nd=nd, ns=ns, n_ss=n_ss, B=B, nrows=rpp,
-            reduce="sum", interpret=interpret)
+    y = apply_stacked_gt(dst_ss, src_ids, first_ss, cnt_ss, gt, rhi, vals,
+                         x_ext, layout=layout, n_ss=n_ss, B=B, ns=ns,
+                         rpp=rpp, nd=nd, interpret=interpret)
     return y[None]
 
 
+@annotate("dist.dist_spmv_gt")
 def dist_spmv_gt(plan: DistGtPlan, x_padded, mesh: Mesh,
                  axis: str = "parts", interpret: bool | None = None):
     """y = A·x with x_padded (n_parts*rpp,) row-sharded: one all_to_all halo

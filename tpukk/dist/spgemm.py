@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..common import round_up
 from ..containers import CsrMatrix
+from ..common.tracing import annotate
 
 __all__ = ["RingSpgemmPlan", "build_ring_spgemm_plan", "shard_ring_spgemm_plan",
            "ring_spgemm_numeric"]
@@ -63,6 +64,7 @@ class RingSpgemmPlan:
         return obj
 
 
+@annotate("dist.build_ring_spgemm_plan")
 def build_ring_spgemm_plan(A: CsrMatrix, B: CsrMatrix, n_parts: int) -> RingSpgemmPlan:
     assert A.ncols == B.nrows
     arm = A.host_row_map().astype(np.int64)
@@ -143,6 +145,7 @@ def build_ring_spgemm_plan(A: CsrMatrix, B: CsrMatrix, n_parts: int) -> RingSpge
         A.nrows, B.ncols, n_parts, rppA, NC)
 
 
+@annotate("dist.shard_ring_spgemm_plan")
 def shard_ring_spgemm_plan(plan: RingSpgemmPlan, mesh: Mesh, axis: str = "parts"):
     spec = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), plan)
@@ -161,6 +164,7 @@ def _local_ring(a_vals, b_vals, pa, pb, pc, *, axis, n_parts, nc_max):
     return acc[:nc_max][None]
 
 
+@annotate("dist.ring_spgemm_numeric")
 def ring_spgemm_numeric(plan: RingSpgemmPlan, mesh: Mesh, axis: str = "parts") -> CsrMatrix:
     """Run the ring; assemble the global CsrMatrix C."""
     f = jax.shard_map(

@@ -17,11 +17,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .halo import HaloPlan
 from .partition import RowPartition, partition_rows
+from ..common.tracing import annotate
 
 __all__ = ["shard_partition", "dist_spmv", "dist_dot", "dist_cg_step",
            "shard_halo_plan", "dist_spmv_halo", "dist_pcg", "dist_gmres"]
 
 
+@annotate("dist.shard_partition")
 def shard_partition(plan: RowPartition, mesh: Mesh, axis: str = "parts"):
     """Place the stacked plan + a row-sharded vector layout on the mesh."""
     spec = NamedSharding(mesh, P(axis))
@@ -42,6 +44,7 @@ def _local_spmv(cols, vals, valid, x_shard, axis):
     return (y * valid[0].astype(y.dtype))[None]
 
 
+@annotate("dist.dist_spmv")
 def dist_spmv(plan: RowPartition, x_padded, mesh: Mesh, axis: str = "parts"):
     """y = A·x with x_padded of shape (n_parts*rows_per_part,) row-sharded.
 
@@ -59,6 +62,7 @@ def dist_spmv(plan: RowPartition, x_padded, mesh: Mesh, axis: str = "parts"):
     return y2.reshape(-1)
 
 
+@annotate("dist.shard_halo_plan")
 def shard_halo_plan(plan: HaloPlan, mesh: Mesh, axis: str = "parts") -> HaloPlan:
     spec = NamedSharding(mesh, P(axis))
     arrays = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), plan)
@@ -81,6 +85,7 @@ def _halo_local_spmv(send_idx, ic, iv, ir, bc, bv, br, x_shard, *, axis, rpp, H)
     return y[:rpp][None]
 
 
+@annotate("dist.dist_spmv_halo")
 def dist_spmv_halo(plan: HaloPlan, x_padded, mesh: Mesh, axis: str = "parts"):
     """y = A·x with import-list halo exchange (all_to_all over ICI) and
     interior/boundary overlap — the BASELINE config-5 SpMV."""
@@ -104,6 +109,7 @@ def _spmv_fn_for(plan):
     return dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
 
 
+@annotate("dist.dist_dot")
 def dist_dot(x, y, mesh: Mesh, axis: str = "parts"):
     """<x,y> over row-sharded vectors (psum over the mesh axis)."""
 
@@ -115,6 +121,7 @@ def dist_dot(x, y, mesh: Mesh, axis: str = "parts"):
     return f(x, y)
 
 
+@annotate("dist.dist_cg_step")
 def dist_cg_step(plan: RowPartition, state, mesh: Mesh, axis: str = "parts"):
     """One CG iteration on row-sharded vectors — the flagship multi-chip
     'training step' (SpMV + dots + axpys with ICI collectives)."""
@@ -130,6 +137,7 @@ def dist_cg_step(plan: RowPartition, state, mesh: Mesh, axis: str = "parts"):
     return (x, r, p, rz_new)
 
 
+@annotate("dist.dist_pcg")
 def dist_pcg(plan, b_padded, mesh: Mesh, tol: float = 1e-8,
              max_iters: int = 200, inv_diag=None, axis: str = "parts"):
     """Full distributed (Jacobi-)preconditioned CG solve on row-sharded
@@ -179,6 +187,7 @@ def dist_pcg(plan, b_padded, mesh: Mesh, tol: float = 1e-8,
     return solve(b_padded)
 
 
+@annotate("dist.dist_gmres")
 def dist_gmres(plan, b_padded, mesh: Mesh, m: int = 30, tol: float = 1e-8,
                max_restarts: int = 10, inv_diag=None, axis: str = "parts"):
     """Distributed restarted GMRES(m) on row-sharded vectors.

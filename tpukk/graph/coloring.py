@@ -175,25 +175,40 @@ def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
 
 def _vb_gather_plan(cols_ell: np.ndarray, nrows: int, interpret: bool = False):
     """Build (plan, nbr_beats, self_mask) for the plan-driven VB runner, or
-    None when the pallas path is unavailable/unprofitable."""
+    None when the pallas path is unavailable/unprofitable.
+
+    The selection matrix is assembled as raw host CSR arrays and the plan
+    built via the native stream builder — no scipy matrix, no CsrMatrix
+    device transfer (one-shot coloring was plan-build-bound, 514 ms of
+    which 25 ms device rounds, round-2 bench)."""
     from ..sparse import spmv_pallas as sp  # lazy: sparse imports graph
 
     if not (sp.supports_pallas() or interpret):
         return None
     n, w = cols_ell.shape
-    import scipy.sparse as sps
-
     idx = np.arange(n, dtype=np.int64)
     valid = (cols_ell >= 0) & (cols_ell != idx[:, None].astype(cols_ell.dtype))
-    r, c = np.nonzero(valid)
-    S = sps.csr_matrix((np.ones(len(r), np.float32),
-                        (r * np.int64(w) + c, cols_ell[valid].astype(np.int64))),
-                       shape=(n * w, n))
-    Sm = CsrMatrix.from_scipy(S)
+    # CSR of S[(i*w+j), cols[i,j]] = 1 directly: row (i*w+j) has <=1 entry
+    vflat = valid.reshape(-1)
+    rm_s = np.zeros(n * w + 1, np.int64)
+    np.cumsum(vflat, out=rm_s[1:])
+    ent_s = cols_ell.reshape(-1)[vflat].astype(np.int64)
     # only worth it while the padded kernel cost beats the XLA take floor
-    if sp.onehot_cost_estimate(Sm) >= sp._XLA_GATHER_STEP_COST:
+    pf, pd = sp._onehot_pad_ratios_arrays(rm_s, ent_s, n * w, n)
+    if min(pf * sp._FLAT_STEP_COST,
+           pd * sp._DL_STEP_COST) >= sp._XLA_GATHER_STEP_COST:
         return None
-    plan = sp.build_onehot_spmv_plan(Sm)
+    plan = None
+    res = sp.build_gt_streams_host(rm_s, ent_s,
+                                   np.ones(len(ent_s), np.float32), n * w, n)
+    if res is not None:
+        plan = sp.GtSpmvPlan.from_host_streams(res, n * w, n, len(ent_s))
+    if plan is None:
+        import scipy.sparse as sps
+
+        S = sps.csr_matrix((np.ones(len(ent_s), np.float32),
+                            ent_s, rm_s), shape=(n * w, n))
+        plan = sp.build_onehot_spmv_plan(CsrMatrix.from_scipy(S))
     # hash priorities (identical mix as _vb_run), host-side since static
     pri = ((idx * np.int64(-1640531527)).astype(np.int32)
            ^ np.int32(0x5BF03635))
@@ -287,6 +302,7 @@ def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB,
     return colors
 
 
+@annotate("graph_color_d2")
 def graph_color_d2(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:
     """Distance-2 coloring via the square-graph reduction (the D2 conflict set
     is exactly distance-1 adjacency of G²) — cf. Distance2Color_impl.hpp."""

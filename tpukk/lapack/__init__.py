@@ -10,10 +10,12 @@ import jax
 import jax.numpy as jnp
 
 from ..common import check
+from ..common.tracing import annotate
 
 __all__ = ["gesv", "svd", "trtri", "getrf", "getrs", "geqrf", "cholesky"]
 
 
+@annotate("lapack.gesv")
 def gesv(A, B):
     """Solve A·X = B via LU with partial pivoting
     (cf. lapack/src/KokkosLapack_gesv.hpp)."""
@@ -21,11 +23,13 @@ def gesv(A, B):
     return jnp.linalg.solve(A, B)
 
 
+@annotate("lapack.svd")
 def svd(A, full_matrices: bool = False, compute_uv: bool = True):
     """cf. lapack/src/KokkosLapack_svd.hpp."""
     return jnp.linalg.svd(A, full_matrices=full_matrices, compute_uv=compute_uv)
 
 
+@annotate("lapack.trtri")
 def trtri(A, uplo: str = "L", diag: str = "N"):
     """Invert a triangular matrix — cf. lapack/src/KokkosLapack_trtri.hpp.
     Implemented as a triangular solve against I (one XLA op)."""
@@ -37,22 +41,26 @@ def trtri(A, uplo: str = "L", diag: str = "N"):
     )
 
 
+@annotate("lapack.getrf")
 def getrf(A):
     """LU factorization returning (lu, pivots, permutation) — cf. batched
     Getrf; exposed here for parity with host LAPACK."""
     return jax.lax.linalg.lu(A)
 
 
+@annotate("lapack.getrs")
 def getrs(lu, piv, b):
     """Solve from a getrf factorization."""
     return jax.scipy.linalg.lu_solve((lu, piv), b)
 
 
+@annotate("lapack.geqrf")
 def geqrf(A):
     """QR factorization (economy)."""
     return jnp.linalg.qr(A, mode="reduced")
 
 
+@annotate("lapack.cholesky")
 def cholesky(A, upper: bool = False):
     L = jnp.linalg.cholesky(A)
     return L.T if upper else L

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .newton import newton_solve
+from ..common.tracing import annotate
 
 __all__ = ["BDFAdaptiveResult", "BDFResult", "bdf_solve",
            "bdf_solve_adaptive"]
@@ -30,6 +31,7 @@ class BDFResult(NamedTuple):
     converged: jnp.ndarray
 
 
+@annotate("ode.bdf_solve")
 def bdf_solve(f: Callable, y0, t0: float, t1: float, num_steps: int,
               order: int = 2, args=(), newton_iters: int = 20):
     """Integrate y' = f(t, y) with fixed-step BDF-`order`
@@ -128,6 +130,7 @@ def _rms_norm(x, scale):
     return jnp.sqrt(jnp.mean((x / scale) ** 2))
 
 
+@annotate("ode.bdf_solve_adaptive")
 def bdf_solve_adaptive(f: Callable, y0, t0: float, t1: float, *,
                        rtol: float = 1e-6, atol: float = 1e-9,
                        initial_step: float = None, max_step: float = np.inf,

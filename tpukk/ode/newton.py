@@ -7,6 +7,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..common.tracing import annotate
 
 __all__ = ["NewtonResult", "newton_solve"]
 
@@ -17,6 +18,7 @@ class NewtonResult(NamedTuple):
     num_iters: jnp.ndarray
 
 
+@annotate("ode.newton_solve")
 def newton_solve(f: Callable, x0, *, jac: Callable = None, max_iters: int = 50,
                  rel_tol: float = 1e-10, abs_tol: float = 1e-12, args=()):
     """Solve f(x) = 0 with dense Jacobian steps (autodiff jacobian unless

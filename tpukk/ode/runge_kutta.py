@@ -16,6 +16,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..common.tracing import annotate
 
 __all__ = ["RKType", "ButcherTableau", "tableau", "rk_solve", "ODESolverStatus"]
 
@@ -109,6 +110,7 @@ _register(RKType.VER56,
           [0.0, 1 / 6, 4 / 15, 2 / 3, 5 / 6, 1.0, 1 / 15, 1.0], 6)
 
 
+@annotate("ode.tableau")
 def tableau(kind: RKType) -> ButcherTableau:
     return _TABLEAUS[kind]
 
@@ -146,6 +148,7 @@ def _rk_step(f, tb: ButcherTableau, t, h, y, args):
     return y_hi, y_hi - y_lo
 
 
+@annotate("ode.rk_solve")
 def rk_solve(f: Callable, y0, t0: float, t1: float, *, kind: RKType = RKType.RKDP,
              num_steps: int = 0, rel_tol: float = 1e-6, abs_tol: float = 1e-9,
              max_steps: int = 10_000, args=()):

@@ -89,6 +89,7 @@ class GsHandle:
         self._blk = None
 
 
+@annotate("gauss_seidel_symbolic")
 def gauss_seidel_symbolic(handle: GsHandle, A: CsrMatrix):
     """Coloring + permutation plan (cf. gauss_seidel.hpp:46 →
     graph_color_symbolic).  BsrMatrix input routes to block GS (the
@@ -173,6 +174,7 @@ def _cluster_symbolic(handle, A: CsrMatrix):
     handle.cluster_labels = labels
 
 
+@annotate("gauss_seidel_numeric")
 def gauss_seidel_numeric(handle: GsHandle, A: CsrMatrix, omega: float = 1.0):
     """Extract permuted color-block ELL + inverse diagonal
     (cf. gauss_seidel.hpp:175); BsrMatrix input routes to block GS."""
@@ -297,14 +299,17 @@ def _twostage_half_sweep(handle, x, b, forward: bool):
     return x + omega * z
 
 
+@annotate("forward_sweep")
 def forward_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
     return gauss_seidel_apply(handle, A, x, b, num_sweeps, "forward")
 
 
+@annotate("backward_sweep")
 def backward_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
     return gauss_seidel_apply(handle, A, x, b, num_sweeps, "backward")
 
 
+@annotate("symmetric_sweep")
 def symmetric_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
     return gauss_seidel_apply(handle, A, x, b, num_sweeps, "symmetric")
 

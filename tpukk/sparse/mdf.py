@@ -16,6 +16,7 @@ import scipy.sparse as sps
 
 from ..common import check
 from ..containers import CsrMatrix
+from ..common.tracing import annotate
 
 __all__ = ["MdfHandle", "mdf_symbolic", "mdf_numeric", "mdf_ordering"]
 
@@ -26,6 +27,7 @@ class MdfHandle:
         self.permutation = None
 
 
+@annotate("mdf.mdf_ordering")
 def mdf_ordering(A: CsrMatrix) -> np.ndarray:
     """The MDF elimination order (standalone, cf. mdf.hpp ordering entry)."""
     h = MdfHandle()
@@ -33,6 +35,7 @@ def mdf_ordering(A: CsrMatrix) -> np.ndarray:
     return h.permutation
 
 
+@annotate("mdf.mdf_symbolic")
 def mdf_symbolic(handle: MdfHandle, A: CsrMatrix):
     """Compute the greedy minimum-discarded-fill elimination order.
 
@@ -126,6 +129,7 @@ def mdf_symbolic(handle: MdfHandle, A: CsrMatrix):
     handle.is_symbolic_called = True
 
 
+@annotate("mdf.mdf_numeric")
 def mdf_numeric(handle: MdfHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMatrix]:
     """ILU(0) on the MDF-permuted matrix: returns (L, U) in permuted order
     plus the permutation on the handle."""

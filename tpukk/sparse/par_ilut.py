@@ -5,20 +5,23 @@ fixed-point sweep, threshold-prune, sweep}).
 
 TPU-native split (same contract as spgemm.py / spiluk.py):
 
-* **symbolic per outer iteration** (host, vectorized numpy): candidate
-  pattern = A ∪ pattern(L·U); a *sweep pair plan* enumerating, for every
-  pattern entry (i,j), the products L_ik·U_kj that appear in the Chow-style
-  fixed-point update
+* **ONE host symbolic per factorization**: the candidate pattern is fixed
+  at the level-2 set, cand = pattern((tril(A)+I)·(triu(A))) ∪ A; a *sweep
+  pair plan* enumerates, for every pattern entry (i,j), the products
+  L_ik·U_kj that appear in the Chow-style fixed-point update
       i>j :  L_ij = (A_ij − Σ_{k<j} L_ik U_kj) / U_jj
       i≤j :  U_ij =  A_ij − Σ_{k<i} L_ik U_kj
   (the reference's compute_l_u_factors, par_ilut_numeric_impl.hpp).
-* **numeric sweeps** (device): gather-multiply + sorted segment-sum +
-  elementwise update, iterated under one jit — all updates use the previous
-  iterate (Jacobi style), which IS the reference's deterministic
-  `async_update=false` mode (par_ilut.hpp:23-27).
-* **prune** (device selects the |value| threshold via top-k; host rebuilds
-  the pattern) down to the fill budget, keeping diagonals — the reference's
-  threshold_select + threshold_filter.
+* **the whole outer iteration on device** (`_device_outer`, one jit):
+  candidate re-grow = mask reset over the fixed pattern, Jacobi sweeps
+  (the reference's deterministic `async_update=false` mode,
+  par_ilut.hpp:23-27), threshold-prune via device sort to the fill budget
+  with diagonals kept (threshold_select + threshold_filter), post-prune
+  sweeps with the pruned pattern realized as value masks (zeroed slots'
+  products vanish), and the pattern-restricted residual.  Divergence from
+  the reference (documented): fill can never exceed the level-2 candidate
+  set — the price of zero per-iteration host symbolics; with the usual
+  fill_factor ≈ 2-4 budgets the prune binds first.
 """
 from __future__ import annotations
 
@@ -32,6 +35,7 @@ import scipy.sparse as sps
 
 from ..common import check
 from ..containers import CsrMatrix
+from ..common.tracing import annotate
 
 __all__ = ["ParIlutHandle", "par_ilut", "par_ilut_symbolic", "par_ilut_numeric"]
 
@@ -51,6 +55,7 @@ class ParIlutHandle:
         self.num_iters = 0
 
 
+@annotate("par_ilut.par_ilut_symbolic")
 def par_ilut_symbolic(handle: ParIlutHandle, A: CsrMatrix):
     """Symbolic phase — initial pattern = tri parts of A; the iteration
     re-symbolics internally (inherent to threshold ILU)."""
@@ -220,28 +225,58 @@ def _restrict(Acsr, rows, cols, n):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss", "n_sweeps"))
-def _device_sweeps(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
-                   lvals, uvals, *, nnzL, nnzU, nmiss, n_sweeps):
-    """n_sweeps Jacobi fixed-point sweeps + residual on A's full pattern.
-    Sizes arrive bucket-padded (+1 trash segment for padded pairs)."""
+@functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss",
+                                             "n_sweeps", "budget_l",
+                                             "budget_u"))
+def _device_outer(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
+                  is_diag_u, lvals, uvals, *, nnzL, nnzU, nmiss, n_sweeps,
+                  budget_l, budget_u):
+    """ONE full outer iteration on device over the FIXED level-2 candidate
+    pattern: candidate re-grow (mask reset), n_sweeps Jacobi fixed-point
+    sweeps, threshold prune to the fill budget (device sort, keep-diagonal),
+    n_sweeps post-prune sweeps with the pruned pattern realized as value
+    masks, and the pattern-restricted residual.  This is the reference's
+    {add candidates, compute, threshold_select+filter, compute} loop
+    (par_ilut_numeric_impl.hpp) with the pattern held at the first
+    candidate set so the host symbolic runs ONCE per factorization."""
     nseg = nnzL + nnzU + nmiss + 1
 
-    def one(_, lu):
-        lv, uv = lu
-        prod = jnp.take(lv, a_idx) * jnp.take(uv, b_idx)
-        s = jax.ops.segment_sum(prod, slot, num_segments=nseg,
-                                indices_are_sorted=True)
-        udiag = jnp.take(uv, diag_slot)
-        udiag = jnp.where(udiag != 0, udiag, 1.0)
-        new_l = (aL - s[:nnzL]) / jnp.take(udiag, colL)
-        new_u = aU - s[nnzL:nnzL + nnzU]
-        return new_l, new_u
+    def sweeps(lv, uv, mL, mU, k):
+        def one(_, lu):
+            lv, uv = lu
+            prod = jnp.take(lv, a_idx) * jnp.take(uv, b_idx)
+            s = jax.ops.segment_sum(prod, slot, num_segments=nseg,
+                                    indices_are_sorted=True)
+            udiag = jnp.take(uv, diag_slot)
+            udiag = jnp.where(udiag != 0, udiag, 1.0)
+            new_l = (aL - s[:nnzL]) / jnp.take(udiag, colL) * mL
+            new_u = (aU - s[nnzL:nnzL + nnzU]) * mU
+            return new_l, new_u
+        return jax.lax.fori_loop(0, k, one, (lv, uv))
 
-    lv, uv = jax.lax.fori_loop(0, n_sweeps, one, (lvals, uvals))
-    # residual on A's pattern:  R_ij = A_ij − Σ L_ik U_kj (all k, incl. the
-    # solved term: +L_ij·U_jj for i>j, +U_ij·1 for i≤j; pruned-out A slots
-    # carry the bare product sum)
+    one_l = jnp.ones(nnzL, lvals.dtype)
+    one_u = jnp.ones(nnzU, uvals.dtype)
+    # 1. candidate phase = full-pattern sweep (re-grown slots start from
+    #    their fixed-point update immediately; carry new->0 semantics)
+    lv, uv = sweeps(lvals, uvals, one_l, one_u, n_sweeps)
+    # 2. threshold prune to budget on device (threshold_select role): the
+    #    (nnz-budget)-th sorted magnitude; padded slots are exact zeros and
+    #    sort to the bottom, so top-budget selection sees only real entries
+    absl, absu = jnp.abs(lv), jnp.abs(uv)
+    tl = (jnp.sort(absl)[nnzL - budget_l]
+          if budget_l < nnzL else jnp.zeros((), lvals.dtype))
+    tu = (jnp.sort(jnp.where(is_diag_u, 0.0, absu))[nnzU - budget_u]
+          if budget_u < nnzU else jnp.zeros((), uvals.dtype))
+    mL = (absl >= jnp.maximum(tl, 1e-300)).astype(lvals.dtype)
+    mU = jnp.maximum((absu >= jnp.maximum(tu, 1e-300)).astype(uvals.dtype),
+                     is_diag_u.astype(uvals.dtype))
+    lv, uv = lv * mL, uv * mU
+    # 3. post-prune sweeps on the pruned pattern (masks keep pruned slots 0;
+    #    their products then vanish — exactly sweeps on the filtered pattern)
+    lv, uv = sweeps(lv, uv, mL, mU, n_sweeps)
+    # 4. residual on A's pattern:  R_ij = A_ij − Σ L_ik U_kj (incl. the
+    #    solved term: +L_ij·U_jj for i>j, +U_ij·1 for i≤j; pruned-out A
+    #    slots carry the bare product sum)
     prod = jnp.take(lv, a_idx) * jnp.take(uv, b_idx)
     s = jax.ops.segment_sum(prod, slot, num_segments=nseg,
                             indices_are_sorted=True)
@@ -251,133 +286,81 @@ def _device_sweeps(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
                                s[nnzL + nnzU:nnzL + nnzU + nmiss]])
     a_full = jnp.concatenate([aL, aU, aM])
     r = jnp.take(a_full - lu_full, a_pos)
-    return lv, uv, jnp.sqrt(jnp.sum(r * r))
+    return lv, uv, mL, mU, jnp.sqrt(jnp.sum(r * r))
 
 
+@annotate("par_ilut.par_ilut_numeric")
 def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMatrix]:
+    """ONE host symbolic (the level-2 candidate pattern = pattern((L0+I)·U0)
+    ∪ A), then every outer iteration — candidate re-grow, sweeps, device
+    threshold-prune, post-prune sweeps, residual — runs as a single jitted
+    call over fixed shapes (the reference's device prune loop,
+    par_ilut_numeric_impl.hpp, realized as masked fixed-capacity buffers;
+    round-2 verdict item: the old path re-ran host symbolic twice per outer
+    iteration)."""
     check(handle.is_symbolic_called, "par_ilut_numeric: symbolic first")
     Asp = A.to_scipy().tocsr()
     Asp.sort_indices()
     n = Asp.shape[0]
     dt = np.asarray(Asp.data).dtype
-    # initial pattern/values: L = strict lower of A (unit diag implied),
-    # U = upper incl diag (forced present)
+    # level-2 candidate pattern from A's tri parts — the ONE host symbolic
     patL = sps.tril(Asp, k=-1).tocsr()
     patU = (sps.triu(Asp, k=0) + sps.identity(n, dtype=dt)).tocsr()
     patU.sum_duplicates()
-    patU.sort_indices()
-    plan = _SweepPlan(_pattern(patL), _pattern(patU), Asp)
+    lu_pat = (_pattern(patL) + sps.identity(n)) @ _pattern(patU)
+    cand = _pattern((lu_pat + _pattern(Asp)).tocsr())
+    cand.sort_indices()
+    cL = sps.tril(cand, k=-1).tocsr()
+    cU = sps.triu(cand, k=0).tocsr()
+    plan = _SweepPlan(cL, cU, Asp)
 
-    def padded(v, size):
-        out = np.zeros(size, np.asarray(v).dtype)
-        out[:len(v)] = v
-        return out
-
-    lvals = np.array(plan.aL)[:plan.nnzL_true]
-    uvals = np.array(plan.aU)[:plan.nnzU_true]
+    lvals = np.array(plan.aL)
+    uvals = np.array(plan.aU)
     # make sure U's diagonal starts nonzero
     dslot = np.asarray(plan.diag_slot)
     uvals[dslot] = np.where(uvals[dslot] != 0, uvals[dslot], 1.0)
+    is_diag_u = np.zeros(plan.nnzU, bool)
+    is_diag_u[:plan.nnzU_true] = plan.rowU_np == plan.colU_np
 
     budget = int(handle.fill_factor * Asp.nnz)
-    budget_l = budget // 2
-    budget_u = budget - budget_l
+    budget_l = min(budget // 2, plan.nnzL)
+    budget_u = min(budget - budget // 2, plan.nnzU)
     anorm = float(np.sqrt((Asp.data ** 2).sum()))
     res = float("inf")
     it = 0
+    lv, uv = jnp.asarray(lvals), jnp.asarray(uvals)
+    mL = mU = None
     for it in range(1, handle.max_iters + 1):
-        # ---- candidate phase: pattern of L·U union A --------------------
-        pl = sps.csr_matrix((np.ones(len(plan.colL_np)), (plan.rowL_np, plan.colL_np)),
-                            shape=(n, n)) if len(plan.colL_np) else sps.csr_matrix((n, n))
-        pu = sps.csr_matrix((np.ones(len(plan.colU_np)), (plan.rowU_np, plan.colU_np)),
-                            shape=(n, n))
-        lu_pat = ((pl + sps.identity(n)) @ pu)
-        cand = _pattern((lu_pat + _pattern(Asp) + pl + pu).tocsr())
-        cand.sort_indices()
-        cL = sps.tril(cand, k=-1).tocsr()
-        cU = sps.triu(cand, k=0).tocsr()
-        new_plan = _SweepPlan(cL, cU, Asp)
-        lvals = _carry(plan.rowL_np, plan.colL_np, lvals,
-                       new_plan.rowL_np, new_plan.colL_np, n)
-        uvals = _carry(plan.rowU_np, plan.colU_np, uvals,
-                       new_plan.rowU_np, new_plan.colU_np, n)
-        plan = new_plan
-        # ---- sweep on the grown pattern --------------------------------
-        lvals, uvals, _ = map(np.asarray, _device_sweeps(
+        lv, uv, mL, mU, rnorm = _device_outer(
             plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
-            plan.diag_slot, plan.colL, plan.a_pos,
-            jnp.asarray(padded(lvals, plan.nnzL)),
-            jnp.asarray(padded(uvals, plan.nnzU)),
-            nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
-            n_sweeps=handle.sweeps_per_iter))
-        lvals = lvals[:plan.nnzL_true]
-        uvals = uvals[:plan.nnzU_true]
-        # ---- threshold prune to budget (keep diagonals) ----------------
-        keepL = _keep_mask(np.abs(lvals), budget_l, None)
-        is_diag = plan.rowU_np == plan.colU_np
-        keepU = _keep_mask(np.abs(uvals), budget_u, is_diag)
-        pL = sps.csr_matrix((np.ones(int(keepL.sum())),
-                             (plan.rowL_np[keepL], plan.colL_np[keepL])), shape=(n, n))
-        pU = sps.csr_matrix((np.ones(int(keepU.sum())),
-                             (plan.rowU_np[keepU], plan.colU_np[keepU])), shape=(n, n))
-        pruned = _SweepPlan(pL.tocsr(), pU.tocsr(), Asp)
-        lvals = _carry(plan.rowL_np, plan.colL_np, lvals,
-                       pruned.rowL_np, pruned.colL_np, n)
-        uvals = _carry(plan.rowU_np, plan.colU_np, uvals,
-                       pruned.rowU_np, pruned.colU_np, n)
-        plan = pruned
-        # ---- re-sweep on the pruned pattern + residual -----------------
-        lvals, uvals, rnorm = _device_sweeps(
-            plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
-            plan.diag_slot, plan.colL, plan.a_pos,
-            jnp.asarray(padded(lvals, plan.nnzL)),
-            jnp.asarray(padded(uvals, plan.nnzU)),
-            nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
-            n_sweeps=handle.sweeps_per_iter)
-        lvals = np.asarray(lvals)[:plan.nnzL_true]
-        uvals = np.asarray(uvals)[:plan.nnzU_true]
-        res = float(rnorm) / max(anorm, 1e-30)
+            plan.diag_slot, plan.colL, plan.a_pos, jnp.asarray(is_diag_u),
+            lv, uv, nnzL=plan.nnzL, nnzU=plan.nnzU, nmiss=plan.nmiss,
+            n_sweeps=handle.sweeps_per_iter,
+            budget_l=budget_l, budget_u=budget_u)
+        res = float(rnorm) / max(anorm, 1e-30)  # one scalar sync per iter
         if res <= handle.residual_tol:
             break
     handle.final_residual = res
     handle.num_iters = it
-    # assemble L (unit diag) and U
-    L = sps.csr_matrix((lvals, (plan.rowL_np, plan.colL_np)), shape=(n, n))
+    # assemble L (unit diag) and U from the kept (mask>0) slots
+    lvals = np.asarray(lv)[:plan.nnzL_true]
+    uvals = np.asarray(uv)[:plan.nnzU_true]
+    keepL = (np.asarray(mL)[:plan.nnzL_true] > 0) & (lvals != 0)
+    keepU = (np.asarray(mU)[:plan.nnzU_true] > 0)
+    L = sps.csr_matrix((lvals[keepL],
+                        (plan.rowL_np[keepL], plan.colL_np[keepL])),
+                       shape=(n, n))
     L = (L + sps.identity(n, dtype=dt)).tocsr()
     L.sort_indices()
-    U = sps.csr_matrix((uvals, (plan.rowU_np, plan.colU_np)), shape=(n, n)).tocsr()
+    U = sps.csr_matrix((uvals[keepU],
+                        (plan.rowU_np[keepU], plan.colU_np[keepU])),
+                       shape=(n, n)).tocsr()
     U.sort_indices()
     return (CsrMatrix.from_scipy(L, value_dtype=A.dtype),
             CsrMatrix.from_scipy(U, value_dtype=A.dtype))
 
 
-def _keep_mask(mags, budget, always):
-    """Keep the `budget` largest magnitudes (plus `always` entries)."""
-    keep = np.zeros(len(mags), bool)
-    if always is not None:
-        keep |= always
-    free = np.nonzero(~keep)[0]
-    room = budget if always is None else budget - int(keep.sum())
-    if room >= len(free):
-        keep[free] = True
-    elif room > 0:
-        top = free[np.argpartition(mags[free], len(free) - room)[len(free) - room:]]
-        keep[top] = True
-    return keep
-
-
-def _carry(r0, c0, v0, r1, c1, n):
-    """Transfer values from pattern (r0,c0) onto pattern (r1,c1); new→0."""
-    out = np.zeros(len(r1), v0.dtype)
-    k0 = r0 * n + c0
-    k1 = r1 * n + c1
-    pos = np.searchsorted(k0, k1)
-    pos = np.minimum(pos, max(0, len(k0) - 1))
-    hit = (k0[pos] == k1) if len(k0) else np.zeros(len(k1), bool)
-    out[hit] = v0[pos[hit]]
-    return out
-
-
+@annotate("par_ilut.par_ilut")
 def par_ilut(A: CsrMatrix, **kw) -> Tuple[CsrMatrix, CsrMatrix]:
     h = ParIlutHandle(**kw)
     par_ilut_symbolic(h, A)

@@ -25,6 +25,7 @@ class PcgStats:
     converged: bool
 
 
+@annotate("pcg_iteration_body")
 def pcg_iteration_body(Ah: SpmvHandle, prec: Preconditioner):
     """One PCG iteration as a lax.scan body over state (x, r, p, rz) —
     shared by pcg() and the solver perf rows (bench_suite)."""
@@ -45,6 +46,7 @@ def pcg_iteration_body(Ah: SpmvHandle, prec: Preconditioner):
     return body
 
 
+@annotate("pcg_initial_state")
 def pcg_initial_state(Ah: SpmvHandle, prec: Preconditioner, b, x):
     r = b - Ah(x)
     z = prec.apply(r)

@@ -37,6 +37,7 @@ class SpaddHandle:
         self.shape = None
 
 
+@annotate("spadd_symbolic")
 def spadd_symbolic(handle: SpaddHandle, A: CsrMatrix, B: CsrMatrix):
     check(A.shape == B.shape, "spadd: shape mismatch")
     arm, aent = A.host_row_map().astype(np.int64), A.host_entries().astype(np.int64)
@@ -94,6 +95,7 @@ def spadd_numeric(handle: SpaddHandle, alpha, A: CsrMatrix, beta, B: CsrMatrix) 
         nrows=handle.shape[0], ncols=handle.shape[1])
 
 
+@annotate("spadd")
 def spadd(alpha, A: CsrMatrix, beta, B: CsrMatrix, sorted_input: bool = True) -> CsrMatrix:
     h = SpaddHandle(sorted_input)
     spadd_symbolic(h, A, B)

@@ -260,6 +260,7 @@ def _numeric_dense_acc(handle, A: CsrMatrix, B: CsrMatrix):
     return dense_c[rows_c, jnp.asarray(handle.entries_c)]
 
 
+@annotate("spgemm")
 def spgemm(A: CsrMatrix, B: CsrMatrix,
            algorithm: SpgemmAlgorithm = SpgemmAlgorithm.KK) -> CsrMatrix:
     """No-reuse convenience (cf. KokkosSparse_spgemm.hpp)."""
@@ -308,6 +309,7 @@ class _GraphView:
         return self._ent
 
 
+@annotate("bspgemm_symbolic")
 def bspgemm_symbolic(handle: SpgemmHandle, A, B):
     """Block-structure symbolic phase; handle caches the block pair plan."""
     from ..containers import BsrMatrix
@@ -330,6 +332,7 @@ def bspgemm_symbolic(handle: SpgemmHandle, A, B):
     return handle.row_map_c
 
 
+@annotate("bspgemm_numeric")
 def bspgemm_numeric(handle: SpgemmHandle, A, B):
     """Numeric: batched (P,b,b) MXU block products + sorted block segsum."""
     from ..containers import BsrMatrix
@@ -348,6 +351,7 @@ def bspgemm_numeric(handle: SpgemmHandle, A, B):
                      vals, handle.nrows_c, handle.ncols_c, handle.block_size)
 
 
+@annotate("bspgemm")
 def bspgemm(A, B):
     """No-reuse convenience: C = A·B for BSR operands."""
     h = SpgemmHandle(SpgemmAlgorithm.KK)

@@ -20,6 +20,7 @@ import scipy.sparse as sps
 
 from ..common import check
 from ..containers import CsrMatrix
+from ..common.tracing import annotate
 
 __all__ = ["SpilukHandle", "spiluk_symbolic", "spiluk_numeric"]
 
@@ -85,6 +86,7 @@ def _iluk_pattern(A: sps.csr_matrix, k: int) -> sps.csr_matrix:
     return sps.csr_matrix((data, indices, indptr), shape=A.shape)
 
 
+@annotate("spiluk.spiluk_symbolic")
 def spiluk_symbolic(handle: SpilukHandle, A: CsrMatrix):
     check(A.nrows == A.ncols, "spiluk: square matrix required")
     sp = A.to_scipy()
@@ -102,6 +104,7 @@ def spiluk_symbolic(handle: SpilukHandle, A: CsrMatrix):
     return pat.nnz
 
 
+@annotate("spiluk.spiluk_numeric")
 def spiluk_numeric(handle: SpilukHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMatrix]:
     """Factor within the symbolic pattern; returns (L unit-lower w/ diag, U)."""
     check(handle.is_symbolic_called, "spiluk_numeric: symbolic first")

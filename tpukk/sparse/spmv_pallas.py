@@ -788,15 +788,19 @@ def onehot_cost_estimate(A):
 
 
 def _onehot_pad_ratios(A):
+    return _onehot_pad_ratios_arrays(
+        np.asarray(A.host_row_map(), dtype=np.int64),
+        np.asarray(A.host_entries(), dtype=np.int64), A.nrows, A.ncols)
+
+
+def _onehot_pad_ratios_arrays(rm, ent, nrows, ncols):
     """(pad_flat, pad_dl) without building either plan: one sort pass."""
     TD, TS = _OH_DST, _OH_SRC
-    rm = np.asarray(A.host_row_map(), dtype=np.int64)
-    ent = np.asarray(A.host_entries(), dtype=np.int64)
     nnz = len(ent)
     if nnz == 0:
         return 1.0, 1.0
-    ns = max(1, -(-A.ncols // TS))
-    rows = np.repeat(np.arange(A.nrows, dtype=np.int64), rm[1:] - rm[:-1])
+    ns = max(1, -(-ncols // TS))
+    rows = np.repeat(np.arange(nrows, dtype=np.int64), rm[1:] - rm[:-1])
     run = (rows // TD) * ns + ent // TS
     lc = (rows % TD) % 128
     grp = np.sort(run * 128 + lc)
@@ -1850,6 +1854,16 @@ class GtSpmvPlan:
         self.n_tables = T
         self.layout = layout
 
+    @classmethod
+    def from_host_streams(cls, res, nrows, ncols, nnz):
+        """Plan from a build_gt_streams_host result (res carries the value
+        plane already) — no CsrMatrix needed; used by callers that built
+        their matrix as raw host arrays (dist/, coloring's selection
+        matrix)."""
+        self = object.__new__(cls)
+        self._init_from_native(res, None, nrows, ncols, nnz)
+        return self
+
     def _init_from_native(self, res, vals_host, n, m, nnz):
         """Fill the plan fields from a tpukk_gt_build result; the per-slot
         element-index map stays on the host (host_eidx) so value planes —
@@ -1857,11 +1871,16 @@ class GtSpmvPlan:
         S, B, n_ss = res["S"], res["B"], res["n_ss"]
         layout = res["layout"]
         eidx = res["eidx"]
-        vplane = np.zeros(S * 1024, np.float32)
-        selm = eidx >= 0
-        vplane[selm] = vals_host[eidx[selm]]
-        self.gt = jnp.asarray(res["pk"].reshape(S * 8, 128))
-        self.vals = jnp.asarray(vplane.reshape(S * 8, 128))
+        if vals_host is None:
+            vplane = res["vals"]  # precomputed by build_gt_streams_host
+        else:
+            vplane = np.zeros(S * 1024, np.float32)
+            selm = eidx >= 0
+            vplane[selm] = vals_host[eidx[selm]]
+        self.gt = jnp.asarray(np.ascontiguousarray(
+            res["pk"].reshape(S * 8, 128)))
+        self.vals = jnp.asarray(np.ascontiguousarray(
+            vplane.reshape(S * 8, 128)))
         self.rhi = (jnp.asarray(res["rhi"].reshape(S * 8, 128))
                     if layout == "dlp" else jnp.zeros((1, 128), jnp.int32))
         self.lo = jnp.zeros((1, 128), jnp.int32)

@@ -16,10 +16,12 @@ from ..common import check
 from ..containers import CsrMatrix
 from .spmv import SpmvAlgorithm, SpmvHandle
 from .spmv_impl import detect_dia_offsets
+from ..common.tracing import annotate
 
 __all__ = ["spmv_struct", "structured_stencil_offsets"]
 
 
+@annotate("structured_stencil_offsets")
 def structured_stencil_offsets(grid, stencil_type: str = "FD"):
     """Expected diagonal offsets for an FD/FE stencil on `grid` (nx[,ny[,nz]])
     — cf. the stencil taxonomy of spmv_struct_impl (3/5/7/9/27-point)."""
@@ -42,6 +44,7 @@ def structured_stencil_offsets(grid, stencil_type: str = "FD"):
     return np.asarray(sorted(offs), dtype=np.int64)
 
 
+@annotate("spmv_struct")
 def spmv_struct(A: CsrMatrix, grid, x, alpha=1.0, beta=0.0, y=None,
                 stencil_type: str = "FD", mode: str = "N"):
     """y = beta*y + alpha*op(A)·x for a structured-grid matrix.

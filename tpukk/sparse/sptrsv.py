@@ -106,6 +106,7 @@ def _compute_levels(rm, ent, n, lower: bool) -> np.ndarray:
     return levels
 
 
+@annotate("sptrsv_symbolic")
 def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     check(A.nrows == A.ncols, "sptrsv: square matrix required")
     rm = A.host_row_map()

@@ -9,10 +9,12 @@ import jax.numpy as jnp
 from ..common import check
 from ..containers import CsrMatrix
 from .sptrsv import SptrsvHandle, sptrsv_solve, sptrsv_symbolic
+from ..common.tracing import annotate
 
 __all__ = ["trsv"]
 
 
+@annotate("trsv")
 def trsv(uplo: str, trans: str, diag: str, A: CsrMatrix, b):
     """Solve op(tri(A))·x = b.  uplo 'L'/'U', trans 'N'/'T', diag 'N'/'U'
     (unit diagonal)."""
