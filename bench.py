@@ -114,7 +114,11 @@ def bench_spmv_unstructured():
     ]
     for name, A in cases:
         plan = build_onehot_spmv_plan(A)
-        t = _chain_onehot(plan, A)
+        # small matrices need longer chains: the slope signal (K2-K1)*t_iter
+        # must clear the relay's ms-scale timing noise (a 209k-nnz chain at
+        # K2=250 measured ~0 in round 3 — garbage Gnnz/s)
+        k1 = 50 if A.nnz > 1_000_000 else 300
+        t = _chain_onehot(plan, A, k1=k1, k2=5 * k1)
         gbps = csr_bytes(A, 4) / t / 1e9
         emit(name, A.nnz / t / 1e9, "Gnnz/s", gbps / target,
              gbps=round(gbps, 1), time_us=round(t * 1e6, 1),
@@ -410,8 +414,9 @@ def bench_spmm_blas():
     emit("blas1_axpby_16m_gbps", gbps, "GB/s", gbps / target,
          time_us=round(t * 1e6, 1))
 
-    # --- BLAS2 gemv 4096 --------------------------------------------------
-    g = 4096
+    # --- BLAS2 gemv 8192 (256MB matrix: forces HBM streaming; a 4096
+    # matrix fit VMEM and measured 1.4 TB/s) ------------------------------
+    g = 8192
     Ag = jax.device_put((rng.standard_normal((g, g)) / g).astype(np.float32))
     xg = jax.device_put(rng.standard_normal(g).astype(np.float32))
 
@@ -421,7 +426,7 @@ def bench_spmm_blas():
 
     t = chain_time_slope(mk_gemv, (Ag, xg), k1=30, k2=150, reps=4)
     gbps = g * g * 4 / t / 1e9
-    emit("blas2_gemv_4096_gbps", gbps, "GB/s", gbps / target,
+    emit("blas2_gemv_8192_gbps", gbps, "GB/s", gbps / target,
          time_us=round(t * 1e6, 1), gflops=round(2 * g * g / t / 1e9, 1))
 
     # --- BLAS3 gemm 2048 bf16->f32 (MXU peak check) ----------------------

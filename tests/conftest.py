@@ -30,7 +30,10 @@ if not _TPU_MODE:
     # backend; keyed by HLO so code changes invalidate naturally.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    # threshold 0: the suite's cost is hundreds of sub-0.1s compiles (e.g.
+    # per-level sptrsv programs — profiled round 3: 326 compiles = 7.5s in
+    # ONE trsv test), which a nonzero threshold exempts from caching
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # TPU mode: x64 stays OFF — enabling it on the axon backend wedges the
 # relay (observed round 2); f64 kernels use host-side numpy splits instead

@@ -152,3 +152,31 @@ def test_coloring_algorithm_aliases(rng):
         c = graph_color(A, alg)
         assert verify_coloring(A, c)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(base))
+
+
+def test_triangle_device_plan_matches_host(rng):
+    """Device numeric masked-wedge count == the host C++ count; per-row and
+    weighted variants (the TRIANGLE spgemm-mode numeric analog)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sps
+    from tpukk.graph.triangle import (build_triangle_plan,
+                                      triangle_count_device)
+
+    n = 300
+    d = (rng.random((n, n)) < 0.04)
+    d = np.triu(d, 1)
+    sp = sps.csr_matrix((d + d.T).astype(np.float64))
+    A = CsrMatrix.from_scipy(sp)
+    plan = build_triangle_plan(A)
+    total = int(np.asarray(triangle_count_device(plan)))
+    assert total == triangle_count(A) == plan.num_triangles
+    pr = np.asarray(triangle_count_device(plan, per_row=True))
+    assert pr.sum() == total
+    np.testing.assert_array_equal(
+        pr.astype(np.int64), triangle_count_per_row(A))
+    # weighted: unit weights reproduce the count; doubled edge weights
+    # scale every triangle by 8
+    nnzL = plan.ent.shape[0]
+    w1 = jnp.ones(nnzL, jnp.float32)
+    assert float(triangle_count_device(plan, values=w1)) == total
+    assert float(triangle_count_device(plan, values=2 * w1)) == 8 * total

@@ -182,3 +182,21 @@ def test_public_spmv_f64_route_on_tpu(rngm):
         ref = A.to_scipy() @ x
         rel = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
         assert rel < 5e-13, rel
+
+
+def test_dia_ds_pow2_path_on_tpu(rngm):
+    """pow2 fast path (all values ±2^j: exact products, no lo plane): same
+    accuracy contract as the full Dekker kernel on the flagship stencil."""
+    _require_tpu()
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import spmv_impl
+    from tpukk.sparse.spmv_pallas import DiaDsPlan, dia_spmv_ds
+
+    A = generate_structured_laplacian(300, 300, dtype=np.float64)
+    plan = DiaDsPlan(spmv_impl.build_dia_plan(A))
+    assert plan.pow2, "Laplacian values are +-2^j: pow2 path must engage"
+    x = rngm.standard_normal(A.ncols)
+    y = np.asarray(dia_spmv_ds(plan, x))
+    ref = A.to_scipy() @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 5e-13, rel

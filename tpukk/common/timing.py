@@ -42,15 +42,30 @@ def chain_time_slope(mk_run, args, k1: int = 200, k2: int = 1200,
     mk_run(K) must return a compiled callable running K chained iterations
     of the workload; per-iter = (best_t(K2) - best_t(K1)) / (K2 - K1).
     """
-    f1, f2 = mk_run(k1), mk_run(k2)
-    sync_fetch(f1(*args))
-    sync_fetch(f2(*args))
-    b1 = b2 = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    def measure(ka, kb):
+        f1, f2 = mk_run(ka), mk_run(kb)
         sync_fetch(f1(*args))
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
         sync_fetch(f2(*args))
-        b2 = min(b2, time.perf_counter() - t0)
-    return max((b2 - b1) / (k2 - k1), 1e-9)
+        b1 = b2 = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync_fetch(f1(*args))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sync_fetch(f2(*args))
+            b2 = min(b2, time.perf_counter() - t0)
+        return b1, b2
+
+    b1, b2 = measure(k1, k2)
+    # the relay's per-dispatch latency is 1-30 ms and VARIABLE: when the
+    # chain-length delta doesn't clear that noise floor the slope collapses
+    # to ~0 (observed round 3: 'spmv at 209942 Gnnz/s').  Retry with 4x
+    # chains; final fallback = the biased-but-bounded b2/k2.
+    for _ in range(2):
+        if (b2 - b1) >= max(0.10 * b2, 0.003):
+            break
+        k1, k2 = 4 * k1, 4 * k2
+        b1, b2 = measure(k1, k2)
+    if (b2 - b1) <= 0:
+        return b2 / k2
+    return (b2 - b1) / (k2 - k1)

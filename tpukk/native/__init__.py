@@ -87,10 +87,13 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i32p,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
                 ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p]
             lib.tpukk_gt_fetch.restype = ctypes.c_int32
             lib.tpukk_gt_fetch.argtypes = [
                 i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p, i32p]
+            lib.tpukk_gt_fetch_lane_tab.restype = ctypes.c_int32
+            lib.tpukk_gt_fetch_lane_tab.argtypes = [i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -255,8 +258,8 @@ def permute_route(R, C, src):
 
 
 def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
-             max_grow_dl=4, force_batch=0, fix_us=0.235, var_gi4=0.0115,
-             var_dlp=0.022):
+             max_grow_dl=4, force_batch=0, use_lane_tab=True,
+             fix_us=0.235, var_gi4=0.0115, var_dlp=0.022):
     """Full v9 gather-table stream build (see tpukk_gt_build); None when the
     native lib is unavailable or the build must fall back to Python (layout
     overflow, unsupported sizes).  Returns a dict with the packed streams +
@@ -270,10 +273,11 @@ def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
     meta = np.zeros(8, np.int64)
     rc = lib.tpukk_gt_build(n, m, len(ent), rm, ent, td, ts,
                             force_layout, max_grow_gi, max_grow_dl,
-                            force_batch, fix_us, var_gi4, var_dlp, meta)
+                            force_batch, 1 if use_lane_tab else 0,
+                            fix_us, var_gi4, var_dlp, meta)
     if rc != 0:
         return None
-    S, n_ss, B, layout, n_valid, nd, ns = (int(v) for v in meta[:7])
+    S, n_ss, B, layout, n_valid, nd, ns, has_tab = (int(v) for v in meta[:8])
     pk = np.empty(S * 1024, np.int32)
     eidx = np.empty(S * 1024, np.int32)
     rhi = np.empty(S * 1024, np.int32) if layout == 1 else None
@@ -285,11 +289,15 @@ def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
         pk, eidx,
         rhi.ctypes.data_as(ctypes.c_void_p) if rhi is not None else None,
         src_ids, dst_ss, first_ss, cnt_ss)
+    lane_tab = None
+    if has_tab:
+        lane_tab = np.empty(nd * 1024, np.int32)
+        lib.tpukk_gt_fetch_lane_tab(lane_tab)
     return {"pk": pk, "eidx": eidx, "rhi": rhi, "src_ids": src_ids,
             "dst_ss": dst_ss, "first_ss": first_ss, "cnt_ss": cnt_ss,
             "S": S, "n_ss": n_ss, "B": B,
             "layout": "gi4" if layout == 0 else "dlp",
-            "n_valid": n_valid, "nd": nd, "ns": ns}
+            "n_valid": n_valid, "nd": nd, "ns": ns, "lane_tab": lane_tab}
 
 
 def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):

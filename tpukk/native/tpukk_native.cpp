@@ -831,7 +831,9 @@ int32_t tpukk_permute_route(int64_t R, int64_t C, const int64_t* src,
 
 static thread_local struct {
   std::vector<int32_t> pk, eidx, rhi, src_ids, dst_ss, first_ss, cnt_ss;
+  std::vector<int32_t> lane_tab;  // (nd*1024) assigned lane per row, dlp only
   int64_t S = 0, n_ss = 0, B = 1, layout = 0, n_valid = 0, nd = 0, ns = 0;
+  int64_t has_tab = 0;
 } g_gt;
 
 static void gt_radix_sort(std::vector<uint64_t>& a) {
@@ -865,7 +867,7 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
                        int32_t td, int32_t ts,
                        int32_t force_layout,  // 0 auto, 1 gi, 2 dl
                        int32_t max_grow_gi, int32_t max_grow_dl,
-                       int32_t force_batch,
+                       int32_t force_batch, int32_t use_lane_tab,
                        double fix_us, double var_gi4_us, double var_dlp_us,
                        int64_t* out_meta) {
   if (nnz <= 0 || n <= 0) return -1;
@@ -958,7 +960,94 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
     if (force_layout == 1) return -3;
     gi = false;
   }
-  if (!gi && !attempt(false, max_grow_dl)) return -3;
+  bool has_tab = false;
+  g_gt.lane_tab.clear();
+  if (!gi && use_lane_tab && td == 1024) {
+    // balanced per-tile dst-lane assignment (tpukk_gt_assign_lanes): a
+    // whole-tile row->lane bijection that kills the Poisson max-lane skew
+    // setting dlp's chunks/run; the kernel un-permutes at flush via the
+    // lane table (tabidx stream == dst tile for whole-tile maps)
+    // 1. per-(row, st) pair counts from the run-sorted elements
+    std::vector<int64_t> p_row;
+    std::vector<int32_t> p_st, p_cnt;
+    {
+      static thread_local std::vector<int32_t> cnt_row2;
+      static thread_local std::vector<int64_t> ep_row2;
+      cnt_row2.assign(td, 0);
+      ep_row2.assign(td, -1);
+      std::vector<int32_t> seen;
+      for (int64_t r = 0; r < n_runs; ++r) {
+        int64_t dt = run_ids[r] / ns, st = run_ids[r] % ns;
+        seen.clear();
+        for (int64_t i = run_off[r]; i < run_off[r + 1]; ++i) {
+          int32_t R = srow_s[i] * 128 + lane_s[i];
+          if (ep_row2[R] != r) { cnt_row2[R] = 0; ep_row2[R] = r; seen.push_back(R); }
+          ++cnt_row2[R];
+        }
+        for (int32_t R : seen) {
+          p_row.push_back(dt * 1024 + R);
+          p_st.push_back((int32_t)st);
+          p_cnt.push_back(cnt_row2[R]);
+        }
+      }
+    }
+    // 2. counting sort by row -> pair_off/pair_st/pair_cnt
+    std::vector<int64_t> pair_off(nd * 1024 + 1, 0);
+    for (int64_t rr : p_row) pair_off[rr + 1]++;
+    for (size_t k = 1; k < pair_off.size(); ++k) pair_off[k] += pair_off[k - 1];
+    std::vector<int32_t> ps(p_row.size()), pc(p_row.size());
+    {
+      std::vector<int64_t> cur(pair_off.begin(), pair_off.end() - 1);
+      for (size_t k = 0; k < p_row.size(); ++k) {
+        int64_t pos = cur[p_row[k]]++;
+        ps[pos] = p_st[k];
+        pc[pos] = p_cnt[k];
+      }
+    }
+    std::vector<int32_t> out_lane(nd * 1024);
+    tpukk_gt_assign_lanes(nd, ns, pair_off.data(), ps.data(), pc.data(),
+                          out_lane.data());
+    // 3. adopt only when the estimated chunk count improves
+    {
+      static thread_local std::vector<int32_t> cl_nat, cl_asg;
+      static thread_local std::vector<int64_t> ep_nat, ep_asg;
+      cl_nat.assign(128, 0); ep_nat.assign(128, -1);
+      cl_asg.assign(128, 0); ep_asg.assign(128, -1);
+      int64_t ch_nat = 0, ch_asg = 0;
+      for (int64_t r = 0; r < n_runs; ++r) {
+        int64_t dt = run_ids[r] / ns;
+        int32_t mxn = 0, mxa = 0;
+        for (int64_t i = run_off[r]; i < run_off[r + 1]; ++i) {
+          int32_t L = lane_s[i];
+          if (ep_nat[L] != r) { cl_nat[L] = 0; ep_nat[L] = r; }
+          if (++cl_nat[L] > mxn) mxn = cl_nat[L];
+          int32_t L2 = out_lane[dt * 1024 + srow_s[i] * 128 + lane_s[i]];
+          if (ep_asg[L2] != r) { cl_asg[L2] = 0; ep_asg[L2] = r; }
+          if (++cl_asg[L2] > mxa) mxa = cl_asg[L2];
+        }
+        ch_nat += (mxn + 7) / 8;
+        ch_asg += (mxa + 7) / 8;
+      }
+      if (ch_asg < ch_nat) {
+        // rewrite lane_s to the assigned lanes (per run for its tile)
+        std::vector<int32_t> lane_nat(lane_s);
+        for (int64_t r = 0; r < n_runs; ++r) {
+          int64_t dt = run_ids[r] / ns;
+          for (int64_t i = run_off[r]; i < run_off[r + 1]; ++i)
+            lane_s[i] = out_lane[dt * 1024 + srow_s[i] * 128 + lane_nat[i]];
+        }
+        has_tab = true;
+        g_gt.lane_tab.swap(out_lane);
+        if (!attempt(false, max_grow_dl)) {
+          // overflow under assigned lanes: retry natural
+          lane_s.swap(lane_nat);
+          has_tab = false;
+          g_gt.lane_tab.clear();
+        }
+      }
+    }
+  }
+  if (!gi && !(has_tab) && !attempt(false, max_grow_dl)) return -3;
 
   // --- chunk assembly in real (run-major == dst-major) order --------------
   std::vector<int64_t> base(n_runs + 1, 0);
@@ -1077,12 +1166,20 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
       prev = g_gt.dst_ss[ss];
     }
   }
+  if (has_tab) g_gt.cnt_ss = g_gt.dst_ss;  // tabidx stream: whole-tile maps
   g_gt.S = S; g_gt.n_ss = n_ss; g_gt.B = B;
   g_gt.layout = gi ? 0 : 1;
   g_gt.n_valid = S_real; g_gt.nd = nd; g_gt.ns = ns;
+  g_gt.has_tab = has_tab ? 1 : 0;
   out_meta[0] = S; out_meta[1] = n_ss; out_meta[2] = B;
   out_meta[3] = g_gt.layout; out_meta[4] = S_real;
-  out_meta[5] = nd; out_meta[6] = ns;
+  out_meta[5] = nd; out_meta[6] = ns; out_meta[7] = g_gt.has_tab;
+  return 0;
+}
+
+int32_t tpukk_gt_fetch_lane_tab(int32_t* lane_tab) {
+  if (!g_gt.has_tab) return -1;
+  std::memcpy(lane_tab, g_gt.lane_tab.data(), g_gt.lane_tab.size() * 4);
   return 0;
 }
 

@@ -26,6 +26,7 @@ is built once per sparsity (spgemm_handle.hpp:248-252 reuse contract).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -525,6 +526,13 @@ def _dl_pair_call_batched(at_ids, bt_ids, ct_ss, first_ss, a_loc, b_loc, crhi,
 
 def onehot_pair_numeric(plan, a_vals, b_vals, interpret: bool = False):
     """C.values for the planned product, f32."""
+    if isinstance(plan, GtPairPlan) and getattr(plan, "layout", "legacy") == "pk":
+        return _gtp_pk_call(
+            plan.at_ids, plan.bt_ids, plan.ct_ss, plan.first_ss,
+            plan.a_lo, plan.b_lo, plan.crhi, a_vals, b_vals,
+            na=plan.na_blocks, nb=plan.nb_blocks, nc=plan.nc_tiles,
+            n_ss=plan.n_ss, B=plan.batch, nnz_c=plan.nnz_c,
+            interpret=interpret)
     if isinstance(plan, GtPairPlan):
         return _gt_pair_call(
             plan.at_ids, plan.bt_ids, plan.ct_ss, plan.first_ss,
@@ -566,6 +574,7 @@ from .spmv_pallas import _gt_gather
 _GTP_LEVELS = 5
 _GTP_FIX_US = 0.15
 _GTP_VAR_US = 0.0145  # per table-side per chunk (fitted: lap300 T=3 B=4 -> 0.087/chunk)
+_GTP_VAR_PK_US = 0.030  # pk path per chunk: 2 packed gathers + 8-way scatter
 
 
 def _rank_in_cell(cell, hi):
@@ -631,7 +640,7 @@ class GtPairPlan:
              self.at_ids, self.bt_ids, self.ct_ss, self.first_ss,
              self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
              self.num_steps, self.n_ss, self.batch, self.pad_ratio,
-             self.n_levels, self.n_tables) = _fields
+             self.n_levels, self.n_tables, self.layout) = _fields
             return
         a_idx = np.asarray(a_idx, dtype=np.int64)
         b_idx = np.asarray(b_idx, dtype=np.int64)
@@ -650,6 +659,17 @@ class GtPairPlan:
         aloc = a_idx - at * _BLK
         bloc = b_idx - bt * _BLK
         run = (ct * na + at) * nb + bt
+
+        # v9 "pk" fast path: C++ dual-cell placement at T=1
+        # (tpukk_gt_place2) + packed gt|lo streams for BOTH value gathers
+        # (_pk_gather: 6.9ns vs 14.3ns per (8,128) chunk, probe round 2) —
+        # the same v9 treatment the SpMV plan got in round 2, applied to
+        # the pair kernel (round-3 verdict: spgemm numeric perf).
+        if P and not int(os.environ.get("TPUKK_NO_PK_PAIR", "0")):
+            pk = self._try_pk_build(run, lc, crhi, aloc, bloc, ct, at, bt,
+                                    na, nb, nc, nnz_c, P)
+            if pk:
+                return
 
         # T selection: smallest with first-level combined overflow <= 0.5%
         T = 3
@@ -758,11 +778,138 @@ class GtPairPlan:
         self.pad_ratio = S * 1024 / max(1, P)
         self.n_levels = levels
         self.n_tables = T
+        self.layout = "legacy"
+
+    def _try_pk_build(self, run, lc, crhi, aloc, bloc, ct, at, bt,
+                      na, nb, nc, nnz_c, P) -> bool:
+        """Single-table native placement + packed streams; False on
+        unavailability/overflow (caller falls back to the legacy levels)."""
+        from .. import native
+
+        if not native.available():
+            return False
+        # cluster same-source pairs within a run so the placer's table-reuse
+        # pass sees them consecutively (aloc/bloc < _BLK = 2^12)
+        key = (run << 24) | (aloc << 12) | bloc
+        order = np.argsort(key, kind="stable")
+        run_s = run[order]
+        rfirst = np.concatenate(([1], (np.diff(run_s) != 0).astype(np.int64)))
+        rstart = np.nonzero(rfirst)[0]
+        run_off = np.concatenate((rstart, [P]))
+        loA = (aloc % 128)[order].astype(np.int32)
+        hiA = (aloc // 128)[order].astype(np.int32)
+        loB = (bloc % 128)[order].astype(np.int32)
+        hiB = (bloc // 128)[order].astype(np.int32)
+        res = native.gt_place2(run_off, lc[order].astype(np.int32),
+                               loA, hiA, loB, hiB, 1, 8)
+        if res is None:
+            return False
+        c, s, _, _, nch = res
+        if (c < 0).any():
+            return False
+        base = np.concatenate(([0], np.cumsum(nch.astype(np.int64))))
+        rid = np.cumsum(rfirst) - 1
+        chunk = base[rid] + c
+        S_real = int(base[-1])
+        crhi_a = np.full(S_real * 1024, -1, np.int32)
+        rowb = (chunk * 8 + s) * 128
+        lane_o = lc[order].astype(np.int64)
+
+        def pack(lo_v, hi_v):
+            # lo at the (unique) slot lane, hi<<7 at the source lane: two
+            # plain fancy assignments (hi collisions all carry the same
+            # value — the <=T-distinct-hi cell cap) OR'd together
+            lo_pl = np.zeros(S_real * 1024, np.int32)
+            hi_pl = np.zeros(S_real * 1024, np.int32)
+            lo_pl[rowb + lane_o] = lo_v
+            hi_pl[rowb + lo_v] = hi_v << 7
+            return lo_pl | hi_pl
+
+        pkA = pack(loA, hiA)
+        pkB = pack(loB, hiB)
+        crhi_a[rowb + lane_o] = crhi[order]
+        # chunk -> (ct, at, bt); runs sorted ascending => ct-major order
+        run_u = run_s[rstart]
+        ch_run = np.repeat(run_u, nch)
+        ch_ct = ch_run // (na * nb)
+        ch_at = (ch_run // nb) % na
+        ch_bt = ch_run % nb
+        # merge missing-ct-tile dummies in sorted position
+        missing = np.setdiff1d(np.arange(nc, dtype=np.int64),
+                               np.unique(ch_ct), assume_unique=True)
+        if len(missing):
+            nm = len(missing)
+            ins = np.searchsorted(ch_ct, missing)
+            ch_ct = np.insert(ch_ct, ins, missing)
+            ch_at = np.insert(ch_at, ins, 0)
+            ch_bt = np.insert(ch_bt, ins, 0)
+            old = np.delete(np.arange(len(ch_ct)),
+                            ins + np.arange(nm))  # positions of real chunks
+            pkA = pkA.reshape(-1, 1024)
+            pkB = pkB.reshape(-1, 1024)
+            crhi_a = crhi_a.reshape(-1, 1024)
+            pkA2 = np.zeros((len(ch_ct), 1024), np.int32)
+            pkB2 = np.zeros((len(ch_ct), 1024), np.int32)
+            cr2 = np.full((len(ch_ct), 1024), -1, np.int32)
+            pkA2[old], pkB2[old], cr2[old] = pkA, pkB, crhi_a
+            pkA, pkB, crhi_a = (pkA2.reshape(-1), pkB2.reshape(-1),
+                                cr2.reshape(-1))
+        S = len(ch_ct)
+        counts = np.diff(np.concatenate((
+            np.nonzero(np.concatenate(([1], (ch_ct[1:] != ch_ct[:-1])
+                                       .astype(np.int64))))[0], [S])))
+        B = 1
+        best = float("inf")
+        for cand in (1, 2, 4, 8, 16, 32):
+            nss_c = int(np.ceil(counts / cand).sum())
+            cost = nss_c * (_GTP_FIX_US + cand * _GTP_VAR_PK_US)
+            if cost < best:
+                best, B = cost, cand
+        pkA = pkA.reshape(-1, 1024)
+        pkB = pkB.reshape(-1, 1024)
+        crhi_a = crhi_a.reshape(-1, 1024)
+        if B > 1:
+            padc = (-counts) % B
+            tot = counts + padc
+            starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+            gb = np.concatenate(([0], np.cumsum(counts)))
+            gid = np.repeat(np.arange(len(counts)), tot)
+            within = np.arange(int(tot.sum()), dtype=np.int64) - starts[gid]
+            cidx = np.where(within < counts[gid], gb[gid] + within, S)
+            pkA = np.concatenate([pkA, np.zeros((1, 1024), np.int32)])[cidx]
+            pkB = np.concatenate([pkB, np.zeros((1, 1024), np.int32)])[cidx]
+            crhi_a = np.concatenate(
+                [crhi_a, np.full((1, 1024), -1, np.int32)])[cidx]
+            ch_at = np.concatenate([ch_at, [0]])[cidx]
+            ch_bt = np.concatenate([ch_bt, [0]])[cidx]
+            ch_ct = ch_ct[gb[gid]]
+            S = len(cidx)
+        first = np.ones(S, np.int32)
+        first[1:] = (ch_ct[1:] != ch_ct[:-1]).astype(np.int32)
+        self.a_lo = jnp.asarray(pkA.reshape(S * 8, 128))
+        self.b_lo = jnp.asarray(pkB.reshape(S * 8, 128))
+        self.gta = jnp.zeros((1, 128), jnp.int32)
+        self.gtb = jnp.zeros((1, 128), jnp.int32)
+        self.crhi = jnp.asarray(crhi_a.reshape(S * 8, 128))
+        self.at_ids = jnp.asarray(ch_at.astype(np.int32))
+        self.bt_ids = jnp.asarray(ch_bt.astype(np.int32))
+        self.ct_ss = jnp.asarray(ch_ct[::B].astype(np.int32))
+        self.first_ss = jnp.asarray(first[::B])
+        self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
+        self.nnz_c = nnz_c
+        self.num_steps = S
+        self.n_ss = S // B
+        self.batch = B
+        self.pad_ratio = S * 1024 / max(1, P)
+        self.n_levels = 1
+        self.n_tables = 1
+        self.layout = "pk"
+        return True
 
     def tree_flatten(self):
         aux = (self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
                self.num_steps, self.n_ss, self.batch, self.pad_ratio,
-               self.n_levels, self.n_tables)
+               self.n_levels, self.n_tables, self.layout)
         return (self.a_lo, self.b_lo, self.gta, self.gtb, self.crhi,
                 self.at_ids, self.bt_ids, self.ct_ss, self.first_ss), aux
 
@@ -837,6 +984,71 @@ def _gt_pair_call(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb,
         out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
         interpret=interpret,
     )(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb, crhi, av, bv)
+    return cv.reshape(nc * _CT)[:nnz_c]
+
+
+@functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "n_ss", "B",
+                                             "nnz_c", "interpret"))
+def _gtp_pk_call(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi,
+                 a_vals, b_vals, *, na, nb, nc, n_ss, B, nnz_c, interpret):
+    """v9 pair kernel: BOTH value gathers through the packed pk streams
+    (_pk_gather — 2 streams/chunk/side instead of (T+1)+1) with the dl-style
+    8-way crhi scatter; placement from the C++ dual-cell T=1 placer."""
+    from .spmv_pallas import _pk_gather
+
+    av = jnp.pad(a_vals.astype(jnp.float32),
+                 (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
+    bv = jnp.pad(b_vals.astype(jnp.float32),
+                 (0, nb * _BLK - b_vals.shape[0])).reshape(nb * _SR, 128)
+
+    def kernel(at_ref, bt_ref, ct_ref, first_ref, pkA_ref, pkB_ref,
+               crhi_ref, av_ref, bv_ref, c_ref):
+        g = pl.program_id(0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for j in range(B):
+            at = at_ref[g * B + j]
+            bt = bt_ref[g * B + j]
+            sl = slice(j * 8, (j + 1) * 8)
+            a = _pk_gather(av_ref[pl.ds(at * _SR, _SR), :], pkA_ref[sl, :],
+                           _SR)
+            b = _pk_gather(bv_ref[pl.ds(bt * _SR, _SR), :], pkB_ref[sl, :],
+                           _SR)
+            pv = a * b
+            crhi2 = crhi_ref[sl, :]
+            crows = [jnp.sum(jnp.where(crhi2 == d, pv, 0.0), axis=0,
+                             keepdims=True) for d in range(8)]
+            acc = acc + jnp.concatenate(crows, axis=0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            c_ref[:, :] = acc
+
+        @pl.when(first_ref[g] == 0)
+        def _():
+            c_ref[:, :] = c_ref[:, :] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, a, b, c, f: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cv = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name="tpukk_spgemm_pair_pk",
+        out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi, av, bv)
     return cv.reshape(nc * _CT)[:nnz_c]
 
 

@@ -301,13 +301,24 @@ def _f32_split12(a):
     return a1, a - a1
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "chunk", "interpret"))
-def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
-    """Double-single DIA kernel: planes = k hi diags then k lo diags (f32),
-    x as (hi, lo) f32 windows; returns (y_sum, y_err) f32 pair with
-    y = y_sum + y_err to ~2^-48."""
+@functools.partial(jax.jit, static_argnames=("offsets", "chunk", "pow2",
+                                             "interpret"))
+def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, pow2, interpret):
+    """Double-single DIA kernel: planes = k hi diags then k lo diags (f32)
+    — or just the k hi diags when pow2 — x as (hi, lo) f32 windows; returns
+    (y_sum, y_err) f32 pair with y = y_sum + y_err to ~2^-48.
+
+    pow2 (plan-time property): every matrix value is 0 or ±2^j, so each
+    product ah*xh is EXACT in f32 (the mantissa is xh's) and the lo value
+    plane is identically 0 — the Dekker two_prod (10 vops/(diag,elem)) and
+    the lo-plane streams both drop with no accuracy loss.  This is the
+    flagship FD-stencil case (BASELINE config 1's Laplacian is ±1/±4).
+    Negative result (round 3): an FMA-based residual is NOT available —
+    Mosaic never contracts mul+add/sub into fma (probed all forms;
+    `a*b - barrier(a*b)` is exactly 0)."""
     k = len(offsets)
-    d_hi, d_lo = planes[:k], planes[k:]
+    d_hi = planes[:k]
+    d_lo = None if pow2 else planes[k:]
     n_pad = d_hi[0].shape[0]
     off_min = min(offsets)
     span = max(offsets) - off_min
@@ -315,12 +326,13 @@ def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
     num_chunks = n_pad // C
     W = round_up(max(span, 1), 1024)
     win = C + W
+    n_planes = k if pow2 else 2 * k
 
     def kernel(xh_ref, xl_ref, *rest):
         dh = rest[:k]
-        dl = rest[k:2 * k]
-        ys_ref, ye_ref = rest[2 * k], rest[2 * k + 1]
-        sh, sl_, semh, seml = rest[2 * k + 2:2 * k + 6]
+        dl = None if pow2 else rest[k:2 * k]
+        ys_ref, ye_ref = rest[n_planes], rest[n_planes + 1]
+        sh, sl_, semh, seml = rest[n_planes + 2:n_planes + 6]
         i = pl.program_id(0)
         cph = pltpu.make_async_copy(xh_ref.at[pl.ds(i * C, win)], sh, semh)
         cph.start()
@@ -329,29 +341,35 @@ def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
         cph.wait()
         cpl.wait()
         xh_win = sh[:]
-        x1w, x2w = _f32_split12(xh_win)   # once per window, all diagonals
+        if not pow2:
+            x1w, x2w = _f32_split12(xh_win)  # once per window, all diags
         S = jnp.zeros((C,), jnp.float32)
         E = jnp.zeros((C,), jnp.float32)
         for j in range(k):
             s0 = offsets[j] - off_min   # static python int: plain slices
             xh = xh_win[s0:s0 + C]
-            x1 = x1w[s0:s0 + C]
-            x2 = x2w[s0:s0 + C]
             xl = sl_[pl.ds(s0, C)]
             ah = dh[j][:]
-            al = dl[j][:]
-            a1, a2 = _f32_split12(ah)
             p = _fp_barrier(ah * xh)   # must round BEFORE entering two_sum
-            # Dekker two_prod residual: exact because every partial product
-            # of 12-bit halves is exactly representable in f32
-            perr = ((_fp_barrier(a1 * x1) - p) + a1 * x2 + a2 * x1) + a2 * x2
+            if pow2:
+                perr = None            # ah = ±2^j: the product was exact
+            else:
+                x1 = x1w[s0:s0 + C]
+                x2 = x2w[s0:s0 + C]
+                a1, a2 = _f32_split12(ah)
+                # Dekker two_prod residual: exact because every partial
+                # product of 12-bit halves is exactly representable in f32
+                perr = ((_fp_barrier(a1 * x1) - p) + a1 * x2 + a2 * x1) + a2 * x2
             # two_sum(S, p) — Knuth, branch-free; every intermediate is
             # barriered (FMA contraction/reassociation re-rounds them)
             t = _fp_barrier(S + p)
             bv = _fp_barrier(t - S)
             carry = _fp_barrier(S - _fp_barrier(t - bv)) + _fp_barrier(p - bv)
             S = t
-            E = E + (carry + perr + ah * xl + al * xh)
+            if pow2:
+                E = E + (carry + ah * xl)
+            else:
+                E = E + (carry + perr + ah * xl + dl[j][:] * xh)
         ys_ref[:] = S
         ye_ref[:] = E
 
@@ -362,7 +380,7 @@ def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM)
-           for _ in range(2 * k)],
+           for _ in range(n_planes)],
         out_specs=[pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
                    pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32),
@@ -374,7 +392,7 @@ def _dia_ds_call(xh_full, xl_full, *planes, offsets, chunk, interpret):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xh_full, xl_full, *d_hi, *d_lo)
+    )(xh_full, xl_full, *(d_hi if pow2 else (*d_hi, *d_lo)))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -390,7 +408,7 @@ class DiaDsPlan:
     def __init__(self, dia_plan=None, chunk: int = 32 * 1024, *, _fields=None):
         if _fields is not None:
             (self.hlist, self.llist, self.offsets, self.nrows, self.ncols,
-             self.n_pad, self.chunk, self.W) = _fields
+             self.n_pad, self.chunk, self.W, self.pow2) = _fields
             return
         offsets = dia_plan.offsets
         n = dia_plan.nrows
@@ -404,8 +422,15 @@ class DiaDsPlan:
             diags = np.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
         hi = diags.astype(np.float32)
         lo = (diags - hi.astype(np.float64)).astype(np.float32)
+        # pow2: every value 0 or ±2^j => each f32 product ah*xh is exact and
+        # lo == 0 — the kernel drops the Dekker two_prod + lo-plane streams
+        # (the FD-stencil flagship case; measured 2.07x on lap1000)
+        m, _ = np.frexp(diags)
+        self.pow2 = bool((lo == 0).all()
+                         and ((diags == 0) | (np.abs(m) == 0.5)).all())
         self.hlist = [jnp.asarray(hi[j]) for j in range(len(offsets))]
-        self.llist = [jnp.asarray(lo[j]) for j in range(len(offsets))]
+        self.llist = ([] if self.pow2 else
+                      [jnp.asarray(lo[j]) for j in range(len(offsets))])
         self.offsets = tuple(int(o) for o in offsets)
         self.nrows = n
         self.ncols = dia_plan.ncols
@@ -415,11 +440,13 @@ class DiaDsPlan:
 
     def tree_flatten(self):
         aux = (self.offsets, self.nrows, self.ncols, self.n_pad, self.chunk,
-               self.W)
+               self.W, self.pow2)
         return tuple(self.hlist) + tuple(self.llist), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        if aux[-1]:  # pow2: no lo planes
+            return cls(_fields=(list(children), [], *aux))
         k = len(children) // 2
         return cls(_fields=(list(children[:k]), list(children[k:]), *aux))
 
@@ -447,9 +474,11 @@ def dia_spmv_ds_planes(plan: DiaDsPlan, xh, xl, interpret: bool = False):
         return jax.lax.dynamic_update_slice(out, v, (idx0,)) if idx0 >= 0 \
             else out.at[0:v.shape[0] + idx0].set(v[-idx0:])
 
-    ys, ye = _dia_ds_call(place(xh), place(xl), *plan.hlist, *plan.llist,
+    pw2 = getattr(plan, "pow2", False)
+    planes = tuple(plan.hlist) if pw2 else (*plan.hlist, *plan.llist)
+    ys, ye = _dia_ds_call(place(xh), place(xl), *planes,
                           offsets=plan.offsets, chunk=plan.chunk,
-                          interpret=interpret)
+                          pow2=pw2, interpret=interpret)
     return ys[:plan.nrows], ye[:plan.nrows]
 
 
@@ -1588,6 +1617,7 @@ class GtSpmvPlan:
                     rm, ent, n, m, TD, TS, force_layout=fl,
                     max_grow_gi=16 if force_gi else 8, max_grow_dl=4,
                     force_batch=int(force_batch or 0),
+                    use_lane_tab=not no_lane_tab,
                     fix_us=_GT_FIX_US, var_gi4=_GT_VAR_GI4_US,
                     var_dlp=_GT_VAR_DLP_US)
                 if res is not None:
@@ -1883,7 +1913,11 @@ class GtSpmvPlan:
             vplane.reshape(S * 8, 128)))
         self.rhi = (jnp.asarray(res["rhi"].reshape(S * 8, 128))
                     if layout == "dlp" else jnp.zeros((1, 128), jnp.int32))
-        self.lo = jnp.zeros((1, 128), jnp.int32)
+        tab = res.get("lane_tab")
+        # dlp balanced-lane maps: lo carries the per-tile un-permute table,
+        # cnt_ss the per-super-step tabidx (== dst tile for whole-tile maps)
+        self.lo = (jnp.asarray(tab.reshape(-1, 128))
+                   if tab is not None else jnp.zeros((1, 128), jnp.int32))
         self.src_ids = jnp.asarray(res["src_ids"])
         self.dst_ss = jnp.asarray(res["dst_ss"])
         self.first_ss = jnp.asarray(res["first_ss"])
@@ -1936,6 +1970,7 @@ def build_gt_streams_host(rm, ent, vals, nrows, ncols, *, force_gi=False,
                           force_layout=fl,
                           max_grow_gi=16 if force_gi else 8, max_grow_dl=4,
                           force_batch=int(force_batch or 0),
+                          use_lane_tab=False,  # SPMD stacking: no tab streams
                           fix_us=_GT_FIX_US, var_gi4=_GT_VAR_GI4_US,
                           var_dlp=_GT_VAR_DLP_US)
     if res is None:
@@ -2522,10 +2557,13 @@ def _gi4_ds_call_batched(dst_ss, srcsub_ids, first_ss, pk, vh, vl,
             gl = _pk_gather(Xl, pkj, SR)
             ah = vh_ref[sl, :]
             al = vl_ref[sl, :]
-            # Dekker two_prod(ah, gh) via 12-bit bitmask splits
+            p = _fp_barrier(ah * gh)
+            # Dekker two_prod(ah, gh) via 12-bit bitmask splits.  (Negative
+            # result, round 3: Mosaic does NOT contract any mul+add/sub
+            # pattern into an fma — `a*b - barrier(a*b)` is exactly 0 in
+            # every form probed — so the 1-op FMA residual is unavailable.)
             a1, a2 = _f32_split12(ah)
             b1, b2 = _f32_split12(gh)
-            p = _fp_barrier(ah * gh)
             e = ((_fp_barrier(a1 * b1) - p) + a1 * b2 + a2 * b1) + a2 * b2
             e = e + ah * gl + al * gh
             for q in range(4):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Any, List
 
 import jax
@@ -36,7 +37,7 @@ class SptrsvAlgorithm(enum.Enum):
     SUPERNODAL = "supernodal"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class _LevelBlock:
     """Static slice coordinates into the handle's flat-packed plan arrays.
     All levels ride in three device arrays (one transfer each at symbolic
@@ -185,13 +186,20 @@ def sptrsv_solve(handle: SptrsvHandle, A: CsrMatrix, b):
         from .sptrsv_pallas import fused_sptrsv_solve
 
         return fused_sptrsv_solve(handle.fused_plan, b)
-    order = jnp.asarray(handle.order)
-    inv_order = jnp.asarray(handle.inv_order)
+    return _levelset_solve(jnp.asarray(handle.order),
+                           jnp.asarray(handle.inv_order),
+                           handle.cols_cat, handle.vals_cat,
+                           handle.invd_cat, b, blocks=tuple(handle.blocks))
+
+
+@functools.partial(jax.jit, static_argnames=("blocks",))
+def _levelset_solve(order, inv_order, cols_cat, vals_cat, invd_cat, b, *,
+                    blocks):
+    """Whole level chain under ONE jit (an eager per-level loop was 300+
+    sub-0.1s compiles/dispatches per handle — profiled round 3)."""
     bp = permute_via_sort(b, inv_order)
     xp = jnp.zeros_like(bp)
-    cols_cat, vals_cat, invd_cat = (
-        handle.cols_cat, handle.vals_cat, handle.invd_cat)
-    for blk in handle.blocks:
+    for blk in blocks:
         sz = blk.rows * blk.w
         cols = jax.lax.slice_in_dim(cols_cat, blk.flat, blk.flat + sz)
         cols = cols.reshape(blk.rows, blk.w)
