@@ -193,17 +193,23 @@ def _vb_gather_plan(cols_ell: np.ndarray, nrows: int, interpret: bool = False):
     rm_s = np.zeros(n * w + 1, np.int64)
     np.cumsum(vflat, out=rm_s[1:])
     ent_s = cols_ell.reshape(-1)[vflat].astype(np.int64)
-    # only worth it while the padded kernel cost beats the XLA take floor
-    pf, pd = sp._onehot_pad_ratios_arrays(rm_s, ent_s, n * w, n)
-    if min(pf * sp._FLAT_STEP_COST,
-           pd * sp._DL_STEP_COST) >= sp._XLA_GATHER_STEP_COST:
-        return None
     plan = None
     res = sp.build_gt_streams_host(rm_s, ent_s,
                                    np.ones(len(ent_s), np.float32), n * w, n)
     if res is not None:
+        # gate on the BUILT plan's padding (the native build already ran
+        # the layout cost model; a separate estimate pass cost 50 ms of the
+        # one-shot budget): bail to XLA take when the kernel would lose
+        pad = res["S"] * 1024 / max(1, len(ent_s))
+        if pad * sp._DL_STEP_COST >= sp._XLA_GATHER_STEP_COST:
+            return None
         plan = sp.GtSpmvPlan.from_host_streams(res, n * w, n, len(ent_s))
     if plan is None:
+        # no native builder: estimate first, then the Python plan build
+        pf, pd = sp._onehot_pad_ratios_arrays(rm_s, ent_s, n * w, n)
+        if min(pf * sp._FLAT_STEP_COST,
+               pd * sp._DL_STEP_COST) >= sp._XLA_GATHER_STEP_COST:
+            return None
         import scipy.sparse as sps
 
         S = sps.csr_matrix((np.ones(len(ent_s), np.float32),

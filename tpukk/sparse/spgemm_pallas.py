@@ -855,8 +855,13 @@ class GtPairPlan:
             pkA, pkB, crhi_a = (pkA2.reshape(-1), pkB2.reshape(-1),
                                 cr2.reshape(-1))
         S = len(ch_ct)
+        # 4-tile output grouping (the gi4 trick): the (32,128) output block
+        # covers FOUR c-tiles, so B amortizes the ~0.15us step floor over
+        # the whole block's chunks (lap300: ~4.4 chunks/tile -> ~17/block)
+        gids = ch_ct // 4
+        sub = (ch_ct & 3).astype(np.int64)
         counts = np.diff(np.concatenate((
-            np.nonzero(np.concatenate(([1], (ch_ct[1:] != ch_ct[:-1])
+            np.nonzero(np.concatenate(([1], (gids[1:] != gids[:-1])
                                        .astype(np.int64))))[0], [S])))
         B = 1
         best = float("inf")
@@ -882,19 +887,25 @@ class GtPairPlan:
                 [crhi_a, np.full((1, 1024), -1, np.int32)])[cidx]
             ch_at = np.concatenate([ch_at, [0]])[cidx]
             ch_bt = np.concatenate([ch_bt, [0]])[cidx]
-            ch_ct = ch_ct[gb[gid]]
+            sub = np.concatenate([sub, [0]])[cidx]
+            gids = gids[gb[gid]]
             S = len(cidx)
-        first = np.ones(S, np.int32)
-        first[1:] = (ch_ct[1:] != ch_ct[:-1]).astype(np.int32)
+        else:
+            gids = gids
+        gss = gids[::B]
+        first = np.ones(len(gss), np.int32)
+        first[1:] = (gss[1:] != gss[:-1]).astype(np.int32)
+        ch_ct = gss  # per-ss OUTPUT BLOCK id
         self.a_lo = jnp.asarray(pkA.reshape(S * 8, 128))
         self.b_lo = jnp.asarray(pkB.reshape(S * 8, 128))
         self.gta = jnp.zeros((1, 128), jnp.int32)
         self.gtb = jnp.zeros((1, 128), jnp.int32)
         self.crhi = jnp.asarray(crhi_a.reshape(S * 8, 128))
-        self.at_ids = jnp.asarray(ch_at.astype(np.int32))
+        # per-chunk c-quarter packed into at's low bits (gi4's srcsub trick)
+        self.at_ids = jnp.asarray(((ch_at << 2) | sub).astype(np.int32))
         self.bt_ids = jnp.asarray(ch_bt.astype(np.int32))
-        self.ct_ss = jnp.asarray(ch_ct[::B].astype(np.int32))
-        self.first_ss = jnp.asarray(first[::B])
+        self.ct_ss = jnp.asarray(ch_ct.astype(np.int32))   # per-ss block id
+        self.first_ss = jnp.asarray(first)
         self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
         self.nnz_c = nnz_c
         self.num_steps = S
@@ -992,10 +1003,13 @@ def _gt_pair_call(at_ids, bt_ids, ct_ss, first_ss, a_lo, b_lo, gta, gtb,
 def _gtp_pk_call(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi,
                  a_vals, b_vals, *, na, nb, nc, n_ss, B, nnz_c, interpret):
     """v9 pair kernel: BOTH value gathers through the packed pk streams
-    (_pk_gather — 2 streams/chunk/side instead of (T+1)+1) with the dl-style
-    8-way crhi scatter; placement from the C++ dual-cell T=1 placer."""
+    (_pk_gather — 2 streams/chunk/side instead of (T+1)+1), dl-style 8-way
+    crhi scatter into a (32,128) output block covering FOUR c-tiles
+    (per-chunk quarter packed in at's low bits); placement from the C++
+    dual-cell T=1 placer."""
     from .spmv_pallas import _pk_gather
 
+    nc4 = -(-nc // 4)
     av = jnp.pad(a_vals.astype(jnp.float32),
                  (0, na * _BLK - a_vals.shape[0])).reshape(na * _SR, 128)
     bv = jnp.pad(b_vals.astype(jnp.float32),
@@ -1004,9 +1018,11 @@ def _gtp_pk_call(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi,
     def kernel(at_ref, bt_ref, ct_ref, first_ref, pkA_ref, pkB_ref,
                crhi_ref, av_ref, bv_ref, c_ref):
         g = pl.program_id(0)
-        acc = jnp.zeros((8, 128), jnp.float32)
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
         for j in range(B):
-            at = at_ref[g * B + j]
+            asub = at_ref[g * B + j]
+            at = asub >> 2
+            sub = asub & 3
             bt = bt_ref[g * B + j]
             sl = slice(j * 8, (j + 1) * 8)
             a = _pk_gather(av_ref[pl.ds(at * _SR, _SR), :], pkA_ref[sl, :],
@@ -1017,7 +1033,10 @@ def _gtp_pk_call(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi,
             crhi2 = crhi_ref[sl, :]
             crows = [jnp.sum(jnp.where(crhi2 == d, pv, 0.0), axis=0,
                              keepdims=True) for d in range(8)]
-            acc = acc + jnp.concatenate(crows, axis=0)
+            con = jnp.concatenate(crows, axis=0)
+            for q in range(4):
+                accs[q] = jnp.where(sub == q, accs[q] + con, accs[q])
+        acc = jnp.concatenate(accs, axis=0)
 
         @pl.when(first_ref[g] == 1)
         def _():
@@ -1040,16 +1059,16 @@ def _gtp_pk_call(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda g, a, b, c, f: (c[g], 0),
+        out_specs=pl.BlockSpec((32, 128), lambda g, a, b, c, f: (c[g], 0),
                                memory_space=pltpu.VMEM),
     )
     cv = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         name="tpukk_spgemm_pair_pk",
-        out_shape=jax.ShapeDtypeStruct((nc * 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc4 * 32, 128), jnp.float32),
         interpret=interpret,
     )(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi, av, bv)
-    return cv.reshape(nc * _CT)[:nnz_c]
+    return cv.reshape(nc4 * 4 * _CT)[:nnz_c]
 
 
 # ---------------------------------------------------------------------------
