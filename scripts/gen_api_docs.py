@@ -69,7 +69,9 @@ PAGES = {
     "graph/coarsen": ("tpukk.graph.coarsen", None),
     "graph/ordering": ("tpukk.graph.ordering", None),
     "graph/triangle": ("tpukk.graph.triangle",
-                       ["triangle_count", "triangle_count_per_row"]),
+                       ["triangle_count", "triangle_count_per_row",
+                        "build_triangle_plan", "triangle_count_device",
+                        "TrianglePlan"]),
     "ode": ("tpukk.ode", None),
     "dist": ("tpukk.dist", None),
     "common/permute": ("tpukk.common.permute",

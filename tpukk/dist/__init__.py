@@ -25,3 +25,14 @@ from .spmv import (
     shard_halo_plan,
     shard_partition,
 )
+
+__all__ = [
+    "DistGsGtPlan", "DistGsPlan", "DistGtPlan", "HaloPlan", "RingSpgemmPlan",
+    "RowPartition", "build_dist_gs_gt_plan", "build_dist_gs_plan",
+    "build_dist_gt_plan", "build_halo_plan", "build_ring_spgemm_plan",
+    "dist_cg_step", "dist_dot", "dist_gmres", "dist_gs_sweep", "dist_pcg",
+    "dist_spmv", "dist_spmv_gt", "dist_spmv_halo", "import_lists",
+    "partition_rows", "ring_spgemm_numeric", "shard_dist_gs_plan",
+    "shard_dist_gt_plan", "shard_halo_plan", "shard_partition",
+    "shard_ring_spgemm_plan",
+]
