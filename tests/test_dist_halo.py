@@ -142,3 +142,24 @@ def test_dist_gs_gt_matches_ell_sweep(mesh, rng):
     # and the sweep reduces the residual
     r = np.linalg.norm(A.to_scipy() @ np.asarray(xg)[:n] - b[:n])
     assert r < np.linalg.norm(b[:n])
+
+
+def test_ring_spgemm_pk_fast_path(mesh, rng):
+    """f32 ring SpGEMM routes every step's local compute through the v9
+    packed-gather pair kernel (plan.pk_meta set) and matches scipy."""
+    from tpukk.dist import (build_ring_spgemm_plan, ring_spgemm_numeric,
+                            shard_ring_spgemm_plan)
+
+    A = generate_random_csr(60, 60, 4, seed=7, dtype=np.float32)
+    plan = build_ring_spgemm_plan(A, A, mesh.devices.size)
+    assert plan.pk_meta is not None, "pk ring path did not engage"
+    plan = shard_ring_spgemm_plan(plan, mesh)
+    C = ring_spgemm_numeric(plan, mesh)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sort_indices()
+    Cs = C.to_scipy()
+    Cs.sort_indices()
+    assert (Cs.indptr == ref.indptr).all()
+    assert (Cs.indices == ref.indices).all()
+    tol = 50 * np.finfo(np.float32).eps * max(1, np.abs(ref.data).max())
+    assert np.abs(Cs.data - ref.data).max() < tol

@@ -46,21 +46,25 @@ class RingSpgemmPlan:
     n_parts: int
     rows_per_part: int
     nc_max: int
+    # pk fast path: per-(part, step) v9 pair streams stacked (P, steps, ...)
+    # — None when the native placer was unavailable/overflowed
+    pk_streams: Any = None           # 7-tuple of stacked arrays or None
+    pk_meta: tuple = None            # (S, n_ss, B, nc_tiles, NA, NB) or None
 
     def tree_flatten(self):
         children = (self.a_vals_pad, self.b_vals_pad, self.pair_a, self.pair_b,
-                    self.pair_c, self.nnz_c_local)
+                    self.pair_c, self.nnz_c_local, self.pk_streams)
         aux = (self.row_map_c, self.entries_c, self.nrows_c, self.ncols_c,
-               self.n_parts, self.rows_per_part, self.nc_max)
+               self.n_parts, self.rows_per_part, self.nc_max, self.pk_meta)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.a_vals_pad, obj.b_vals_pad, obj.pair_a, obj.pair_b,
-         obj.pair_c, obj.nnz_c_local) = children
+         obj.pair_c, obj.nnz_c_local, obj.pk_streams) = children
         (obj.row_map_c, obj.entries_c, obj.nrows_c, obj.ncols_c,
-         obj.n_parts, obj.rows_per_part, obj.nc_max) = aux
+         obj.n_parts, obj.rows_per_part, obj.nc_max, obj.pk_meta) = aux
         return obj
 
 
@@ -137,12 +141,73 @@ def build_ring_spgemm_plan(A: CsrMatrix, B: CsrMatrix, n_parts: int) -> RingSpge
             pair_a[p, s, : len(pa)] = pa
             pair_b[p, s, : len(pb)] = pb
             pair_c[p, s, : len(pc)] = pc
+
+    # pk fast path is f32-only (the pair kernel computes in f32); f64 plans
+    # keep the exact take+segment schedule
+    if a_pad.dtype == np.float32 and b_pad.dtype == np.float32:
+        pk_streams, pk_meta = _build_ring_pk_streams(pairs, n_parts, NA, NB, NC)
+    else:
+        pk_streams, pk_meta = None, None
     return RingSpgemmPlan(
         jnp.asarray(a_pad), jnp.asarray(b_pad),
         jnp.asarray(pair_a), jnp.asarray(pair_b), jnp.asarray(pair_c),
         Cs.indptr.astype(np.int32), Cs.indices.astype(np.int32),
         jnp.asarray(nnz_c_local),
-        A.nrows, B.ncols, n_parts, rppA, NC)
+        A.nrows, B.ncols, n_parts, rppA, NC, pk_streams, pk_meta)
+
+
+def _build_ring_pk_streams(pairs, n_parts, NA, NB, NC):
+    """Per-(part, step) v9 pk pair streams with a uniform batch, padded to
+    common shapes and stacked (P, steps, ...) — the local compute of every
+    ring step then runs the packed-gather pair kernel instead of XLA takes.
+    (None, None) when the native placer is unavailable or any set
+    overflows."""
+    import os
+
+    from ..sparse import spgemm_pallas
+
+    if int(os.environ.get("TPUKK_NO_PK_RING", "0")):
+        return None, None
+    streams = []
+    B0 = None
+    for p in range(n_parts):
+        row = []
+        for s in range(n_parts):
+            pa, pb, pc = pairs[p][s]
+            res = spgemm_pallas.build_pk_pair_streams_host(
+                np.asarray(pa, np.int64), np.asarray(pb, np.int64),
+                np.asarray(pc, np.int64), NA, NB, NC, force_batch=B0)
+            if res is None:
+                return None, None
+            if B0 is None:
+                B0 = res["B"]
+            row.append(res)
+        streams.append(row)
+    nc = streams[0][0]["nc"]
+    n_ss = max(r["n_ss"] for row in streams for r in row)
+    S = n_ss * B0
+
+    def stack(key, fill, per_chunk_rows):
+        out = []
+        for row in streams:
+            rr = []
+            for r in row:
+                a = r[key]
+                if per_chunk_rows:
+                    pad = ((0, (S - r["S"]) * 8), (0, 0))
+                else:
+                    pad = (0, n_ss - r["n_ss"]) if a.ndim == 1 else None
+                    if a.ndim == 1 and key in ("at_ids", "bt_ids"):
+                        pad = (0, S - r["S"])
+                rr.append(np.pad(a, pad, constant_values=fill))
+            out.append(np.stack(rr))
+        return jnp.asarray(np.stack(out))
+
+    pk = (stack("at_ids", 0, False), stack("bt_ids", 0, False),
+          stack("ct_ss", 0, False), stack("first_ss", 0, False),
+          stack("pkA", 0, True), stack("pkB", 0, True),
+          stack("crhi", -1, True))
+    return pk, (S, n_ss, B0, nc, NA, NB)
 
 
 @annotate("dist.shard_ring_spgemm_plan")
@@ -164,16 +229,60 @@ def _local_ring(a_vals, b_vals, pa, pb, pc, *, axis, n_parts, nc_max):
     return acc[:nc_max][None]
 
 
+def _local_ring_pk(a_vals, b_vals, at, bt, ct, first, pkA, pkB, crhi, *,
+                   axis, n_parts, nc_max, n_ss, B, nc, na, nb, interpret):
+    from ..sparse.spgemm_pallas import _gtp_pk_call
+
+    av = a_vals[0]
+    panel = b_vals[0]
+    acc = jnp.zeros(nc_max, jnp.float32)
+    perm = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+    for s in range(n_parts):
+        cv = _gtp_pk_call(at[0, s], bt[0, s], ct[0, s], first[0, s],
+                          pkA[0, s], pkB[0, s], crhi[0, s], av, panel,
+                          na=na, nb=nb, nc=nc, n_ss=n_ss, B=B,
+                          nnz_c=nc_max, interpret=interpret)
+        acc = acc + cv
+        if s + 1 < n_parts:
+            panel = jax.lax.ppermute(panel, axis, perm=perm)
+    return acc.astype(av.dtype)[None]
+
+
 @annotate("dist.ring_spgemm_numeric")
-def ring_spgemm_numeric(plan: RingSpgemmPlan, mesh: Mesh, axis: str = "parts") -> CsrMatrix:
-    """Run the ring; assemble the global CsrMatrix C."""
-    f = jax.shard_map(
-        partial(_local_ring, axis=axis, n_parts=plan.n_parts, nc_max=plan.nc_max),
-        mesh=mesh,
-        in_specs=(P(axis),) * 5,
-        out_specs=P(axis),
-    )
-    c_pad = f(plan.a_vals_pad, plan.b_vals_pad, plan.pair_a, plan.pair_b, plan.pair_c)
+def ring_spgemm_numeric(plan: RingSpgemmPlan, mesh: Mesh, axis: str = "parts",
+                        interpret: bool | None = None) -> CsrMatrix:
+    """Run the ring; assemble the global CsrMatrix C.  Local compute runs
+    the v9 packed-gather pair kernel per step when the plan carries pk
+    streams (f32 + native placer), else the take+segment schedule."""
+    if plan.pk_meta is not None:
+        from ..sparse import spgemm_pallas
+        from ..sparse.spmv_pallas import supports_pallas
+
+        if interpret is None:
+            interpret = not supports_pallas()
+        S, n_ss, B, nc, NA, NB = plan.pk_meta
+        na = max(1, -(-NA // spgemm_pallas._BLK))
+        nb = max(1, -(-NB // spgemm_pallas._BLK))
+        f = jax.shard_map(
+            partial(_local_ring_pk, axis=axis, n_parts=plan.n_parts,
+                    nc_max=plan.nc_max, n_ss=n_ss, B=B, nc=nc, na=na,
+                    nb=nb, interpret=interpret),
+            mesh=mesh,
+            in_specs=(P(axis),) * 9,
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        c_pad = f(plan.a_vals_pad, plan.b_vals_pad, *plan.pk_streams)
+    else:
+        f = jax.shard_map(
+            partial(_local_ring, axis=axis, n_parts=plan.n_parts,
+                    nc_max=plan.nc_max),
+            mesh=mesh,
+            in_specs=(P(axis),) * 5,
+            out_specs=P(axis),
+        )
+        c_pad = f(plan.a_vals_pad, plan.b_vals_pad, plan.pair_a,
+                  plan.pair_b, plan.pair_c)
     # host assembly: drop per-part padding
     c_np = np.asarray(c_pad)
     counts = np.asarray(plan.nnz_c_local)

@@ -784,10 +784,40 @@ class GtPairPlan:
                       na, nb, nc, nnz_c, P) -> bool:
         """Single-table native placement + packed streams; False on
         unavailability/overflow (caller falls back to the legacy levels)."""
+        res = GtPairPlan._pk_streams_body(run, lc, crhi, aloc, bloc,
+                                          na, nb, nc, P, None)
+        if res is None:
+            return False
+        self.a_lo = jnp.asarray(res["pkA"])
+        self.b_lo = jnp.asarray(res["pkB"])
+        self.gta = jnp.zeros((1, 128), jnp.int32)
+        self.gtb = jnp.zeros((1, 128), jnp.int32)
+        self.crhi = jnp.asarray(res["crhi"])
+        self.at_ids = jnp.asarray(res["at_ids"])
+        self.bt_ids = jnp.asarray(res["bt_ids"])
+        self.ct_ss = jnp.asarray(res["ct_ss"])
+        self.first_ss = jnp.asarray(res["first_ss"])
+        self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
+        self.nnz_c = nnz_c
+        self.num_steps = res["S"]
+        self.n_ss = res["n_ss"]
+        self.batch = res["B"]
+        self.pad_ratio = res["S"] * 1024 / max(1, P)
+        self.n_levels = 1
+        self.n_tables = 1
+        self.layout = "pk"
+        return True
+
+    @staticmethod
+    def _pk_streams_body(run, lc, crhi, aloc, bloc, na, nb, nc, P,
+                         force_batch):
+        """Host-side pk stream build (shared by the device plan above and
+        the ring-SpGEMM stacked builder): returns a dict of HOST numpy
+        streams + meta, or None on placer unavailability/overflow."""
         from .. import native
 
         if not native.available():
-            return False
+            return None
         # cluster same-source pairs within a run so the placer's table-reuse
         # pass sees them consecutively (aloc/bloc < _BLK = 2^12)
         key = (run << 24) | (aloc << 12) | bloc
@@ -803,10 +833,10 @@ class GtPairPlan:
         res = native.gt_place2(run_off, lc[order].astype(np.int32),
                                loA, hiA, loB, hiB, 1, 8)
         if res is None:
-            return False
+            return None
         c, s, _, _, nch = res
         if (c < 0).any():
-            return False
+            return None
         base = np.concatenate(([0], np.cumsum(nch.astype(np.int64))))
         rid = np.cumsum(rfirst) - 1
         chunk = base[rid] + c
@@ -863,13 +893,16 @@ class GtPairPlan:
         counts = np.diff(np.concatenate((
             np.nonzero(np.concatenate(([1], (gids[1:] != gids[:-1])
                                        .astype(np.int64))))[0], [S])))
-        B = 1
-        best = float("inf")
-        for cand in (1, 2, 4, 8, 16, 32):
-            nss_c = int(np.ceil(counts / cand).sum())
-            cost = nss_c * (_GTP_FIX_US + cand * _GTP_VAR_PK_US)
-            if cost < best:
-                best, B = cost, cand
+        if force_batch is not None:
+            B = int(force_batch)
+        else:
+            B = 1
+            best = float("inf")
+            for cand in (1, 2, 4, 8, 16, 32):
+                nss_c = int(np.ceil(counts / cand).sum())
+                cost = nss_c * (_GTP_FIX_US + cand * _GTP_VAR_PK_US)
+                if cost < best:
+                    best, B = cost, cand
         pkA = pkA.reshape(-1, 1024)
         pkB = pkB.reshape(-1, 1024)
         crhi_a = crhi_a.reshape(-1, 1024)
@@ -895,27 +928,15 @@ class GtPairPlan:
         gss = gids[::B]
         first = np.ones(len(gss), np.int32)
         first[1:] = (gss[1:] != gss[:-1]).astype(np.int32)
-        ch_ct = gss  # per-ss OUTPUT BLOCK id
-        self.a_lo = jnp.asarray(pkA.reshape(S * 8, 128))
-        self.b_lo = jnp.asarray(pkB.reshape(S * 8, 128))
-        self.gta = jnp.zeros((1, 128), jnp.int32)
-        self.gtb = jnp.zeros((1, 128), jnp.int32)
-        self.crhi = jnp.asarray(crhi_a.reshape(S * 8, 128))
-        # per-chunk c-quarter packed into at's low bits (gi4's srcsub trick)
-        self.at_ids = jnp.asarray(((ch_at << 2) | sub).astype(np.int32))
-        self.bt_ids = jnp.asarray(ch_bt.astype(np.int32))
-        self.ct_ss = jnp.asarray(ch_ct.astype(np.int32))   # per-ss block id
-        self.first_ss = jnp.asarray(first)
-        self.na_blocks, self.nb_blocks, self.nc_tiles = na, nb, nc
-        self.nnz_c = nnz_c
-        self.num_steps = S
-        self.n_ss = S // B
-        self.batch = B
-        self.pad_ratio = S * 1024 / max(1, P)
-        self.n_levels = 1
-        self.n_tables = 1
-        self.layout = "pk"
-        return True
+        return {"pkA": pkA.reshape(S * 8, 128),
+                "pkB": pkB.reshape(S * 8, 128),
+                "crhi": crhi_a.reshape(S * 8, 128),
+                # per-chunk c-quarter packed into at's low bits (gi4 trick)
+                "at_ids": ((ch_at << 2) | sub).astype(np.int32),
+                "bt_ids": ch_bt.astype(np.int32),
+                "ct_ss": gss.astype(np.int32),   # per-ss OUTPUT BLOCK id
+                "first_ss": first,
+                "S": S, "n_ss": S // B, "B": B}
 
     def tree_flatten(self):
         aux = (self.na_blocks, self.nb_blocks, self.nc_tiles, self.nnz_c,
@@ -930,6 +951,45 @@ class GtPairPlan:
 
 
 jax.tree_util.register_pytree_node_class(GtPairPlan)
+
+
+def build_pk_pair_streams_host(a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c,
+                               force_batch=None):
+    """HOST pk pair streams for (a_idx, b_idx, c_idx) — no device transfer;
+    used by dist ring-SpGEMM to stack per-(part, step) stream sets.  Returns
+    dict + meta (with nc) or None."""
+    a_idx = np.asarray(a_idx, dtype=np.int64)
+    b_idx = np.asarray(b_idx, dtype=np.int64)
+    c_idx = np.asarray(c_idx, dtype=np.int64)
+    P = len(c_idx)
+    na = max(1, -(-max(nnz_a, 1) // _BLK))
+    nb = max(1, -(-max(nnz_b, 1) // _BLK))
+    nc = max(1, -(-max(nnz_c, 1) // _CT))
+    if P == 0:
+        # degenerate: one dummy block so the stacked kernel has >= 1 step
+        B = int(force_batch or 1)
+        return {"pkA": np.zeros((B * 8, 128), np.int32),
+                "pkB": np.zeros((B * 8, 128), np.int32),
+                "crhi": np.full((B * 8, 128), -1, np.int32),
+                "at_ids": np.zeros(B, np.int32),
+                "bt_ids": np.zeros(B, np.int32),
+                "ct_ss": np.zeros(1, np.int32),
+                "first_ss": np.ones(1, np.int32),
+                "S": B, "n_ss": 1, "B": B, "nc": nc}
+    at = a_idx // _BLK
+    bt = b_idx // _BLK
+    ct = c_idx // _CT
+    cl = c_idx - ct * _CT
+    lc = cl % 128
+    crhi = cl // 128
+    aloc = a_idx - at * _BLK
+    bloc = b_idx - bt * _BLK
+    run = (ct * na + at) * nb + bt
+    res = GtPairPlan._pk_streams_body(run, lc, crhi, aloc, bloc,
+                                      na, nb, nc, P, force_batch)
+    if res is not None:
+        res["nc"] = nc
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("na", "nb", "nc", "n_ss", "B",
