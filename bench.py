@@ -390,8 +390,10 @@ def bench_spmm_blas():
          time_us=round(t * 1e6, 1),
          gflops=round(2 * A.nnz * nrhs / t / 1e9, 1), nrhs=nrhs)
 
-    # --- BLAS1: dot + axpby on 16M elements ------------------------------
-    n = 1 << 24
+    # --- BLAS1: dot + axpby on 64M elements (256MB: a 16M vector fit VMEM
+    # and measured 2.4-5.4 TB/s — the HBM roofline needs an HBM-resident
+    # operand) ------------------------------------------------------------
+    n = 1 << 26
     x0 = jax.device_put((rng.standard_normal(n) * 0.01).astype(np.float32))
 
     def mk_dot(K):
@@ -402,7 +404,7 @@ def bench_spmm_blas():
 
     t = chain_time_slope(mk_dot, (x0,), k1=30, k2=150, reps=4)
     gbps = n * 4 / t / 1e9
-    emit("blas1_dot_16m_gbps", gbps, "GB/s", gbps / target,
+    emit("blas1_dot_64m_gbps", gbps, "GB/s", gbps / target,
          time_us=round(t * 1e6, 1))
 
     def mk_axpby(K):
@@ -411,7 +413,7 @@ def bench_spmm_blas():
 
     t = chain_time_slope(mk_axpby, (x0,), k1=30, k2=150, reps=4)
     gbps = 2 * n * 4 / t / 1e9  # one read + one write stream
-    emit("blas1_axpby_16m_gbps", gbps, "GB/s", gbps / target,
+    emit("blas1_axpby_64m_gbps", gbps, "GB/s", gbps / target,
          time_us=round(t * 1e6, 1))
 
     # --- BLAS2 gemv 8192 (256MB matrix: forces HBM streaming; a 4096

@@ -1155,13 +1155,23 @@ def _gtp_pk_call(at_ids, bt_ids, ct_ss, first_ss, pkA, pkB, crhi,
 class SortPairPlan:
     """Plan for the sort-based numeric: three selection-matrix spmv plans +
     the b→c reorder, either routed (StaticPermutePlan — 3 local gather
-    passes, no runtime sort) or as permute_via_sort keys."""
+    passes, no runtime sort) or as permute_via_sort keys.
+
+    COMPACT slot layout (round 3): when almost every C entry has exactly
+    one pair (scattered A·A: rand50k deg-8 has 4.1k multi-pair segments out
+    of 4.5M), the c-sum reduction pass — measured 2.1 ms of the 3.5 ms
+    total — is eliminated: single-pair products land DIRECTLY at their C
+    slot (the a-selection rows and the b→slot permutation are re-targeted
+    at plan time), multi-pair segments go to a small overflow region whose
+    segment-sum + scatter-set is negligible."""
 
     def __init__(self, a_idx, b_idx, c_idx, nnz_a, nnz_b, nnz_c,
                  *, _fields=None):
         if _fields is not None:
             (self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
-             self.perm_plan, self.nnz_c, self.npairs) = _fields
+             self.perm_plan, self.multi_ids, self.over_seg,
+             self.nnz_c, self.npairs, self.compact, self.nslots,
+             self.n_over, self.n_multi) = _fields
             return
         from ..containers.csr import CsrMatrix
         from .spmv_pallas import build_onehot_spmv_plan
@@ -1171,42 +1181,87 @@ class SortPairPlan:
         c_idx = np.asarray(c_idx, dtype=np.int64)
         P = len(c_idx)
 
-        def selection(cols, ncols):
-            rm = np.arange(P + 1, dtype=np.int32)
-            A = CsrMatrix.from_arrays(rm, cols.astype(np.int32),
-                                      np.ones(P, np.float32), nrows=P,
-                                      ncols=ncols)
+        def selection_rm(rm, cols, nrows, ncols):
+            A = CsrMatrix.from_arrays(rm.astype(np.int64),
+                                      cols.astype(np.int32),
+                                      np.ones(len(cols), np.float32),
+                                      nrows=nrows, ncols=ncols)
             return build_onehot_spmv_plan(A)
 
-        # pairs arrive c-sorted (pair-plan contract): Sa directly
-        self.a_sel = selection(a_idx, max(nnz_a, 1))
-        # b side in b-sorted order (monotone gather), keys = c-order pos
-        border = np.argsort(b_idx, kind="stable")
-        self.b_sel = selection(b_idx[border], max(nnz_b, 1))
-        # b-order element j is c-order pair border[j]: route the static
-        # permutation (3 local gathers) when the planner supports it, else
-        # sort bg by key border at runtime (permute_via_sort contract)
+        def selection(cols, ncols):
+            return selection_rm(np.arange(P + 1), cols, P, ncols)
+
         from ..common.permute import build_permute_plan
 
+        seg_sizes = (np.bincount(c_idx, minlength=max(nnz_c, 1))
+                     if P else np.zeros(max(nnz_c, 1), np.int64))
+        multi = seg_sizes > 1
+        n_multi = int(multi.sum())
+        self.compact = bool(P) and n_multi <= 0.05 * max(nnz_c, 1)
+        border = np.argsort(b_idx, kind="stable")
+        self.b_sel = selection(b_idx[border], max(nnz_b, 1))
         inv_border = np.empty(P, np.int64)
         inv_border[border] = np.arange(P, dtype=np.int64)
-        self.perm_plan = build_permute_plan(inv_border)
-        self.perm_keys = (None if self.perm_plan is not None
-                          else jnp.asarray(border.astype(np.int32)))
-        # Sc: nnz_c rows, row c sums its contiguous pair range
-        crm = np.zeros(nnz_c + 1, np.int64)
-        np.add.at(crm, c_idx + 1, 1)
-        crm = np.cumsum(crm).astype(np.int32)
-        Ac = CsrMatrix.from_arrays(crm, np.arange(P, dtype=np.int32),
-                                   np.ones(P, np.float32), nrows=nnz_c,
-                                   ncols=max(P, 1))
-        self.c_sum = build_onehot_spmv_plan(Ac)
+        if self.compact:
+            pair_single = ~multi[c_idx]
+            n_over = int(P - pair_single.sum())
+            nslots = nnz_c + n_over
+            slot_of = np.empty(P, np.int64)
+            slot_of[pair_single] = c_idx[pair_single]
+            slot_of[~pair_single] = nnz_c + np.arange(n_over)
+            has = np.zeros(nslots, bool)
+            has[slot_of] = True
+            rm_s = np.zeros(nslots + 1, np.int64)
+            np.cumsum(has, out=rm_s[1:])
+            cols_s = np.empty(P, np.int64)
+            cols_s[rm_s[slot_of]] = a_idx
+            self.a_sel = selection_rm(rm_s, cols_s, nslots, max(nnz_a, 1))
+            # bijection on nslots: pair (b-order j) -> its slot; the
+            # nslots-P pads -> the empty (multi-c) slots
+            empty = np.nonzero(~has)[0]
+            src_slots = np.empty(nslots, np.int64)
+            src_slots[slot_of] = inv_border
+            src_slots[empty] = P + np.arange(len(empty))
+            self.perm_plan = build_permute_plan(src_slots)
+            if self.perm_plan is not None:
+                self.perm_keys = None
+            else:
+                dst = np.empty(nslots, np.int64)
+                dst[src_slots] = np.arange(nslots)
+                self.perm_keys = jnp.asarray(dst.astype(np.int32))
+            self.c_sum = None
+            self.multi_ids = jnp.asarray(
+                np.nonzero(multi)[0].astype(np.int32))
+            over_c = c_idx[~pair_single]  # pair order == c-sorted
+            self.over_seg = jnp.asarray(np.searchsorted(
+                np.nonzero(multi)[0], over_c).astype(np.int32))
+            self.nslots, self.n_over, self.n_multi = nslots, n_over, n_multi
+        else:
+            # pairs arrive c-sorted (pair-plan contract): Sa directly
+            self.a_sel = selection(a_idx, max(nnz_a, 1))
+            # b-order element j is c-order pair border[j]: route the static
+            # permutation (3 local gathers) when the planner supports it,
+            # else sort bg by key border at runtime
+            self.perm_plan = build_permute_plan(inv_border)
+            self.perm_keys = (None if self.perm_plan is not None
+                              else jnp.asarray(border.astype(np.int32)))
+            # Sc: nnz_c rows, row c sums its contiguous pair range
+            crm = np.zeros(nnz_c + 1, np.int64)
+            np.add.at(crm, c_idx + 1, 1)
+            crm = np.cumsum(crm).astype(np.int64)
+            self.c_sum = selection_rm(crm, np.arange(P, dtype=np.int32),
+                                      nnz_c, max(P, 1))
+            self.multi_ids = jnp.zeros(0, jnp.int32)
+            self.over_seg = jnp.zeros(0, jnp.int32)
+            self.nslots, self.n_over, self.n_multi = P, 0, 0
         self.nnz_c = nnz_c
         self.npairs = P
 
     def tree_flatten(self):
         return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
-                 self.perm_plan), (self.nnz_c, self.npairs))
+                 self.perm_plan, self.multi_ids, self.over_seg),
+                (self.nnz_c, self.npairs, self.compact, self.nslots,
+                 self.n_over, self.n_multi))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -1227,6 +1282,23 @@ def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
     b32 = b_vals.astype(jnp.float32)
     ag = onehot_spmv(plan.a_sel, a32, interpret=interpret)
     bg = onehot_spmv(plan.b_sel, b32, interpret=interpret)
+    if plan.compact:
+        # slot layout: single-pair products land AT their C slot — no
+        # reduction pass; the few multi-pair segments sum in the overflow
+        # tail and scatter-set into place
+        xb = jnp.pad(bg, (0, plan.nslots - plan.npairs))
+        if plan.perm_plan is not None:
+            bg_s = static_permute(plan.perm_plan, xb, interpret=interpret)
+        else:
+            bg_s = permute_via_sort(xb, plan.perm_keys)
+        prod = ag * bg_s
+        y = prod[:plan.nnz_c]
+        if plan.n_multi:
+            extra = jax.ops.segment_sum(
+                prod[plan.nnz_c:plan.nnz_c + plan.n_over], plan.over_seg,
+                num_segments=plan.n_multi, indices_are_sorted=True)
+            y = y.at[plan.multi_ids].set(extra.astype(y.dtype))
+        return y
     if plan.perm_plan is not None:
         bg_c = static_permute(plan.perm_plan, bg, interpret=interpret)
     else:
