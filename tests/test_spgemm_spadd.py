@@ -262,3 +262,46 @@ def test_spgemm_sort_pair_interpret():
             vals2 = np.asarray(spgemm_pallas.sort_pair_numeric(
                 plan, A.values, A.values, interpret=True))
             np.testing.assert_allclose(vals2, ref.data, rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_pk_pair_layout_interpret(rng):
+    """The pk pair fast path (native dual-cell placement + packed dual
+    gathers + 4-tile output blocks) engages on structured patterns and is
+    exact; the compact slot layout engages on scattered patterns."""
+    from tpukk import native
+    from tpukk.containers import (generate_random_csr,
+                                  generate_structured_laplacian)
+    from tpukk.sparse import spgemm_pallas
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    A = generate_structured_laplacian(60, 60, dtype=np.float32)
+    rm = A.host_row_map()
+    ent = A.host_entries()
+    res = native.spgemm_symbolic(rm, ent, A.nrows, A.ncols, rm, ent)
+    _, entries_c, a_idx, b_idx, c_idx = res
+    plan = spgemm_pallas.GtPairPlan(a_idx, b_idx, c_idx, A.nnz, A.nnz,
+                                    len(entries_c))
+    assert plan.layout == "pk"
+    cv = np.asarray(spgemm_pallas.onehot_pair_numeric(
+        plan, A.values, A.values, interpret=True))
+    sp = A.to_scipy()
+    ref = (sp @ sp).tocsr()
+    ref.sort_indices()
+    np.testing.assert_allclose(cv, ref.data, rtol=1e-6)
+
+    Ar = generate_random_csr(4000, 4000, 5, seed=9, dtype=np.float32)
+    rmr = Ar.host_row_map()
+    entr = Ar.host_entries()
+    resr = native.spgemm_symbolic(rmr, entr, Ar.nrows, Ar.ncols, rmr, entr)
+    _, entries_cr, ai, bi, ci = resr
+    planr = spgemm_pallas.SortPairPlan(ai, bi, ci, Ar.nnz, Ar.nnz,
+                                       len(entries_cr))
+    assert planr.compact
+    cvr = np.asarray(spgemm_pallas.sort_pair_numeric(
+        planr, Ar.values, Ar.values, interpret=True))
+    refr = (Ar.to_scipy() @ Ar.to_scipy()).tocsr()
+    refr.sort_indices()
+    np.testing.assert_allclose(cvr, refr.data, rtol=1e-5, atol=1e-6)
