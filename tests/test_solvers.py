@@ -296,3 +296,48 @@ class TestSptrsvSupernodal:
         h2 = SptrsvHandle(True, algorithm=SptrsvAlgorithm.SUPERNODAL)
         sptrsv_symbolic(h2, M)
         assert h2.num_levels <= h1.num_levels
+
+
+class TestSuperLUImport:
+    """External-factor import (the SuperLU/CHOLMOD adapter role,
+    sptrsv_superlu.hpp:87-140): scipy factorizes, tpukk solves."""
+
+    def test_exact_solve(self, rng):
+        import scipy.sparse.linalg as spla
+        from tpukk.sparse import superlu_import
+
+        A = generate_diag_dominant_csr(120, 5, dtype=np.float64, seed=21)
+        lu = spla.splu(A.to_scipy().tocsc())
+        solver = superlu_import(lu)
+        b = rng.standard_normal(A.nrows)
+        x = solver(b)
+        ref = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(x, ref, rtol=1e-9, atol=1e-10)
+
+    def test_supernodal_algorithm(self, rng):
+        import scipy.sparse.linalg as spla
+        from tpukk.sparse import SptrsvAlgorithm, superlu_import
+
+        A = generate_diag_dominant_csr(80, 4, dtype=np.float64, seed=22)
+        lu = spla.splu(A.to_scipy().tocsc())
+        solver = superlu_import(lu, algorithm=SptrsvAlgorithm.SUPERNODAL)
+        b = rng.standard_normal(A.nrows)
+        x = solver(b)
+        r = A.to_scipy() @ x - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+
+    def test_as_gmres_preconditioner(self, rng):
+        import scipy.sparse.linalg as spla
+        from tpukk.sparse import superlu_import
+        from tpukk.sparse.gmres import GmresHandle, gmres
+
+        A = generate_diag_dominant_csr(100, 5, dtype=np.float64, seed=23)
+        b = rng.standard_normal(A.nrows)
+        lu = spla.splu(A.to_scipy().tocsc())
+        prec = superlu_import(lu)
+        h = GmresHandle(m=10, tol=1e-10, max_restarts=10)
+        _, stats = gmres(h, A, b, prec=prec)
+        assert stats.converged
+        # exact LU preconditioner: converges within the first restart cycle
+        assert stats.num_iters <= 10
+        assert stats.end_rel_res < 1e-12

@@ -200,3 +200,29 @@ def test_dia_ds_pow2_path_on_tpu(rngm):
     ref = A.to_scipy() @ x
     rel = np.abs(y - ref).max() / np.abs(ref).max()
     assert rel < 5e-13, rel
+
+
+def test_dist_gt_spmv_on_tpu(rngm):
+    """The shard_map + Pallas composition (dist gt plan) on a real 1-chip
+    mesh: exact vs scipy (the multi-chip schedule with ICI collectives
+    compiled against real hardware)."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.dist import (build_dist_gt_plan, dist_spmv_gt,
+                            shard_dist_gt_plan)
+
+    A = generate_structured_laplacian(120, 120, dtype=np.float32)
+    plan = build_dist_gt_plan(A, 1)
+    assert plan is not None
+    mesh = Mesh(np.array(jax.devices()[:1]), ("parts",))
+    plan = shard_dist_gt_plan(plan, mesh)
+    x = rngm.standard_normal(A.ncols).astype(np.float32)
+    xp = jnp.asarray(np.pad(x, (0, plan.padded_rows - A.nrows)))
+    y = np.asarray(dist_spmv_gt(plan, xp, mesh))[: A.nrows]
+    ref = A.to_scipy() @ x
+    tol = 20 * np.finfo(np.float32).eps * max(1, np.abs(ref).max())
+    assert np.abs(y - ref).max() < tol

@@ -20,4 +20,5 @@ from .spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
 from .spmv import SpmvAlgorithm, SpmvHandle, spmm, spmv
 from .spmv_struct import spmv_struct, structured_stencil_offsets
 from .sptrsv import SptrsvAlgorithm, SptrsvHandle, sptrsv_solve, sptrsv_symbolic
+from .sptrsv_superlu import SuperLUSolve, superlu_import
 from .trsv import trsv
