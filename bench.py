@@ -160,7 +160,10 @@ def bench_spmv_f64():
     gbps = csr_bytes(A, 8) / t / 1e9
     emit("spmv_f64_ds_lap1000_gbps", gbps, "GB/s", gbps / target,
          time_us=round(t * 1e6, 1), gnnz=round(A.nnz / t / 1e9, 2),
-         algorithm="dia_double_single", accuracy="~1e-13 rel")
+         algorithm=("dia_ds_pow2" if getattr(plan, "pow2", False)
+                    else "dia_double_single"),
+         accuracy="~8e-15 rel (pow2 exact products)"
+         if getattr(plan, "pow2", False) else "~1e-13 rel")
 
     # unstructured f64: the gi4-locked double-single gather kernel
     from tpukk.containers import generate_random_csr
