@@ -222,3 +222,45 @@ class TestDistGt:
         xr = np.asarray(x)[: A.nrows]
         r = A.to_scipy() @ xr - b[: A.nrows]
         assert np.linalg.norm(r) / np.linalg.norm(b[: A.nrows]) < 1e-3
+
+
+class TestDistGtUneven:
+    """Partition edge cases: n not divisible by n_parts (padded tail rows,
+    empty-part tails) through the gather-table dist plans."""
+
+    def test_non_divisible_rows(self, rng):
+        from tpukk.dist import (build_dist_gt_plan, dist_spmv_gt,
+                                shard_dist_gt_plan)
+
+        mesh = _mesh()
+        P_ = mesh.devices.size
+        A = generate_structured_laplacian(37, 37, dtype=np.float32)  # 1369
+        assert A.nrows % P_ != 0
+        plan = build_dist_gt_plan(A, P_)
+        assert plan is not None
+        plan = shard_dist_gt_plan(plan, mesh)
+        x = rng.standard_normal(A.ncols).astype(np.float32)
+        xp = _pad(x, plan.padded_rows)
+        y = np.asarray(dist_spmv_gt(plan, jnp.asarray(xp), mesh))[: A.nrows]
+        ref = A.to_scipy() @ x
+        tol = 20 * np.finfo(np.float32).eps * max(1, np.abs(ref).max())
+        assert np.abs(y - ref).max() < tol
+
+    def test_gs_gt_non_divisible(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpukk.dist import build_dist_gs_gt_plan, dist_gs_sweep
+
+        mesh = _mesh()
+        P_ = mesh.devices.size
+        A = generate_structured_laplacian(21, 21, dtype=np.float32)  # 441
+        plan = build_dist_gs_gt_plan(A, P_)
+        assert plan is not None
+        spec = NamedSharding(mesh, P("parts"))
+        plan = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), plan)
+        n = A.nrows
+        b = np.zeros(plan.padded_rows, np.float32)
+        b[:n] = rng.standard_normal(n).astype(np.float32)
+        x = dist_gs_sweep(plan, jnp.zeros(plan.padded_rows, jnp.float32),
+                          jnp.asarray(b), mesh, num_sweeps=2)
+        r = np.linalg.norm(A.to_scipy() @ np.asarray(x)[:n] - b[:n])
+        assert r < np.linalg.norm(b[:n])
