@@ -110,3 +110,33 @@ class TestComplexBlas:
         C0 = jnp.zeros((20, 20), jnp.complex128)
         got = np.asarray(blas.gemm("C", "N", 1.0, A, A, 0.0, C0))
         np.testing.assert_allclose(got, D.conj().T @ D, rtol=1e-12, atol=1e-12)
+
+
+def test_complex64_pair_route_matches_xla(rng):
+    """complex64 SpMV decomposed onto four real fast-kernel products (the
+    pallas-platform route) == the XLA complex path."""
+    import scipy.sparse as sps
+    from tpukk.containers import CsrMatrix
+    from tpukk.sparse.spmv import SpmvHandle
+
+    n = 800
+    sp = sps.random(n, n, 0.01, random_state=5, dtype=np.float64).tocsr()
+    sp = (sp + sps.identity(n)).tocsr()
+    sp.sort_indices()
+    spc = sp.astype(np.complex64)
+    spc.data = (spc.data
+                + 1j * np.random.default_rng(1).standard_normal(spc.nnz)
+                .astype(np.float32))
+    A = CsrMatrix.from_scipy(spc)
+    x = (np.random.default_rng(2).standard_normal(n)
+         + 1j * np.random.default_rng(3).standard_normal(n)).astype(np.complex64)
+    h_xla = SpmvHandle(A)
+    y_xla = np.asarray(h_xla(x))
+    h_pair = SpmvHandle(A)
+    h_pair._force_complex_pair = True
+    y_pair = np.asarray(h_pair(x))
+    assert h_pair._cpair is not None
+    ref = spc @ x
+    tol = 60 * np.finfo(np.float32).eps * np.abs(ref).max()
+    assert np.abs(y_pair - ref).max() < tol
+    assert np.abs(y_xla - ref).max() < tol

@@ -226,3 +226,30 @@ def test_dist_gt_spmv_on_tpu(rngm):
     ref = A.to_scipy() @ x
     tol = 20 * np.finfo(np.float32).eps * max(1, np.abs(ref).max())
     assert np.abs(y - ref).max() < tol
+
+
+def test_complex64_spmv_on_tpu(rngm):
+    """complex64 SpMV on hardware via the four-real-product decomposition
+    (this attachment cannot hold complex64 device arrays at all; the pair
+    route keeps complex data host-resident and runs f32 kernels)."""
+    _require_tpu()
+    import scipy.sparse as sps
+
+    from tpukk.containers import CsrMatrix
+    from tpukk.sparse import spmv
+
+    n, deg = 20_000, 8
+    r = np.repeat(np.arange(n), deg)
+    c = rngm.integers(0, n, n * deg)
+    sp = sps.csr_matrix(
+        ((rngm.standard_normal(n * deg)
+          + 1j * rngm.standard_normal(n * deg)).astype(np.complex64),
+         (r, c)), shape=(n, n))
+    sp.sum_duplicates()
+    A = CsrMatrix.from_scipy(sp)
+    x = (rngm.standard_normal(n)
+         + 1j * rngm.standard_normal(n)).astype(np.complex64)
+    y = np.asarray(spmv(A, x))
+    ref = sp @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel

@@ -12,6 +12,7 @@ TPU design deliberately performs on host (SURVEY.md §7.3).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -60,6 +61,35 @@ def _host_mirror(obj, field: str) -> np.ndarray:
     return cache[field]
 
 
+@functools.lru_cache(maxsize=1)
+def _complex_on_device_ok() -> bool:
+    """Whether the default backend can hold complex64 arrays at all.  The
+    axon TPU attachment cannot (every transfer/op is UNIMPLEMENTED, and a
+    FAILED complex transfer wedges the relay for subsequent transfers —
+    both observed round 3), so the check must be attempt-free: a platform
+    test, not a probe.  When unsupported, complex matrix values stay
+    HOST-resident; the complex SpMV route decomposes onto f32 device
+    kernels anyway."""
+    import jax
+
+    d = jax.devices()[0]
+    if d.platform == "axon":
+        return False
+    try:  # the relay registers as 'tpu' but its PJRT version string says axon
+        if "axon" in getattr(d.client, "platform_version", "").lower():
+            return False
+    except Exception:
+        pass
+    return True
+
+
+def _values_to_device(values):
+    if np.iscomplexobj(np.asarray(values) if not hasattr(values, "dtype")
+                       else values) and not _complex_on_device_ok():
+        return np.asarray(values)
+    return jnp.asarray(values)
+
+
 def _prefill_host(obj, **arrays) -> None:
     cache = obj.__dict__.setdefault("_hcache", {})
     for field, arr in arrays.items():
@@ -104,7 +134,7 @@ class CsrMatrix:
         rm0, en0, va0 = row_map, entries, values
         row_map = jnp.asarray(row_map)
         entries = jnp.asarray(entries)
-        values = jnp.asarray(values)
+        values = _values_to_device(values)
         if nrows is None:
             nrows = int(row_map.shape[0]) - 1
         check(ncols is not None, "CsrMatrix.from_arrays: ncols is required")
@@ -121,7 +151,7 @@ class CsrMatrix:
         obj = cls(
             jnp.asarray(csr.indptr, dtype=offset_dtype),
             jnp.asarray(csr.indices, dtype=ordinal_dtype),
-            jnp.asarray(vals),
+            _values_to_device(vals),
             int(csr.shape[0]),
             int(csr.shape[1]),
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import weakref
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,8 @@ class SpmvHandle:
         self._plans = {}
         self._transposed: Optional["SpmvHandle"] = None
         self._conjugated: Optional["SpmvHandle"] = None
+        self._cpair = None                # complex64 (re, im) real handles
+        self._force_complex_pair = False  # tests: engage the pair off-TPU
 
     # -- plan construction (symbolic phase, host-side, cached) ----------
     def _plan(self, key):
@@ -154,9 +157,51 @@ class SpmvHandle:
                     self.A.with_values(jnp.conj(self.A.values)), self.algorithm)
         return self._conjugated
 
+    # -- complex via four real fast-kernel products ----------------------
+    def _complex_pair(self):
+        """(re_handle, im_handle) over A's real/imag parts (same pattern) —
+        complex64 SpMV as 4 real products through the Pallas fast paths
+        instead of the ~10x-slower XLA-only complex ops (the reference
+        treats complex as a first-class ETI scalar; this is the TPU
+        equivalent: decompose onto the f32 kernels)."""
+        if self._cpair is None:
+            # host-side split (from_arrays prefills host mirrors): the plan
+            # builders then never read back device arrays
+            rm = self.A.host_row_map()
+            ent = self.A.host_entries()
+            v = np.asarray(self.A.host_values_full())
+            Ar = CsrMatrix.from_arrays(rm, ent, np.real(v).astype(np.float32),
+                                       nrows=self.A.nrows, ncols=self.A.ncols)
+            Ai = CsrMatrix.from_arrays(rm, ent, np.imag(v).astype(np.float32),
+                                       nrows=self.A.nrows, ncols=self.A.ncols)
+            self._cpair = (SpmvHandle(Ar), SpmvHandle(Ai))
+        return self._cpair
+
     # -- numeric phase --------------------------------------------------
     def matvec(self, x):
         """op-free A·x (or A·X for multivector)."""
+        if (jnp.iscomplexobj(self.A.values)
+                and jnp.result_type(self.A.values.dtype) == jnp.complex64):
+            from . import spmv_pallas
+
+            if spmv_pallas.supports_pallas() or self._force_complex_pair:
+                hr, hi = self._complex_pair()
+                if isinstance(x, np.ndarray):
+                    # host complex in -> f32 planes on device -> host
+                    # complex out (some TPU attachments cannot hold
+                    # complex64 device arrays at all; mirrors the f64 ds
+                    # route's host-ndarray convention)
+                    xr = jnp.asarray(np.real(x).astype(np.float32))
+                    xi = jnp.asarray(np.imag(x).astype(np.float32))
+                    yr = hr.matvec(xr) - hi.matvec(xi)
+                    yi = hr.matvec(xi) + hi.matvec(xr)
+                    return np.asarray(yr) + 1j * np.asarray(yi)
+                xc = x
+                xr = jnp.real(xc).astype(jnp.float32)
+                xi = jnp.imag(xc).astype(jnp.float32)
+                yr = hr.matvec(xr) - hi.matvec(xi)
+                yi = hr.matvec(xi) + hi.matvec(xr)
+                return jax.lax.complex(yr, yi)
         alg = self.algorithm
         if alg == SpmvAlgorithm.ELL:
             return spmv_impl.apply_ell(self._plan("ell"), x)
