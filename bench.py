@@ -341,13 +341,56 @@ def bench_graph():
     if gp is not None:
         plan, nbr_beats = gp
         w = cols_ell.shape[1]
+        from tpukk.common.timing import sync_fetch
+
         run = lambda: col._vb_run_plan(plan, nbr_beats, n=nrows, w=w,
                                        max_colors=128, max_rounds=64)
-        np.asarray(run())
-        t0 = time.perf_counter()
-        rs = [run() for _ in range(10)]
-        np.asarray(rs[-1])
-        t_dev = (time.perf_counter() - t0) / 10
+        sync_fetch(run())
+        # min-of-reps with a real completion fetch (a 10-deep pipeline with
+        # np.asarray under-measured through the relay: 0.32ms for 64 rounds)
+        t_dev = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sync_fetch(run())
+            t_dev = min(t_dev, time.perf_counter() - t0)
+    # triangle counting: host C++ one-shot vs device plan-reuse recount
+    # (the reference's TRIANGLE spgemm-mode numeric analog)
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.common.timing import chain_time_slope
+    from tpukk.containers import generate_random_csr
+    from tpukk.graph.triangle import (build_triangle_plan, triangle_count,
+                                      triangle_count_device)
+
+    G = generate_random_csr(60_000, 60_000, 16, seed=7, dtype=np.float32)
+    Gs = G.to_scipy()
+    Gs = ((Gs + Gs.T) != 0).astype(np.float32)
+    from tpukk.containers import CsrMatrix
+
+    Gm = CsrMatrix.from_scipy(Gs.tocsr())
+    t0 = time.perf_counter()
+    total_host = triangle_count(Gm)
+    t_host = time.perf_counter() - t0
+    tplan = build_triangle_plan(Gm)
+    nw = int(tplan.a_idx.shape[0])
+
+    def mkt(K):
+        def body(i, w):
+            pr = triangle_count_device(tplan, values=w, per_row=True)
+            return w * 0.5 + pr[0] * 1e-20
+        return jax.jit(lambda w: jax.lax.fori_loop(0, K, body, w))
+
+    w0 = jax.device_put(np.ones(nw, np.float32))
+    t_dev = chain_time_slope(mkt, (w0,), k1=10, k2=50, reps=3)
+    emit("triangle_count_1m_edge", total_host, "triangles",
+         t_host / max(t_dev, 1e-9),
+         host_one_shot_ms=round(t_host * 1e3, 2),
+         device_recount_us=round(t_dev * 1e6, 1),
+         closed_wedges=nw, edges=Gm.nnz // 2,
+         baseline_model="host C++ one-shot time / device plan-reuse "
+                        "recount time (>1 = device recount wins)")
+
     emit("graph_color_lap400_ms", t * 1e3, "ms", 0.100 / t,
          colors=int(colors.max()), n=A.nrows,
          device_rounds_ms=round(t_dev * 1e3, 2) if t_dev else None,
