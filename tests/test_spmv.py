@@ -248,3 +248,69 @@ def test_onehot_ds_f64_interpret(rng):
         ref = A.to_scipy() @ x
         rel = np.abs(y - ref).max() / np.abs(ref).max()
         assert rel < 1e-12
+
+
+def test_native_gt_build_matches_python_builder(rng):
+    """tpukk_gt_build streams must be byte-identical to the Python plan
+    builder across layouts and edge shapes (the fast path replaced a
+    numpy pipeline; equivalence IS the spec)."""
+    import os
+
+    import scipy.sparse as sps
+
+    from tpukk import native
+    from tpukk.containers import CsrMatrix, generate_structured_laplacian
+    from tpukk.sparse import spmv_pallas
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    def rand(n, deg, seed):
+        r = np.repeat(np.arange(n), deg)
+        c = np.random.default_rng(seed).integers(0, n, n * deg)
+        v = np.random.default_rng(seed + 1).standard_normal(n * deg)
+        sp = sps.csr_matrix((v.astype(np.float32), (r, c)), shape=(n, n))
+        sp.sum_duplicates()
+        return CsrMatrix.from_scipy(sp)
+
+    def single_entry():
+        return CsrMatrix.from_arrays(np.array([0, 1]), np.array([2]),
+                                     np.array([3.0], np.float32),
+                                     nrows=1, ncols=5)
+
+    def empty_tail():
+        # rows beyond the first block empty; rectangular
+        rm = np.zeros(3000 + 1, np.int64)
+        rm[1:200] = np.arange(1, 200)
+        rm[200:] = 199
+        ent = np.arange(199, dtype=np.int64) * 37 % 9000
+        return CsrMatrix.from_arrays(rm, np.sort(ent) if False else ent,
+                                     np.ones(199, np.float32),
+                                     nrows=3000, ncols=9000)
+
+    cases = [generate_structured_laplacian(50, 50, dtype=np.float32),
+             rand(12000, 9, 3), single_entry(), empty_tail()]
+    for A in cases:
+        p_nat = spmv_pallas.GtSpmvPlan(A)
+        os.environ["TPUKK_NO_NATIVE_GT"] = "1"
+        try:
+            p_py = spmv_pallas.GtSpmvPlan(A)
+        finally:
+            os.environ["TPUKK_NO_NATIVE_GT"] = "0"
+        if p_py.layout not in ("gi4", "dlp"):
+            continue  # python fell to a legacy layout: no equivalence claim
+        assert p_nat.layout == p_py.layout
+        assert p_nat.batch == p_py.batch
+        for f in ("gt", "vals", "rhi", "src_ids", "dst_ss", "first_ss",
+                  "cnt_ss", "lo"):
+            a, b = np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_py, f))
+            assert a.shape == b.shape, (f, a.shape, b.shape)
+            assert (a == b).all(), f
+        # and the plan computes the right product (interpret kernel)
+        x = rng.standard_normal(A.ncols).astype(np.float32)
+        y = np.asarray(spmv_pallas.onehot_spmv(p_nat, x, interpret=True))
+        ref = A.to_scipy() @ x
+        tol = 40 * np.finfo(np.float32).eps * max(1, np.abs(ref).max()) * 8
+        assert np.abs(y - ref).max() < tol
