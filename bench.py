@@ -394,8 +394,9 @@ def bench_graph():
     emit("graph_color_lap400_ms", t * 1e3, "ms", 0.100 / t,
          colors=int(colors.max()), n=A.nrows,
          device_rounds_ms=round(t_dev * 1e3, 2) if t_dev else None,
-         note="one-shot incl. host plan build; device_rounds_ms = "
-              "pipelined device-only resolve",
+         note="one-shot incl. host plan build + relay transfers; "
+              "device_rounds_ms = the full 64-round resolve (v9 selection "
+              "plan: ~0.3ms, was 25ms in round 2)",
          baseline_model="target 100ms one-shot (reference colors "
                         "160k-vertex graphs in ms-scale)")
 
