@@ -687,6 +687,39 @@ def bench_dist():
          plan_build_s=round(t_build, 2), n_parts=1,
          baseline_model="single-chip v9 kernel rate (ratio, target 1.0)")
 
+    # distributed colored GS (per-color gather-table kernels in shard_map)
+    from tpukk.dist import build_dist_gs_gt_plan, dist_gs_sweep
+
+    Ag = generate_structured_laplacian(400, 400, dtype=np.float32)
+    gp = build_dist_gs_gt_plan(Ag, 1)
+    if gp is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        spec = NamedSharding(mesh, Pspec("parts"))
+        gp = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), gp)
+        b = jax.device_put(np.ones(gp.padded_rows, np.float32))
+
+        def mk3(K):
+            def f(x0):
+                def body(i, xx):
+                    return dist_gs_sweep(gp, xx, b, mesh, num_sweeps=1)
+                return jax.lax.fori_loop(0, K, body, x0)
+            return jax.jit(f)
+
+        t3 = chain_time_slope(mk3, (jnp.zeros(gp.padded_rows, jnp.float32),),
+                              k1=10, k2=50, reps=4)
+        kind = jax.devices()[0].device_kind
+        gbps = 2 * csr_bytes(Ag, 4) / t3 / 1e9
+        emit("dist_gs_gt_sweep_lap400_us", t3 * 1e6, "us",
+             gbps / (0.70 * peak_hbm_gbps(kind)),
+             colors=gp.num_colors, gnnz=round(2 * Ag.nnz / t3 / 1e9, 2),
+             n_parts=1,
+             baseline_model="2 A-passes / 0.7*HBM (same model as the "
+                            "single-chip GS sweep row); floor-bound at "
+                            "1 part: each color's kernel initializes the "
+                            "full local row space — shrinks with rpp on "
+                            "real multi-part meshes")
+
 
 def bench_flagship():
     """Flagship: structured SpMV, DIA pallas kernel (BASELINE config 1
