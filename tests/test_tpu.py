@@ -253,3 +253,30 @@ def test_complex64_spmv_on_tpu(rngm):
     ref = sp @ x
     rel = np.abs(y - ref).max() / np.abs(ref).max()
     assert rel < 1e-5, rel
+
+
+def test_spgemm_pk_pair_on_tpu(rngm):
+    """pk pair kernel (packed dual gathers + 4-tile output blocks) exact on
+    hardware for a structured A*A."""
+    _require_tpu()
+    from tpukk import native
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import spgemm_pallas
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    A = generate_structured_laplacian(120, 120, dtype=np.float32)
+    rm = A.host_row_map()
+    ent = A.host_entries()
+    res = native.spgemm_symbolic(rm, ent, A.nrows, A.ncols, rm, ent)
+    _, entries_c, a_idx, b_idx, c_idx = res
+    plan = spgemm_pallas.GtPairPlan(a_idx, b_idx, c_idx, A.nnz, A.nnz,
+                                    len(entries_c))
+    assert plan.layout == "pk"
+    cv = np.asarray(spgemm_pallas.onehot_pair_numeric(
+        plan, A.values, A.values))
+    sp = A.to_scipy()
+    ref = (sp @ sp).tocsr()
+    ref.sort_indices()
+    rel = np.abs(cv - ref.data).max() / np.abs(ref.data).max()
+    assert rel < 1e-6, rel
