@@ -293,7 +293,8 @@ def test_native_gt_build_matches_python_builder(rng):
     cases = [generate_structured_laplacian(50, 50, dtype=np.float32),
              rand(12000, 9, 3), single_entry(), empty_tail()]
     for A in cases:
-        p_nat = spmv_pallas.GtSpmvPlan(A)
+        # python builder is fixed at 4-tile gi blocks: force the native one
+        p_nat = spmv_pallas.GtSpmvPlan(A, force_group=4)
         os.environ["TPUKK_NO_NATIVE_GT"] = "1"
         try:
             p_py = spmv_pallas.GtSpmvPlan(A)
@@ -314,3 +315,30 @@ def test_native_gt_build_matches_python_builder(rng):
         ref = A.to_scipy() @ x
         tol = 40 * np.finfo(np.float32).eps * max(1, np.abs(ref).max()) * 8
         assert np.abs(y - ref).max() < tol
+
+
+def test_onehot_spmm_dlp_interpret(rng):
+    """Multi-RHS through a dlp-layout plan (interpret) — the gap that let a
+    mis-gated fall-through reach a wrong-format legacy kernel on hardware
+    (round 3: one bad pallas execution then wedges the whole process)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sps
+
+    from tpukk.containers import CsrMatrix
+    from tpukk.sparse.spmv_pallas import GtSpmvPlan, onehot_spmm
+
+    n, deg = 9000, 8
+    r = np.repeat(np.arange(n), deg)
+    c = np.random.default_rng(5).integers(0, n, n * deg)
+    sp = sps.csr_matrix(
+        (np.random.default_rng(6).standard_normal(n * deg).astype(np.float32),
+         (r, c)), shape=(n, n))
+    sp.sum_duplicates()
+    A = CsrMatrix.from_scipy(sp)
+    plan = GtSpmvPlan(A, force_dl=True)
+    assert plan.layout == "dlp"
+    X = rng.standard_normal((n, 3)).astype(np.float32)
+    Y = np.asarray(onehot_spmm(plan, jnp.asarray(X), interpret=True))
+    ref = sp @ X
+    tol = 50 * np.finfo(np.float32).eps * np.abs(ref).max()
+    assert np.abs(Y - ref).max() < tol

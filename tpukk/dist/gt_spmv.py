@@ -158,21 +158,23 @@ def build_stacked_streams(locals_, rpp, ncols_ext):
     (dst, src, first, cnt, gt, rhi, vals, layout, n_ss, B, pad) or None.
     locals_ = per-part (rm, ent, vals) host CSR arrays over x_ext coords."""
     n_parts = len(locals_)
-    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext)
+    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext,
+                                           force_group=4)
     if s0 is not None:
         layout, B = s0["layout"], s0["B"]
         streams = [s0]
         for p in range(1, n_parts):
             sp_ = spmv_pallas.build_gt_streams_host(
                 *locals_[p], rpp, ncols_ext, force_gi=(layout == "gi4"),
-                force_dl=(layout == "dlp"), force_batch=B)
+                force_dl=(layout == "dlp"), force_batch=B, force_group=4)
             if sp_ is None or sp_["layout"] != layout or sp_["B"] != B:
                 return None
             streams.append(sp_)
     else:
         mats = [CsrMatrix.from_arrays(*lc, nrows=rpp, ncols=ncols_ext)
                 for lc in locals_]
-        plan0 = spmv_pallas.GtSpmvPlan(mats[0], no_lane_tab=True)
+        plan0 = spmv_pallas.GtSpmvPlan(mats[0], no_lane_tab=True,
+                                       force_group=4)
         if plan0.layout not in ("gi4", "dlp"):
             return None
         layout, B = plan0.layout, plan0.batch
@@ -180,7 +182,8 @@ def build_stacked_streams(locals_, rpp, ncols_ext):
         for p in range(1, n_parts):
             pl_p = spmv_pallas.GtSpmvPlan(
                 mats[p], force_gi=(layout == "gi4"),
-                force_dl=(layout == "dlp"), no_lane_tab=True, force_batch=B)
+                force_dl=(layout == "dlp"), no_lane_tab=True, force_batch=B,
+                force_group=4)
             if pl_p.layout != layout or pl_p.batch != B:
                 return None
             plans.append(pl_p)

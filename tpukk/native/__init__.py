@@ -87,7 +87,7 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i32p,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p]
             lib.tpukk_gt_fetch.restype = ctypes.c_int32
             lib.tpukk_gt_fetch.argtypes = [
@@ -259,7 +259,7 @@ def permute_route(R, C, src):
 
 def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
              max_grow_dl=4, force_batch=0, use_lane_tab=True,
-             fix_us=0.235, var_gi4=0.0115, var_dlp=0.022):
+             force_group=0, fix_us=0.235, var_gi4=0.0115, var_dlp=0.022):
     """Full v9 gather-table stream build (see tpukk_gt_build); None when the
     native lib is unavailable or the build must fall back to Python (layout
     overflow, unsupported sizes).  Returns a dict with the packed streams +
@@ -270,14 +270,16 @@ def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
         return None
     rm = np.ascontiguousarray(rm, np.int64)
     ent = _i32(ent)
-    meta = np.zeros(8, np.int64)
+    meta = np.zeros(9, np.int64)
     rc = lib.tpukk_gt_build(n, m, len(ent), rm, ent, td, ts,
                             force_layout, max_grow_gi, max_grow_dl,
                             force_batch, 1 if use_lane_tab else 0,
+                            int(force_group),
                             fix_us, var_gi4, var_dlp, meta)
     if rc != 0:
         return None
-    S, n_ss, B, layout, n_valid, nd, ns, has_tab = (int(v) for v in meta[:8])
+    (S, n_ss, B, layout, n_valid, nd, ns, has_tab,
+     group) = (int(v) for v in meta[:9])
     pk = np.empty(S * 1024, np.int32)
     eidx = np.empty(S * 1024, np.int32)
     rhi = np.empty(S * 1024, np.int32) if layout == 1 else None
@@ -297,7 +299,8 @@ def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
             "dst_ss": dst_ss, "first_ss": first_ss, "cnt_ss": cnt_ss,
             "S": S, "n_ss": n_ss, "B": B,
             "layout": "gi4" if layout == 0 else "dlp",
-            "n_valid": n_valid, "nd": nd, "ns": ns, "lane_tab": lane_tab}
+            "n_valid": n_valid, "nd": nd, "ns": ns, "lane_tab": lane_tab,
+            "G": group}
 
 
 def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):

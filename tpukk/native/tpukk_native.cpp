@@ -868,6 +868,7 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
                        int32_t force_layout,  // 0 auto, 1 gi, 2 dl
                        int32_t max_grow_gi, int32_t max_grow_dl,
                        int32_t force_batch, int32_t use_lane_tab,
+                       int32_t force_group,
                        double fix_us, double var_gi4_us, double var_dlp_us,
                        int64_t* out_meta) {
   if (nnz <= 0 || n <= 0) return -1;
@@ -1100,27 +1101,46 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
   int64_t S0 = (int64_t)ch_list.size();
 
   // --- super-step groups + batch selection --------------------------------
-  std::vector<int64_t> gid(S0);
-  for (int64_t i = 0; i < S0; ++i)
-    gid[i] = gi ? list_dst[i] / 4 : list_dst[i];
-  std::vector<int64_t> counts, gstart;
-  for (int64_t i = 0; i < S0; ++i)
-    if (i == 0 || gid[i] != gid[i - 1]) { gstart.push_back(i); counts.push_back(1); }
-    else ++counts.back();
-  gstart.push_back(S0);
+  // gi output blocks cover G tiles (G in {4, 16}): wide blocks amortize the
+  // per-super-step floor on matrices with few chunks per tile (selection
+  // matrices: ~1.3 chunks/tile made 80% of the kernel time floor) at ~1
+  // extra where-select vop per added quarter per chunk.
+  auto counts_for = [&](int64_t Gc, std::vector<int64_t>& counts,
+                        std::vector<int64_t>& gstart,
+                        std::vector<int64_t>& gid) {
+    gid.resize(S0);
+    counts.clear(); gstart.clear();
+    for (int64_t i = 0; i < S0; ++i)
+      gid[i] = gi ? list_dst[i] / Gc : list_dst[i];
+    for (int64_t i = 0; i < S0; ++i)
+      if (i == 0 || gid[i] != gid[i - 1]) { gstart.push_back(i); counts.push_back(1); }
+      else ++counts.back();
+    gstart.push_back(S0);
+  };
+  const double quarter_us = 0.001;  // one where-select per quarter per chunk
+  int64_t G = gi ? (force_group > 0 ? force_group : 4) : 1;
+  std::vector<int64_t> counts, gstart, gid;
   int64_t B = 1;
   if (force_batch > 0) {
     B = force_batch;
+    counts_for(gi ? G : 1, counts, gstart, gid);
   } else {
     double best = std::numeric_limits<double>::infinity();
-    double var = gi ? var_gi4_us : var_dlp_us;
-    for (int64_t cand = 1; cand <= 32; ++cand) {
-      int64_t nss_c = 0;
-      for (int64_t g = 0; g < (int64_t)counts.size(); ++g)
-        nss_c += (counts[g] + cand - 1) / cand;
-      double cost = nss_c * (fix_us + cand * var);
-      if (cost < best) { best = cost; B = cand; }
+    std::vector<int64_t> Gcands;
+    if (gi && force_group <= 0) { Gcands = {4, 16}; }
+    else { Gcands = {G}; }
+    for (int64_t Gc : Gcands) {
+      counts_for(Gc, counts, gstart, gid);
+      double var = gi ? (var_gi4_us + (Gc - 4) * quarter_us) : var_dlp_us;
+      for (int64_t cand = 1; cand <= 32; ++cand) {
+        int64_t nss_c = 0;
+        for (int64_t g = 0; g < (int64_t)counts.size(); ++g)
+          nss_c += (counts[g] + cand - 1) / cand;
+        double cost = nss_c * (fix_us + cand * var);
+        if (cost < best) { best = cost; B = cand; G = Gc; }
+      }
     }
+    counts_for(gi ? G : 1, counts, gstart, gid);
   }
 
   // --- final stream assembly with per-group B padding ---------------------
@@ -1145,8 +1165,8 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
       if (j >= counts[g]) continue;  // B-padding chunk: stays zero
       int64_t li = gstart[g] + j;
       int64_t rc = ch_list[li];
-      if (gi)
-        g_gt.src_ids[fpos] = (list_src[li] << 2) | (list_dst[li] & 3);
+      if (gi)  // 4-bit sub field (supports G up to 16)
+        g_gt.src_ids[fpos] = (list_src[li] << 4) | (list_dst[li] & (G - 1));
       else
         g_gt.src_ids[fpos] = list_src[li];
       if (rc >= 0) {
@@ -1174,6 +1194,7 @@ int64_t tpukk_gt_build(int64_t n, int64_t m, int64_t nnz,
   out_meta[0] = S; out_meta[1] = n_ss; out_meta[2] = B;
   out_meta[3] = g_gt.layout; out_meta[4] = S_real;
   out_meta[5] = nd; out_meta[6] = ns; out_meta[7] = g_gt.has_tab;
+  out_meta[8] = gi ? G : 1;
   return 0;
 }
 

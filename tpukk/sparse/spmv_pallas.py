@@ -1173,11 +1173,12 @@ def onehot_spmv(plan, x, interpret: bool = False, reduce: str = "sum"):
     by the device MIS-2/graph rounds."""
     if isinstance(plan, GtSpmvPlan):
         if plan.layout == "gi4":
+            G = getattr(plan, "group", 4)
             return _gi4_call_batched(plan.dst_ss, plan.src_ids,
                                      plan.first_ss, plan.gt, plan.vals, x,
-                                     nd4=-(-plan.n_dst_tiles // 4),
+                                     nd4=-(-plan.n_dst_tiles // G),
                                      ns=plan.n_src_tiles, n_ss=plan.n_ss,
-                                     B=plan.batch, nrows=plan.nrows,
+                                     B=plan.batch, nrows=plan.nrows, G=G,
                                      reduce=reduce, interpret=interpret)
         if plan.layout == "dlp":
             lane_tab = plan.lo if plan.lo.shape[0] > 1 else None
@@ -1302,7 +1303,10 @@ def onehot_spmm(plan, x, interpret: bool = False):
     """Y = A·X via the tiled one-hot kernel (X: (ncols, k), f32)."""
     if isinstance(plan, GtSpmvPlan):
         k = int(x.shape[1])
-        if plan.layout in ("gi4", "dlp"):
+        if plan.layout in ("gi4", "dlp") and (
+                plan.layout != "gi4" or getattr(plan, "group", 4) == 4):
+            # the multi-RHS kernel hardcodes 4-tile gi blocks (dlp has no
+            # quarter packing and is unaffected by the group)
             if (k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
                     and plan.batch * k <= 128):
                 lane_tab = plan.lo if plan.lo.shape[0] > 1 else None
@@ -1585,13 +1589,13 @@ class GtSpmvPlan:
     otherwise."""
 
     def __init__(self, A, *, _fields=None, force_gi=False, force_dl=False,
-                 no_lane_tab=False, force_batch=None):
+                 no_lane_tab=False, force_batch=None, force_group=None):
         if _fields is not None:
             (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
              self.dst_ss, self.first_ss, self.cnt_ss, self.nrows, self.ncols,
              self.n_dst_tiles, self.n_src_tiles, self.num_steps, self.n_ss,
              self.batch, self.pad_ratio, self.real_pad_ratio, self.n_levels,
-             self.n_tables, self.layout) = _fields
+             self.n_tables, self.layout, self.group) = _fields
             return
         TD, TS = _OH_DST, _OH_SRC
         SR = TS // 128
@@ -1618,6 +1622,7 @@ class GtSpmvPlan:
                     max_grow_gi=16 if force_gi else 8, max_grow_dl=4,
                     force_batch=int(force_batch or 0),
                     use_lane_tab=not no_lane_tab,
+                    force_group=int(force_group or 0),
                     fix_us=_GT_FIX_US, var_gi4=_GT_VAR_GI4_US,
                     var_dlp=_GT_VAR_DLP_US)
                 if res is not None:
@@ -1858,7 +1863,8 @@ class GtSpmvPlan:
             self.rhi = (jnp.asarray(rhi_a.reshape(S * 8, 128))
                         if layout == "dlp"
                         else jnp.zeros((1, 128), jnp.int32))
-            src_pack = (ssrc << 2) | ssub if layout == "gi4" else ssrc
+            # 4-bit sub field (matches the native builder's G<=16 contract)
+            src_pack = (ssrc << 4) | ssub if layout == "gi4" else ssrc
             self.src_ids = jnp.asarray(src_pack.astype(np.int32))
         else:
             self.lo = jnp.asarray(lo_a.reshape(S * 8, 128))
@@ -1883,6 +1889,7 @@ class GtSpmvPlan:
         self.n_levels = levels
         self.n_tables = T
         self.layout = layout
+        self.group = 4  # python builder: fixed 4-tile gi blocks
 
     @classmethod
     def from_host_streams(cls, res, nrows, ncols, nnz):
@@ -1932,12 +1939,14 @@ class GtSpmvPlan:
         self.n_levels = 1
         self.n_tables = 1
         self.layout = layout
+        self.group = res.get("G", 4) or 4  # gi output-block tiles
         self.host_eidx = eidx  # host-only; not part of the pytree
 
     def tree_flatten(self):
         aux = (self.nrows, self.ncols, self.n_dst_tiles, self.n_src_tiles,
                self.num_steps, self.n_ss, self.batch, self.pad_ratio,
-               self.real_pad_ratio, self.n_levels, self.n_tables, self.layout)
+               self.real_pad_ratio, self.n_levels, self.n_tables, self.layout,
+               self.group)
         return (self.lo, self.gt, self.vals, self.rhi, self.src_ids,
                 self.dst_ss, self.first_ss, self.cnt_ss), aux
 
@@ -1950,7 +1959,8 @@ jax.tree_util.register_pytree_node_class(GtSpmvPlan)
 
 
 def build_gt_streams_host(rm, ent, vals, nrows, ncols, *, force_gi=False,
-                          force_dl=False, force_batch=None):
+                          force_dl=False, force_batch=None,
+                          force_group=None):
     """Native v9 stream build from raw host CSR arrays, returning HOST numpy
     streams + meta (no device transfer) — used by dist/ to assemble stacked
     per-part plans without round-tripping anything through the (possibly
@@ -1971,6 +1981,7 @@ def build_gt_streams_host(rm, ent, vals, nrows, ncols, *, force_gi=False,
                           max_grow_gi=16 if force_gi else 8, max_grow_dl=4,
                           force_batch=int(force_batch or 0),
                           use_lane_tab=False,  # SPMD stacking: no tab streams
+                          force_group=int(force_group or 0),
                           fix_us=_GT_FIX_US, var_gi4=_GT_VAR_GI4_US,
                           var_dlp=_GT_VAR_DLP_US)
     if res is None:
@@ -2004,9 +2015,10 @@ def _pk_gather(X, pk, SR):
 
 
 @functools.partial(jax.jit, static_argnames=("nd4", "ns", "n_ss", "B",
-                                             "nrows", "reduce", "interpret"))
+                                             "nrows", "G", "reduce",
+                                             "interpret"))
 def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
-                      nd4, ns, n_ss, B, nrows, reduce="sum", interpret):
+                      nd4, ns, n_ss, B, nrows, G=4, reduce="sum", interpret):
     """v9 identity-scatter kernel: packed gt+lo stream (2 streams/chunk) and
     a (32,128) output block covering FOUR dst tiles — per-chunk sub (packed
     into srcsub upper bits) selects the 8-row quarter.  The 4-tile grouping
@@ -2019,15 +2031,15 @@ def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
 
     def kernel(dst_ref, srcsub_ref, first_ref, pk_ref, v_ref, x_ref, y_ref):
         g = pl.program_id(0)
-        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(G)]
         for j in range(B):
             ss = srcsub_ref[g * B + j]
-            src = ss >> 2
-            sub = ss & 3
+            src = ss >> 4
+            sub = ss & (G - 1)
             X = x_ref[pl.ds(src * SR, SR), :]
             sl = slice(j * 8, (j + 1) * 8)
             pv = v_ref[sl, :] * _pk_gather(X, pk_ref[sl, :], SR)
-            for q in range(4):
+            for q in range(G):
                 upd = accs[q] + pv if reduce == "sum" \
                     else jnp.maximum(accs[q], pv)
                 accs[q] = jnp.where(sub == q, upd, accs[q])
@@ -2052,16 +2064,16 @@ def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((32, 128), lambda g, d, s, f: (d[g], 0),
+        out_specs=pl.BlockSpec((G * 8, 128), lambda g, d, s, f: (d[g], 0),
                                memory_space=pltpu.VMEM),
     )
     y2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         name="tpukk_spmv_gi4",
-        out_shape=jax.ShapeDtypeStruct((nd4 * 32, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nd4 * G * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, srcsub_ids, first_ss, pk, vals, x2)
-    return y2.reshape(nd4 * 4 * TD)[:nrows].astype(x.dtype)
+    return y2.reshape(nd4 * G * TD)[:nrows].astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B",
@@ -2384,7 +2396,7 @@ def _pk_mm_call_batched(dst_ss, srcsub_ids, first_ss, tabidx_ss, pk, rhi,
                 for _ in range(k)]
         for j in range(B):
             ss = srcsub_ref[g * B + j]
-            src = ss >> 2 if gi4 else ss
+            src = ss >> 4 if gi4 else ss   # 4-bit sub field
             sub = ss & 3
             sl = slice(j * 8, (j + 1) * 8)
             pkj = pk_ref[sl, :]
@@ -2499,7 +2511,7 @@ def build_onehot_ds_plan(A):
     vl = (v64 - vh.astype(np.float64)).astype(np.float32)
     rm, ent = A.host_row_map(), A.host_entries()
     Ah = CsrMatrix.from_arrays(rm, ent, vh, nrows=A.nrows, ncols=A.ncols)
-    base = GtSpmvPlan(Ah, force_gi=True)
+    base = GtSpmvPlan(Ah, force_gi=True, force_group=4)  # ds kernel is G=4
     if base.layout != "gi4":
         return None
     eidx = getattr(base, "host_eidx", None)
@@ -2512,7 +2524,7 @@ def build_onehot_ds_plan(A):
         return OnehotDsPlan(base, base.vals,
                             jnp.asarray(lop.reshape(-1, 128)))
     Al = CsrMatrix.from_arrays(rm, ent, vl, nrows=A.nrows, ncols=A.ncols)
-    low = GtSpmvPlan(Al, force_gi=True)
+    low = GtSpmvPlan(Al, force_gi=True, force_group=4)
     if low.layout != "gi4" or low.vals.shape != base.vals.shape:
         return None
     return OnehotDsPlan(base, base.vals, low.vals)
@@ -2547,7 +2559,7 @@ def _gi4_ds_call_batched(dst_ss, srcsub_ids, first_ss, pk, vh, vl,
         acce = [jnp.zeros((8, 128), jnp.float32) for _ in range(4)]
         for j in range(B):
             ss = srcsub_ref[g * B + j]
-            src = ss >> 2
+            src = ss >> 4      # 4-bit sub field (ds plans force G=4)
             sub = ss & 3
             sl = slice(j * 8, (j + 1) * 8)
             pkj = pk_ref[sl, :]
