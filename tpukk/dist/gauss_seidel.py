@@ -133,6 +133,7 @@ class DistGsGtPlan:
     layouts: tuple        # per color: "gi4" | "dlp"
     n_sss: tuple
     batches: tuple
+    groups: tuple
     nrows: int
     n_parts: int
     rows_per_part: int
@@ -143,9 +144,9 @@ class DistGsGtPlan:
     def tree_flatten(self):
         children = (self.send_idx, self.color_streams, self.color_mask,
                     self.color_invd)
-        aux = (self.layouts, self.n_sss, self.batches, self.nrows,
-               self.n_parts, self.rows_per_part, self.halo, self.ncols_ext,
-               self.omega)
+        aux = (self.layouts, self.n_sss, self.batches, self.groups,
+               self.nrows, self.n_parts, self.rows_per_part, self.halo,
+               self.ncols_ext, self.omega)
         return children, aux
 
     @classmethod
@@ -188,7 +189,7 @@ def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
     rows_all = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
 
     color_streams, color_mask, color_invd = [], [], []
-    layouts, n_sss, batches = [], [], []
+    layouts, n_sss, batches, groups = [], [], [], []
     diag = np.zeros(n, np.float32)
     dsel = rows_all == ent
     diag[rows_all[dsel]] = vals[dsel]
@@ -228,22 +229,24 @@ def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
         built = build_stacked_streams(locals_c, rpp, ncols_ext)
         if built is None:
             return None
-        dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, _ = built
+        dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, G, _ = built
         color_streams.append((dst, src, first, cnt, gt, rhi, valsj))
         color_mask.append(jnp.asarray(mk))
         color_invd.append(jnp.asarray(iv))
         layouts.append(layout)
         n_sss.append(n_ss)
         batches.append(B)
+        groups.append(G)
     return DistGsGtPlan(jnp.asarray(send_idx), tuple(color_streams),
                         tuple(color_mask), tuple(color_invd),
                         tuple(layouts), tuple(n_sss), tuple(batches),
+                        tuple(groups),
                         n, n_parts, rpp, H, ncols_ext, float(omega))
 
 
 def _local_sweep_gt(send_idx, streams, masks, invds, x_shard, b_shard, *,
-                    axis, rpp, omega, reverse, layouts, n_sss, batches, ns,
-                    nd, interpret):
+                    axis, rpp, omega, reverse, layouts, n_sss, batches,
+                    groups, ns, nd, interpret):
     from .gt_spmv import apply_stacked_gt
 
     x = x_shard[0]
@@ -257,7 +260,8 @@ def _local_sweep_gt(send_idx, streams, masks, invds, x_shard, b_shard, *,
         dst, src, first, cnt, gt, rhi, valsj = streams[c]
         y = apply_stacked_gt(dst, src, first, cnt, gt, rhi, valsj, x_ext,
                              layout=layouts[c], n_ss=n_sss[c], B=batches[c],
-                             ns=ns, rpp=rpp, nd=nd, interpret=interpret)
+                             ns=ns, rpp=rpp, nd=nd, interpret=interpret,
+                             G=groups[c] if c < len(groups) else 4)
         xnew = (1.0 - omega) * x + omega * invds[c][0] * (b - y)
         x = jnp.where(masks[c][0] > 0, xnew.astype(x.dtype), x)
     return x[None]
@@ -265,12 +269,13 @@ def _local_sweep_gt(send_idx, streams, masks, invds, x_shard, b_shard, *,
 
 @functools.lru_cache(maxsize=64)
 def _sweep_fn_gt(mesh: Mesh, axis: str, rpp: int, n_parts: int, omega: float,
-                 layouts: tuple, n_sss: tuple, batches: tuple, ns: int,
-                 nd: int, fwd: bool, interpret: bool):
+                 layouts: tuple, n_sss: tuple, batches: tuple, groups: tuple,
+                 ns: int, nd: int, fwd: bool, interpret: bool):
     f = jax.shard_map(
         partial(_local_sweep_gt, axis=axis, rpp=rpp, omega=omega,
                 reverse=not fwd, layouts=layouts, n_sss=n_sss,
-                batches=batches, ns=ns, nd=nd, interpret=interpret),
+                batches=batches, groups=groups, ns=ns, nd=nd,
+                interpret=interpret),
         mesh=mesh,
         in_specs=(P(axis),) * 4 + (P(axis), P(axis)),
         out_specs=P(axis),
@@ -346,7 +351,8 @@ def dist_gs_sweep(plan, x_padded, b_padded, mesh: Mesh,
         ns = max(1, -(-plan.ncols_ext // spmv_pallas._OH_SRC))
         nd = max(1, -(-plan.rows_per_part // spmv_pallas._OH_DST))
         key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega,
-               plan.layouts, plan.n_sss, plan.batches, ns, nd)
+               plan.layouts, plan.n_sss, plan.batches,
+               getattr(plan, "groups", (4,) * len(plan.layouts)), ns, nd)
         fn = lambda fwd: _sweep_fn_gt(*key, fwd, interpret)
     else:
         key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega)

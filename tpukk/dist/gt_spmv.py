@@ -74,13 +74,14 @@ class DistGtPlan:
     halo: int            # H
     ncols_ext: int       # rpp + n_parts * H
     pad_ratio: float     # worst-part slots/nnz diagnostic
+    group: int = 4       # gi output-block tiles (uniform across parts)
 
     def tree_flatten(self):
         ch = (self.send_idx, self.dst_ss, self.src_ids, self.first_ss,
               self.cnt_ss, self.gt, self.rhi, self.vals)
         aux = (self.layout, self.n_ss, self.batch, self.nrows, self.ncols,
                self.n_parts, self.rows_per_part, self.halo, self.ncols_ext,
-               self.pad_ratio)
+               self.pad_ratio, self.group)
         return ch, aux
 
     @classmethod
@@ -150,23 +151,26 @@ def _plan_to_host_streams(p) -> dict:
             "src_ids": np.asarray(p.src_ids), "dst_ss": np.asarray(p.dst_ss),
             "first_ss": np.asarray(p.first_ss),
             "cnt_ss": np.asarray(p.cnt_ss), "S": p.num_steps,
-            "n_ss": p.n_ss, "B": p.batch, "layout": p.layout}
+            "n_ss": p.n_ss, "B": p.batch, "layout": p.layout,
+            "G": getattr(p, "group", 4)}
 
 
 def build_stacked_streams(locals_, rpp, ncols_ext):
     """Uniform-layout per-part v9 streams, padded + stacked: returns
-    (dst, src, first, cnt, gt, rhi, vals, layout, n_ss, B, pad) or None.
-    locals_ = per-part (rm, ent, vals) host CSR arrays over x_ext coords."""
+    (dst, src, first, cnt, gt, rhi, vals, layout, n_ss, B, G, pad) or None.
+    locals_ = per-part (rm, ent, vals) host CSR arrays over x_ext coords.
+    Part 0's build picks layout, batch AND gi block width G (cost model);
+    every other part is forced to match (SPMD uniformity)."""
     n_parts = len(locals_)
-    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext,
-                                           force_group=4)
+    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext)
     if s0 is not None:
         layout, B = s0["layout"], s0["B"]
+        G = s0.get("G", 4) or 4
         streams = [s0]
         for p in range(1, n_parts):
             sp_ = spmv_pallas.build_gt_streams_host(
                 *locals_[p], rpp, ncols_ext, force_gi=(layout == "gi4"),
-                force_dl=(layout == "dlp"), force_batch=B, force_group=4)
+                force_dl=(layout == "dlp"), force_batch=B, force_group=G)
             if sp_ is None or sp_["layout"] != layout or sp_["B"] != B:
                 return None
             streams.append(sp_)
@@ -178,6 +182,7 @@ def build_stacked_streams(locals_, rpp, ncols_ext):
         if plan0.layout not in ("gi4", "dlp"):
             return None
         layout, B = plan0.layout, plan0.batch
+        G = 4
         plans = [plan0]
         for p in range(1, n_parts):
             pl_p = spmv_pallas.GtSpmvPlan(
@@ -191,18 +196,18 @@ def build_stacked_streams(locals_, rpp, ncols_ext):
     dst, src, first, cnt, gt, rhi, valsj, n_ss = _pad_stack(streams, layout, B)
     pad = max(s["S"] * 1024 / max(1, len(lc[1]))
               for s, lc in zip(streams, locals_))
-    return dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, pad
+    return dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, G, pad
 
 
 def apply_stacked_gt(dst_ss, src_ids, first_ss, cnt_ss, gt, rhi, vals, x_ext,
-                     *, layout, n_ss, B, ns, rpp, nd, interpret):
+                     *, layout, n_ss, B, ns, rpp, nd, interpret, G=4):
     """Run the shard's slice of a stacked stream set on x_ext — the inner
     kernel call shared by dist_spmv_gt and the distributed GS sweeps
     (arguments arrive shard_map-sliced with a leading parts axis of 1)."""
     if layout == "gi4":
         return spmv_pallas._gi4_call_batched(
             dst_ss[0], src_ids[0], first_ss[0], gt[0], vals[0], x_ext,
-            nd4=-(-nd // 4), ns=ns, n_ss=n_ss, B=B, nrows=rpp,
+            nd4=-(-nd // G), ns=ns, n_ss=n_ss, B=B, nrows=rpp, G=G,
             reduce="sum", interpret=interpret)
     return spmv_pallas._dlp_call_batched(
         dst_ss[0], src_ids[0], first_ss[0], cnt_ss[0], gt[0], rhi[0],
@@ -234,10 +239,10 @@ def build_dist_gt_plan(A: CsrMatrix, n_parts: int,
     built = build_stacked_streams(locals_, rpp, ncols_ext)
     if built is None:
         return None
-    dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, pad = built
+    dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, G, pad = built
     return DistGtPlan(jnp.asarray(send_idx), dst, src, first, cnt, gt, rhi,
                       valsj, layout, n_ss, B, n, A.ncols, n_parts, rpp, H,
-                      ncols_ext, pad)
+                      ncols_ext, pad, G)
 
 
 @annotate("dist.shard_dist_gt_plan")
@@ -250,14 +255,14 @@ def shard_dist_gt_plan(plan: DistGtPlan, mesh: Mesh,
 
 def _local_gt_body(send_idx, dst_ss, src_ids, first_ss, cnt_ss, gt, rhi,
                    vals, x_shard, *, axis, layout, n_ss, B, ns, rpp, nd,
-                   interpret):
+                   interpret, G):
     x = x_shard[0]
     sends = jnp.take(x, send_idx[0], axis=0)                 # (P, H)
     recv = jax.lax.all_to_all(sends, axis, split_axis=0, concat_axis=0)
     x_ext = jnp.concatenate([x, recv.reshape(-1)])
     y = apply_stacked_gt(dst_ss, src_ids, first_ss, cnt_ss, gt, rhi, vals,
                          x_ext, layout=layout, n_ss=n_ss, B=B, ns=ns,
-                         rpp=rpp, nd=nd, interpret=interpret)
+                         rpp=rpp, nd=nd, interpret=interpret, G=G)
     return y[None]
 
 
@@ -273,7 +278,8 @@ def dist_spmv_gt(plan: DistGtPlan, x_padded, mesh: Mesh,
     f = jax.shard_map(
         partial(_local_gt_body, axis=axis, layout=plan.layout,
                 n_ss=plan.n_ss, B=plan.batch, ns=ns, rpp=plan.rows_per_part,
-                nd=nd, interpret=interpret),
+                nd=nd, interpret=interpret,
+                G=getattr(plan, "group", 4)),
         mesh=mesh,
         in_specs=(P(axis),) * 9,
         out_specs=P(axis),
