@@ -382,11 +382,11 @@ def bench_graph():
         return jax.jit(lambda w: jax.lax.fori_loop(0, K, body, w))
 
     w0 = jax.device_put(np.ones(nw, np.float32))
-    t_dev = chain_time_slope(mkt, (w0,), k1=10, k2=50, reps=3)
+    t_tri = chain_time_slope(mkt, (w0,), k1=10, k2=50, reps=3)
     emit("triangle_count_1m_edge", total_host, "triangles",
-         t_host / max(t_dev, 1e-9),
+         t_host / max(t_tri, 1e-9),
          host_one_shot_ms=round(t_host * 1e3, 2),
-         device_recount_us=round(t_dev * 1e6, 1),
+         device_recount_us=round(t_tri * 1e6, 1),
          closed_wedges=nw, edges=Gm.nnz // 2,
          baseline_model="host C++ one-shot time / device plan-reuse "
                         "recount time (>1 = device recount wins)")

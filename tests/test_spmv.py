@@ -342,3 +342,23 @@ def test_onehot_spmm_dlp_interpret(rng):
     ref = sp @ X
     tol = 50 * np.finfo(np.float32).eps * np.abs(ref).max()
     assert np.abs(Y - ref).max() < tol
+
+
+def test_onehot_spmm_gi4_wide_group_interpret(rng):
+    """Multi-RHS through a gi4 plan with group != 4 (round-3 advisor high:
+    such plans used to fall through to the legacy T-table batched kernel
+    whose stream format does not match native gi4 plans — wrong results or
+    a trace failure).  Must route per-column through onehot_spmv."""
+    import jax.numpy as jnp
+
+    from tpukk.containers.generators import generate_structured_laplacian
+    from tpukk.sparse.spmv_pallas import GtSpmvPlan, onehot_spmm
+
+    A = generate_structured_laplacian(60, 60, dtype=np.float32)
+    plan = GtSpmvPlan(A, force_gi=True, force_group=16)
+    assert plan.layout == "gi4" and plan.group == 16
+    X = rng.standard_normal((A.ncols, 3)).astype(np.float32)
+    Y = np.asarray(onehot_spmm(plan, jnp.asarray(X), interpret=True))
+    ref = A.to_scipy() @ X
+    tol = 50 * np.finfo(np.float32).eps * max(1.0, np.abs(ref).max())
+    assert np.abs(Y - ref).max() < tol

@@ -265,10 +265,19 @@ def _device_outer(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
     absl, absu = jnp.abs(lv), jnp.abs(uv)
     tl = (jnp.sort(absl)[nnzL - budget_l]
           if budget_l < nnzL else jnp.zeros((), lvals.dtype))
-    tu = (jnp.sort(jnp.where(is_diag_u, 0.0, absu))[nnzU - budget_u]
-          if budget_u < nnzU else jnp.zeros((), uvals.dtype))
-    mL = (absl >= jnp.maximum(tl, 1e-300)).astype(lvals.dtype)
-    mU = jnp.maximum((absu >= jnp.maximum(tu, 1e-300)).astype(uvals.dtype),
+    # budget_u is already net of U's always-kept diagonals (host wrapper
+    # deducts ndiag); budget_u == 0 keeps only the diagonal
+    if budget_u <= 0:
+        tu = jnp.asarray(np.inf, uvals.dtype)
+    elif budget_u < nnzU:
+        tu = jnp.sort(jnp.where(is_diag_u, 0.0, absu))[nnzU - budget_u]
+    else:
+        tu = jnp.zeros((), uvals.dtype)
+    # floor must be f32-representable (1e-300 underflows to 0 in float32,
+    # disabling pruning when the selected threshold is 0)
+    floor = jnp.asarray(1e-37, lvals.dtype)
+    mL = (absl >= jnp.maximum(tl, floor)).astype(lvals.dtype)
+    mU = jnp.maximum((absu >= jnp.maximum(tu, floor)).astype(uvals.dtype),
                      is_diag_u.astype(uvals.dtype))
     lv, uv = lv * mL, uv * mU
     # 3. post-prune sweeps on the pruned pattern (masks keep pruned slots 0;
@@ -324,7 +333,11 @@ def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, Cs
 
     budget = int(handle.fill_factor * Asp.nnz)
     budget_l = min(budget // 2, plan.nnzL)
-    budget_u = min(budget - budget // 2, plan.nnzU)
+    # U's diagonal is always kept by the prune mask: deduct it from the
+    # non-diagonal selection budget so total kept stays within fill_factor
+    ndiag_u = int(is_diag_u.sum())
+    budget_u = min(max(0, budget - budget // 2 - ndiag_u),
+                   plan.nnzU)
     anorm = float(np.sqrt((Asp.data ** 2).sum()))
     res = float("inf")
     it = 0

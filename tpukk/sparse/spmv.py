@@ -152,6 +152,15 @@ class SpmvHandle:
         if self._conjugated is None:
             if not jnp.iscomplexobj(self.A.values):
                 self._conjugated = self
+            elif isinstance(self.A.values, np.ndarray):
+                # values deliberately host-resident (attachments that cannot
+                # hold complex device arrays): conjugate on host so modes
+                # C/H never force a complex device transfer
+                cA = CsrMatrix.from_arrays(
+                    self.A.host_row_map(), self.A.host_entries(),
+                    np.conj(self.A.host_values_full()),
+                    nrows=self.A.nrows, ncols=self.A.ncols)
+                self._conjugated = SpmvHandle(cA, self.algorithm)
             else:
                 self._conjugated = SpmvHandle(
                     self.A.with_values(jnp.conj(self.A.values)), self.algorithm)

@@ -1321,6 +1321,15 @@ def onehot_spmm(plan, x, interpret: bool = False):
             cols = [onehot_spmv(plan, x[:, j], interpret=interpret)
                     for j in range(k)]
             return jnp.stack(cols, axis=1)
+        if plan.layout == "gi4":
+            # gi4 with group != 4 (auto-selected G=16 native plans): the
+            # legacy _gt_mm_call_batched expects the T-table gi/gt stream
+            # format, which native gi4 plans do not carry (src_ids packed
+            # as (src<<4)|sub, pk-packed gt, placeholder lo) — route each
+            # column through onehot_spmv, which handles any G.
+            cols = [onehot_spmv(plan, x[:, j], interpret=interpret)
+                    for j in range(k)]
+            return jnp.stack(cols, axis=1)
         if (k * plan.n_src_tiles * _OH_SRC * 4 <= _X_VMEM_CAP
                 and plan.batch * k <= 128):
             return _gt_mm_call_batched(
