@@ -444,10 +444,21 @@ def bench_spmm_blas():
     x0 = jax.device_put((rng.standard_normal(n) * 0.01).astype(np.float32))
 
     def mk_dot(K):
-        def body(c, _):
-            d = jnp.dot(c, c)
-            return c * (0.999 + 1e-20 * d), None
-        return jax.jit(lambda x: jax.lax.scan(body, x, None, length=K)[0])
+        # scalar-carry chain: the dot's read stream is the ONLY traffic.
+        # The old vector-carry harness (c * (0.999 + 1e-20*d)) added a full
+        # read+write rescale pass (~810us on 64M) that XLA fused WITH the
+        # dot, charging the whole fused pass to this metric (round-3 record
+        # 326 GB/s / vs 0.57 was that artifact; standalone dot measures 714
+        # GB/s = 0.87 of nominal HBM, round-4 probe incl. a Pallas streaming
+        # kernel that only reached 744 — XLA's reduce is already at the
+        # single-stream ceiling).  acc*1e-30 keeps iteration i+1 data-
+        # dependent on i without touching the vector.
+        def f(x):
+            def body(acc, _):
+                d = jnp.dot(x * (1.0 + acc * 1e-30), x)
+                return acc * 0.5 + d * 1e-20, None
+            return jax.lax.scan(body, jnp.float32(0.0), None, length=K)[0]
+        return jax.jit(f)
 
     t = chain_time_slope(mk_dot, (x0,), k1=30, k2=150, reps=4)
     gbps = n * 4 / t / 1e9
