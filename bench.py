@@ -702,22 +702,32 @@ def bench_dist():
     from tpukk.dist import build_dist_gs_gt_plan, dist_gs_sweep
 
     Ag = generate_structured_laplacian(400, 400, dtype=np.float32)
-    gp = build_dist_gs_gt_plan(Ag, 1)
+    gp = build_dist_gs_gt_plan(Ag, 1, force_batch=64)
     if gp is not None:
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
         spec = NamedSharding(mesh, Pspec("parts"))
         gp = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), gp)
-        b = jax.device_put(np.ones(gp.padded_rows, np.float32))
+        # chained sweeps stay in the color-blocked permuted space AND the
+        # 2-D kernel-table layout — the same convention as the single-chip
+        # GS row (_point_half_sweep in permuted space); the converters are
+        # a per-solve cost, not a per-sweep one
+        R2 = gp.rpp_perm // 128
+        b = np.asarray(gp.to_internal(
+            jax.device_put(np.ones(gp.padded_rows, np.float32))))
+        b = jax.device_put(b.reshape(gp.n_parts, R2, 128))
 
         def mk3(K):
             def f(x0):
                 def body(i, xx):
-                    return dist_gs_sweep(gp, xx, b, mesh, num_sweeps=1)
+                    return dist_gs_sweep(gp, xx, b, mesh, num_sweeps=1,
+                                         permuted=True)
                 return jax.lax.fori_loop(0, K, body, x0)
             return jax.jit(f)
 
-        t3 = chain_time_slope(mk3, (jnp.zeros(gp.padded_rows, jnp.float32),),
+        t3 = chain_time_slope(mk3,
+                              (jnp.zeros((gp.n_parts, R2, 128),
+                                         jnp.float32),),
                               k1=10, k2=50, reps=4)
         kind = jax.devices()[0].device_kind
         gbps = 2 * csr_bytes(Ag, 4) / t3 / 1e9
@@ -726,10 +736,9 @@ def bench_dist():
              colors=gp.num_colors, gnnz=round(2 * Ag.nnz / t3 / 1e9, 2),
              n_parts=1,
              baseline_model="2 A-passes / 0.7*HBM (same model as the "
-                            "single-chip GS sweep row); floor-bound at "
-                            "1 part: each color's kernel initializes the "
-                            "full local row space — shrinks with rpp on "
-                            "real multi-part meshes")
+                            "single-chip GS sweep row); color-blocked "
+                            "permuted layout (round 4): each color's "
+                            "kernel covers only its own row block")
 
 
 def bench_flagship():

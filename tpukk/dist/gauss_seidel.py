@@ -118,35 +118,48 @@ def shard_dist_gs_plan(plan: DistGsPlan, mesh: Mesh, axis: str = "parts") -> Dis
 # ---------------------------------------------------------------------------
 # Fast variant: per-color local compute through the v9 gather-table Pallas
 # kernels (round-2 verdict: the per-color jnp.take gather runs ~0.12 Gelem/s
-# on v5e vs 14-40 Gnnz/s for the single-chip kernels).  Each color's rows
-# form a (rpp x ncols_ext) sub-matrix per part; its stacked stream set runs
-# inside shard_map and the x update is a masked vector op (no scatter).
+# on v5e vs 14-40 Gnnz/s for the single-chip kernels).  Round 4: local rows
+# are COLOR-BLOCK permuted (the reference's color_adj permutation,
+# gauss_seidel_impl.hpp — same layout the single-chip POINT GS uses), so each
+# color's stream set covers only its own Rc_pad-row block and the x update is
+# a contiguous static slice — a color step no longer initializes or rescans
+# the full local row space (round-3 bench: 5 colors x full-rpp output cost a
+# 7x floor at 1 part).
 # ---------------------------------------------------------------------------
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DistGsGtPlan:
-    send_idx: Any        # (P, P, H)
+    send_idx: Any        # (P, P, H) — PERMUTED local ids to send
     color_streams: tuple  # per color: (dst, src, first, cnt, gt, rhi, vals)
-    color_mask: tuple     # per color: (P, rpp) f32 1/0 update mask
-    color_invd: tuple     # per color: (P, rpp) f32 inv diag (0 off-color)
+    color_mask: tuple     # per color: (P, Rc/128, 128) f32 1/0 update mask
+    color_invd: tuple     # per color: (P, Rc/128, 128) f32 inv diag (0 pad)
+    color_last: tuple     # per color: (P, n_ss) last-step-of-block flags
+    to_perm_idx: Any      # (P*rpp_perm,) i32 gather: natural-ext -> permuted
+    from_perm_idx: Any    # (P*rpp_nat,)  i32 gather: permuted-ext -> natural
     layouts: tuple        # per color: "gi4" | "dlp"
     n_sss: tuple
     batches: tuple
     groups: tuple
+    rcs: tuple            # per color: Rc_pad (uniform across parts)
+    offs: tuple           # per color: static offset in the permuted layout
     nrows: int
     n_parts: int
-    rows_per_part: int
+    rows_per_part: int    # NATURAL rows per part (API padding unit)
+    rpp_perm: int         # permuted rows per part = sum(rcs)
     halo: int
     ncols_ext: int
     omega: float
+    no_remote: bool = False  # no part imports anything: skip the exchange
 
     def tree_flatten(self):
         children = (self.send_idx, self.color_streams, self.color_mask,
-                    self.color_invd)
+                    self.color_invd, self.color_last, self.to_perm_idx,
+                    self.from_perm_idx)
         aux = (self.layouts, self.n_sss, self.batches, self.groups,
-               self.nrows, self.n_parts, self.rows_per_part, self.halo,
-               self.ncols_ext, self.omega)
+               self.rcs, self.offs, self.nrows, self.n_parts,
+               self.rows_per_part, self.rpp_perm, self.halo,
+               self.ncols_ext, self.omega, self.no_remote)
         return children, aux
 
     @classmethod
@@ -158,17 +171,40 @@ class DistGsGtPlan:
         return self.n_parts * self.rows_per_part
 
     @property
+    def padded_perm_rows(self):
+        return self.n_parts * self.rpp_perm
+
+    @property
     def num_colors(self):
         return len(self.color_streams)
+
+    # -- layout converters (outside the sweep hot loop) -----------------
+    def to_internal(self, x_natural_padded):
+        """Natural padded (P*rpp) -> color-blocked permuted (P*rpp_perm).
+        Chained sweeps should stay in the permuted space
+        (dist_gs_sweep(..., permuted=True)) — on TPU these converter
+        gathers cost far more than a sweep."""
+        xe = jnp.concatenate([jnp.asarray(x_natural_padded),
+                              jnp.zeros(1, jnp.asarray(x_natural_padded).dtype)])
+        return jnp.take(xe, self.to_perm_idx)
+
+    def to_natural(self, x_perm):
+        xe = jnp.concatenate([x_perm, jnp.zeros(1, x_perm.dtype)])
+        return jnp.take(xe, self.from_perm_idx)
 
 
 @annotate("dist.build_dist_gs_gt_plan")
 def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
                           row_block: int = 8,
                           coloring: ColoringAlgorithm = ColoringAlgorithm.VB,
+                          force_batch: int | None = None,
                           ) -> "DistGsGtPlan | None":
     """Fast distributed colored-GS plan; None when the gather-table layouts
-    cannot be made uniform (callers fall back to build_dist_gs_plan)."""
+    cannot be made uniform (callers fall back to build_dist_gs_plan).
+
+    Local rows are laid out color-block permuted (uniform per-color block
+    size Rc_pad across parts for SPMD), so each color's kernel covers only
+    ceil(Rc_pad/1024) output tiles instead of the whole part."""
     from ..sparse import spmv_pallas
     from .gt_spmv import build_stacked_streams
     from .halo import import_index
@@ -180,114 +216,213 @@ def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
     n = A.nrows
     rpp = round_up(-(-n // n_parts), row_block)
     send_idx, rem_cols, rem_ids, H = import_index(rm, ent, n, n_parts, rpp)
-    ncols_ext = rpp + n_parts * H
-    ns = max(1, -(-ncols_ext // spmv_pallas._OH_SRC))
-    if ns * spmv_pallas._OH_SRC * 4 > spmv_pallas._X_VMEM_CAP:
-        return None
     colors = graph_color(A, coloring)
     ncolors = int(colors.max())
-    rows_all = np.repeat(np.arange(n, dtype=np.int64), rm[1:] - rm[:-1])
-
-    color_streams, color_mask, color_invd = [], [], []
-    layouts, n_sss, batches, groups = [], [], [], []
+    lens_all = rm[1:] - rm[:-1]
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), lens_all)
     diag = np.zeros(n, np.float32)
     dsel = rows_all == ent
     diag[rows_all[dsel]] = vals[dsel]
-    for c in range(1, ncolors + 1):
+
+    # ---- color-blocked permuted layout ---------------------------------
+    # by_part_color[p][c-1] = orig GLOBAL row ids of color c in part p
+    by_part_color = []
+    for p in range(n_parts):
+        lo, hi = p * rpp, min(n, (p + 1) * rpp)
+        col_p = colors[lo:hi]
+        by_part_color.append([lo + np.nonzero(col_p == c)[0]
+                              for c in range(1, ncolors + 1)])
+    # G*1024-aligned color blocks (G=4 pinned below): offsets land on whole
+    # output GROUPS of the gi4 kernel, so the fused in-place GS update's
+    # aliased out blocks tile cleanly
+    rcs = tuple(round_up(max(1, max(by_part_color[p][c - 1].size
+                                    for p in range(n_parts))),
+                         max(row_block, 4096))
+                for c in range(1, ncolors + 1))
+    offs = tuple(int(np.sum(rcs[:c], dtype=np.int64)) for c in range(ncolors))
+    rpp_perm = int(sum(rcs))
+    ncols_ext = rpp_perm + n_parts * H
+    ns = max(1, -(-ncols_ext // spmv_pallas._OH_SRC))
+    if ns * spmv_pallas._OH_SRC * 4 > spmv_pallas._X_VMEM_CAP:
+        return None
+
+    # inv_perm[p]: orig local row -> permuted local position
+    inv_perm = [np.full(rpp, rpp_perm, np.int64) for _ in range(n_parts)]
+    for p in range(n_parts):
+        lo = p * rpp
+        for ci, rows_pc in enumerate(by_part_color[p]):
+            inv_perm[p][rows_pc - lo] = offs[ci] + np.arange(rows_pc.size)
+
+    # converter gather indices (sentinel slot = the appended zero)
+    L_nat, L_perm = n_parts * rpp, n_parts * rpp_perm
+    to_perm = np.full(L_perm, L_nat, np.int64)
+    from_perm = np.full(L_nat, L_perm, np.int64)
+    for p in range(n_parts):
+        lo, hi = p * rpp, min(n, (p + 1) * rpp)
+        orig_loc = np.arange(hi - lo, dtype=np.int64)
+        newpos = inv_perm[p][orig_loc]
+        to_perm[p * rpp_perm + newpos] = p * rpp + orig_loc
+        from_perm[p * rpp + orig_loc] = p * rpp_perm + newpos
+
+    # send schedule in permuted-local coordinates
+    send_perm = np.zeros_like(send_idx)
+    for q in range(n_parts):
+        send_perm[q] = inv_perm[q][send_idx[q].astype(np.int64)].astype(
+            send_idx.dtype)
+
+    color_streams, color_mask, color_invd, color_last = [], [], [], []
+    layouts, n_sss, batches, groups = [], [], [], []
+    for ci in range(ncolors):
+        Rc = rcs[ci]
         locals_c = []
-        mk = np.zeros((n_parts, rpp), np.float32)
-        iv = np.zeros((n_parts, rpp), np.float32)
+        mk = np.zeros((n_parts, Rc), np.float32)
+        iv = np.zeros((n_parts, Rc), np.float32)
         for p in range(n_parts):
-            lo, hi = p * rpp, min(n, (p + 1) * rpp)
-            nr = max(0, hi - lo)
-            if nr == 0:
-                locals_c.append((np.zeros(rpp + 1, np.int64),
+            lo = p * rpp
+            rows_pc = by_part_color[p][ci]          # global ids, ascending
+            nrc = rows_pc.size
+            if nrc == 0:
+                locals_c.append((np.zeros(Rc + 1, np.int64),
                                  np.zeros(0, np.int64),
                                  np.zeros(0, np.float32)))
                 continue
-            s, e = rm[lo], rm[hi]
-            erow = rows_all[s:e]
-            keep = (colors[erow] == c) & (ent[s:e] != erow)
-            cseg = ent[s:e][keep]
-            vseg = vals[s:e][keep]
-            # row map over kept entries
-            cnts = np.bincount((erow[keep] - lo).astype(np.int64),
-                               minlength=rpp)
-            rm_pc = np.zeros(rpp + 1, np.int64)
+            lens = lens_all[rows_pc]
+            tot = int(lens.sum())
+            base = np.cumsum(lens) - lens
+            pos = (np.arange(tot) - np.repeat(base, lens)
+                   + np.repeat(rm[rows_pc], lens))
+            cseg = ent[pos]
+            vseg = vals[pos]
+            erow = np.repeat(rows_pc, lens)
+            jrow = np.repeat(np.arange(nrc, dtype=np.int64), lens)
+            keep = cseg != erow                      # drop the diagonal
+            cseg, vseg, jrow = cseg[keep], vseg[keep], jrow[keep]
+            cnts = np.bincount(jrow, minlength=Rc)
+            rm_pc = np.zeros(Rc + 1, np.int64)
             np.cumsum(cnts, out=rm_pc[1:])
+            # P*rpp >= n, so every part's local range is [lo, lo+rpp)
             local = (cseg >= lo) & (cseg < lo + rpp)
-            mapped = np.where(local, cseg - lo, 0)
-            if rem_cols[p].size:
+            mapped = np.where(local, inv_perm[p][
+                np.where(local, cseg - lo, 0)], 0)
+            if rem_cols[p].size and (~local).any():
                 ridx = np.searchsorted(rem_cols[p], cseg[~local])
-                mapped[~local] = rem_ids[p][ridx]
+                # remote ext ids shift from the natural to the permuted base
+                mapped[~local] = rem_ids[p][ridx] - rpp + rpp_perm
             locals_c.append((rm_pc, mapped, vseg))
-            sel = colors[lo:hi] == c
-            mk[p, :nr] = sel
-            dloc = diag[lo:hi]
-            iv[p, :nr] = np.where(sel & (dloc != 0), 1.0 / np.where(
-                dloc == 0, 1.0, dloc), 0.0)
-        built = build_stacked_streams(locals_c, rpp, ncols_ext)
+            mk[p, :nrc] = 1.0
+            dloc = diag[rows_pc]
+            iv[p, :nrc] = np.where(dloc != 0,
+                                   1.0 / np.where(dloc == 0, 1.0, dloc), 0.0)
+        built = build_stacked_streams(locals_c, Rc, ncols_ext,
+                                      force_group=4,
+                                      force_batch=force_batch)
         if built is None:
             return None
-        dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, G, _ = built
+        (dst, src, first, cnt, gt, rhi, valsj, last, layout, n_ss, B, G,
+         _) = built
         color_streams.append((dst, src, first, cnt, gt, rhi, valsj))
-        color_mask.append(jnp.asarray(mk))
-        color_invd.append(jnp.asarray(iv))
+        color_last.append(last)
+        # stored in the kernel-table row layout (P, Rc/128, 128)
+        color_mask.append(jnp.asarray(mk.reshape(n_parts, Rc // 128, 128)))
+        color_invd.append(jnp.asarray(iv.reshape(n_parts, Rc // 128, 128)))
         layouts.append(layout)
         n_sss.append(n_ss)
         batches.append(B)
         groups.append(G)
-    return DistGsGtPlan(jnp.asarray(send_idx), tuple(color_streams),
+    no_remote = all(rc.size == 0 for rc in rem_cols)
+    return DistGsGtPlan(jnp.asarray(send_perm), tuple(color_streams),
                         tuple(color_mask), tuple(color_invd),
+                        tuple(color_last),
+                        jnp.asarray(to_perm, jnp.int32),
+                        jnp.asarray(from_perm, jnp.int32),
                         tuple(layouts), tuple(n_sss), tuple(batches),
-                        tuple(groups),
-                        n, n_parts, rpp, H, ncols_ext, float(omega))
+                        tuple(groups), rcs, offs,
+                        n, n_parts, rpp, rpp_perm, H, ncols_ext,
+                        float(omega), no_remote)
 
 
-def _local_sweep_gt(send_idx, streams, masks, invds, x_shard, b_shard, *,
-                    axis, rpp, omega, reverse, layouts, n_sss, batches,
-                    groups, ns, nd, interpret):
+def _local_sweep_gt(send_idx, streams, masks, invds, lasts, x_shard,
+                    b_shard, *, axis, omega, reverse, layouts, n_sss,
+                    batches, groups, rcs, offs, ns, rpp_perm, no_remote,
+                    interpret):
+    """One sweep direction on a shard, entirely in the kernel-table 2-D row
+    layout ((rows, 128), element e at (e//128, e%128)): the extended vector
+    xe2 holds [permuted local | halo | pad-to-ns*SR].  gi4 colors run the
+    FUSED kernel (_gi4_gs_fused_batched) that applies the GS update into the
+    aliased xe2 in place — no full-x copies or relayouts inside the color
+    loop (the round-3 1-part floor).  dlp colors and non-fusable cases fall
+    back to slice/update."""
+    from ..sparse import spmv_pallas
     from .gt_spmv import apply_stacked_gt
 
-    x = x_shard[0]
-    b = b_shard[0]
+    SR = spmv_pallas._OH_SRC // 128
+    x2 = x_shard[0]                  # (rpp_perm//128, 128)
+    b2 = b_shard[0]
+    R2 = rpp_perm // 128
+    xe2 = jnp.pad(x2, ((0, ns * SR - R2), (0, 0)))
     ncolors = len(streams)
     order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
     for c in order:
-        sends = jnp.take(x, send_idx[0], axis=0)
-        recv = jax.lax.all_to_all(sends, axis, split_axis=0, concat_axis=0)
-        x_ext = jnp.concatenate([x, recv.reshape(-1)])
+        if not no_remote:
+            # halo exchange: gather send values from the 2-D layout (row
+            # gather + per-element lane select; send lists are small)
+            sid = send_idx[0]
+            rows = jnp.take(xe2, (sid // 128).reshape(-1), axis=0)
+            sends = jnp.take_along_axis(
+                rows, (sid % 128).reshape(-1, 1), axis=1).reshape(sid.shape)
+            recv = jax.lax.all_to_all(sends, axis, split_axis=0,
+                                      concat_axis=0)
+            rflat = recv.reshape(-1)
+            hrows = -(-rflat.shape[0] // 128)
+            r2 = jnp.pad(rflat, (0, hrows * 128 - rflat.shape[0])).reshape(
+                hrows, 128)
+            xe2 = jax.lax.dynamic_update_slice(xe2, r2, (R2, 0))
         dst, src, first, cnt, gt, rhi, valsj = streams[c]
-        y = apply_stacked_gt(dst, src, first, cnt, gt, rhi, valsj, x_ext,
-                             layout=layouts[c], n_ss=n_sss[c], B=batches[c],
-                             ns=ns, rpp=rpp, nd=nd, interpret=interpret,
-                             G=groups[c] if c < len(groups) else 4)
-        xnew = (1.0 - omega) * x + omega * invds[c][0] * (b - y)
-        x = jnp.where(masks[c][0] > 0, xnew.astype(x.dtype), x)
-    return x[None]
+        Rc, off = rcs[c], offs[c]
+        G = groups[c] if c < len(groups) else 4
+        if layouts[c] == "gi4" and off % (G * 1024) == 0 \
+                and Rc % (G * 1024) == 0:
+            xe2 = spmv_pallas._gi4_gs_fused_batched(
+                dst[0], src[0], first[0], lasts[c][0], gt[0], valsj[0],
+                b2, invds[c][0], masks[c][0], xe2,
+                off4=off // (G * 1024), ns=ns, n_ss=n_sss[c],
+                B=batches[c], G=G, omega=omega, interpret=interpret)
+            continue
+        y2 = apply_stacked_gt(dst, src, first, cnt, gt, rhi, valsj, xe2,
+                              layout=layouts[c], n_ss=n_sss[c], B=batches[c],
+                              ns=ns, rpp=Rc, nd=-(-Rc // 1024),
+                              interpret=interpret, G=G, out2d=True)
+        # color block = contiguous rows [off/128, (off+Rc)/128)
+        xb = jax.lax.dynamic_slice(xe2, (off // 128, 0), (Rc // 128, 128))
+        bb = jax.lax.dynamic_slice(b2, (off // 128, 0), (Rc // 128, 128))
+        xnew = (1.0 - omega) * xb + omega * invds[c][0] * (bb - y2)
+        xnew = jnp.where(masks[c][0] > 0, xnew.astype(x2.dtype), xb)
+        xe2 = jax.lax.dynamic_update_slice(xe2, xnew, (off // 128, 0))
+    return xe2[None, :R2]
 
 
 @functools.lru_cache(maxsize=64)
-def _sweep_fn_gt(mesh: Mesh, axis: str, rpp: int, n_parts: int, omega: float,
-                 layouts: tuple, n_sss: tuple, batches: tuple, groups: tuple,
-                 ns: int, nd: int, fwd: bool, interpret: bool):
+def _sweep_fn_gt(mesh: Mesh, axis: str, rpp_perm: int, n_parts: int,
+                 omega: float, layouts: tuple, n_sss: tuple, batches: tuple,
+                 groups: tuple, rcs: tuple, offs: tuple,
+                 ns: int, no_remote: bool, fwd: bool, interpret: bool):
     f = jax.shard_map(
-        partial(_local_sweep_gt, axis=axis, rpp=rpp, omega=omega,
+        partial(_local_sweep_gt, axis=axis, omega=omega,
                 reverse=not fwd, layouts=layouts, n_sss=n_sss,
-                batches=batches, groups=groups, ns=ns, nd=nd,
+                batches=batches, groups=groups, rcs=rcs, offs=offs,
+                ns=ns, rpp_perm=rpp_perm, no_remote=no_remote,
                 interpret=interpret),
         mesh=mesh,
-        in_specs=(P(axis),) * 4 + (P(axis), P(axis)),
+        in_specs=(P(axis),) * 5 + (P(axis), P(axis)),
         out_specs=P(axis),
         check_vma=False,
     )
 
     @jax.jit
-    def run(plan: DistGsGtPlan, x, b):
-        y2 = f(plan.send_idx, plan.color_streams, plan.color_mask,
-               plan.color_invd,
-               x.reshape(n_parts, rpp), b.reshape(n_parts, rpp))
-        return y2.reshape(-1)
+    def run(plan: DistGsGtPlan, x2, b2):
+        """x2/b2 in the 2-D row layout (n_parts, rpp_perm//128, 128)."""
+        return f(plan.send_idx, plan.color_streams, plan.color_mask,
+                 plan.color_invd, plan.color_last, x2, b2)
 
     return run
 
@@ -339,24 +474,49 @@ def _sweep_fn(mesh: Mesh, axis: str, rpp: int, n_parts: int, omega: float,
 @annotate("dist.dist_gs_sweep")
 def dist_gs_sweep(plan, x_padded, b_padded, mesh: Mesh,
                   num_sweeps: int = 1, direction: str = "symmetric",
-                  axis: str = "parts", interpret: bool | None = None):
+                  axis: str = "parts", interpret: bool | None = None,
+                  permuted: bool = False):
     """Colored GS sweeps on row-sharded x/b (padded to plan.padded_rows);
     accepts a DistGsPlan (ELL jnp.take schedule) or DistGsGtPlan (Pallas
-    gather-table local kernels — the fast path)."""
+    gather-table local kernels — the fast path).
+
+    For a DistGsGtPlan, ``permuted=True`` means x/b are already in the
+    plan's color-blocked permuted layout (length plan.padded_perm_rows) and
+    the result stays there — the convention for chained sweeps/solvers on
+    TPU, where the natural<->permuted converter gathers dominate a sweep
+    (same contract as the single-chip POINT GS's permuted-space
+    _point_half_sweep)."""
     if isinstance(plan, DistGsGtPlan):
         from ..sparse import spmv_pallas
 
         if interpret is None:
             interpret = not spmv_pallas.supports_pallas()
         ns = max(1, -(-plan.ncols_ext // spmv_pallas._OH_SRC))
-        nd = max(1, -(-plan.rows_per_part // spmv_pallas._OH_DST))
-        key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega,
-               plan.layouts, plan.n_sss, plan.batches,
-               getattr(plan, "groups", (4,) * len(plan.layouts)), ns, nd)
+        key = (mesh, axis, plan.rpp_perm, plan.n_parts, plan.omega,
+               plan.layouts, plan.n_sss, plan.batches, plan.groups,
+               plan.rcs, plan.offs, ns, plan.no_remote)
         fn = lambda fwd: _sweep_fn_gt(*key, fwd, interpret)
-    else:
-        key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega)
-        fn = lambda fwd: _sweep_fn(*key, fwd)
+        x = x_padded if permuted else plan.to_internal(x_padded)
+        b = b_padded if permuted else plan.to_internal(b_padded)
+        # the sweep runs in the 2-D kernel-table row layout; 3-D inputs
+        # (n_parts, rpp_perm//128, 128) pass through without relayout and
+        # come back in the same form (the zero-copy chaining convention)
+        was_2d = getattr(x, "ndim", 1) == 3
+        R2 = plan.rpp_perm // 128
+        if not was_2d:
+            x = jnp.asarray(x).reshape(plan.n_parts, R2, 128)
+            b = jnp.asarray(b).reshape(plan.n_parts, R2, 128)
+        for _ in range(num_sweeps):
+            if direction in ("forward", "symmetric"):
+                x = fn(True)(plan, x, b)
+            if direction in ("backward", "symmetric"):
+                x = fn(False)(plan, x, b)
+        if was_2d:
+            return x
+        x = x.reshape(-1)
+        return x if permuted else plan.to_natural(x)
+    key = (mesh, axis, plan.rows_per_part, plan.n_parts, plan.omega)
+    fn = lambda fwd: _sweep_fn(*key, fwd)
     x = x_padded
     for _ in range(num_sweeps):
         if direction in ("forward", "symmetric"):

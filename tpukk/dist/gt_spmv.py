@@ -123,7 +123,8 @@ def _pad_stack(streams, layout, B):
     they add exact zeros to an already-initialized output block."""
     n_ss = max(s["n_ss"] for s in streams)
     S = n_ss * B
-    dst, src, first, cnt, gts, rhis, valsl = [], [], [], [], [], [], []
+    dst, src, first, cnt, gts, rhis, valsl, lasts = \
+        [], [], [], [], [], [], [], []
     for s in streams:
         pad_ss = n_ss - s["n_ss"]
         pad_ch = S - s["S"]
@@ -137,10 +138,20 @@ def _pad_stack(streams, layout, B):
             rhis.append(np.pad(s["rhi"], ((0, pad_ch * 8), (0, 0))))
         else:
             rhis.append(np.zeros((1, 128), np.int32))
+        # "last super-step of its dst block" flags, computed on the REAL
+        # schedule so the dummy pad steps (dst 0, first 0) never re-trigger
+        # a consumer's per-block epilogue (the fused GS update)
+        d_real = np.asarray(s["dst_ss"][: s["n_ss"]])
+        la = np.zeros(d_real.shape[0], np.int32)
+        if la.size:
+            la[-1] = 1
+            la[:-1] = (d_real[1:] != d_real[:-1]).astype(np.int32)
+        lasts.append(np.pad(la, (0, pad_ss)))
     return (jnp.asarray(np.stack(dst)), jnp.asarray(np.stack(src)),
             jnp.asarray(np.stack(first)), jnp.asarray(np.stack(cnt)),
             jnp.asarray(np.stack(gts)), jnp.asarray(np.stack(rhis)),
-            jnp.asarray(np.stack(valsl)), n_ss)
+            jnp.asarray(np.stack(valsl)), jnp.asarray(np.stack(lasts)),
+            n_ss)
 
 
 def _plan_to_host_streams(p) -> dict:
@@ -155,14 +166,18 @@ def _plan_to_host_streams(p) -> dict:
             "G": getattr(p, "group", 4)}
 
 
-def build_stacked_streams(locals_, rpp, ncols_ext):
+def build_stacked_streams(locals_, rpp, ncols_ext, force_group=None,
+                          force_batch=None):
     """Uniform-layout per-part v9 streams, padded + stacked: returns
-    (dst, src, first, cnt, gt, rhi, vals, layout, n_ss, B, G, pad) or None.
-    locals_ = per-part (rm, ent, vals) host CSR arrays over x_ext coords.
-    Part 0's build picks layout, batch AND gi block width G (cost model);
-    every other part is forced to match (SPMD uniformity)."""
+    (dst, src, first, cnt, gt, rhi, vals, last, layout, n_ss, B, G, pad) or
+    None.  locals_ = per-part (rm, ent, vals) host CSR arrays over x_ext
+    coords.  Part 0's build picks layout, batch AND gi block width G (cost
+    model, unless force_group pins it); every other part is forced to match
+    (SPMD uniformity)."""
     n_parts = len(locals_)
-    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext)
+    s0 = spmv_pallas.build_gt_streams_host(*locals_[0], rpp, ncols_ext,
+                                           force_group=force_group,
+                                           force_batch=force_batch)
     if s0 is not None:
         layout, B = s0["layout"], s0["B"]
         G = s0.get("G", 4) or 4
@@ -178,41 +193,45 @@ def build_stacked_streams(locals_, rpp, ncols_ext):
         mats = [CsrMatrix.from_arrays(*lc, nrows=rpp, ncols=ncols_ext)
                 for lc in locals_]
         plan0 = spmv_pallas.GtSpmvPlan(mats[0], no_lane_tab=True,
-                                       force_group=4)
+                                       force_group=force_group or 4)
         if plan0.layout not in ("gi4", "dlp"):
             return None
         layout, B = plan0.layout, plan0.batch
-        G = 4
+        G = getattr(plan0, "group", 4)
         plans = [plan0]
         for p in range(1, n_parts):
             pl_p = spmv_pallas.GtSpmvPlan(
                 mats[p], force_gi=(layout == "gi4"),
                 force_dl=(layout == "dlp"), no_lane_tab=True, force_batch=B,
-                force_group=4)
+                force_group=G)
             if pl_p.layout != layout or pl_p.batch != B:
                 return None
             plans.append(pl_p)
         streams = [_plan_to_host_streams(p) for p in plans]
-    dst, src, first, cnt, gt, rhi, valsj, n_ss = _pad_stack(streams, layout, B)
+    dst, src, first, cnt, gt, rhi, valsj, last, n_ss = _pad_stack(
+        streams, layout, B)
     pad = max(s["S"] * 1024 / max(1, len(lc[1]))
               for s, lc in zip(streams, locals_))
-    return dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, G, pad
+    return dst, src, first, cnt, gt, rhi, valsj, last, layout, n_ss, B, G, pad
 
 
 def apply_stacked_gt(dst_ss, src_ids, first_ss, cnt_ss, gt, rhi, vals, x_ext,
-                     *, layout, n_ss, B, ns, rpp, nd, interpret, G=4):
+                     *, layout, n_ss, B, ns, rpp, nd, interpret, G=4,
+                     out2d=False):
     """Run the shard's slice of a stacked stream set on x_ext — the inner
     kernel call shared by dist_spmv_gt and the distributed GS sweeps
-    (arguments arrive shard_map-sliced with a leading parts axis of 1)."""
+    (arguments arrive shard_map-sliced with a leading parts axis of 1).
+    x_ext may be pre-shaped (ns*SR, 128); out2d keeps the result in that
+    row layout (see spmv_pallas._gi4_call_batched)."""
     if layout == "gi4":
         return spmv_pallas._gi4_call_batched(
             dst_ss[0], src_ids[0], first_ss[0], gt[0], vals[0], x_ext,
             nd4=-(-nd // G), ns=ns, n_ss=n_ss, B=B, nrows=rpp, G=G,
-            reduce="sum", interpret=interpret)
+            reduce="sum", interpret=interpret, out2d=out2d)
     return spmv_pallas._dlp_call_batched(
         dst_ss[0], src_ids[0], first_ss[0], cnt_ss[0], gt[0], rhi[0],
         vals[0], None, x_ext, nd=nd, ns=ns, n_ss=n_ss, B=B, nrows=rpp,
-        reduce="sum", interpret=interpret)
+        reduce="sum", interpret=interpret, out2d=out2d)
 
 
 @annotate("dist.build_dist_gt_plan")
@@ -239,7 +258,8 @@ def build_dist_gt_plan(A: CsrMatrix, n_parts: int,
     built = build_stacked_streams(locals_, rpp, ncols_ext)
     if built is None:
         return None
-    dst, src, first, cnt, gt, rhi, valsj, layout, n_ss, B, G, pad = built
+    dst, src, first, cnt, gt, rhi, valsj, _last, layout, n_ss, B, G, pad = \
+        built
     return DistGtPlan(jnp.asarray(send_idx), dst, src, first, cnt, gt, rhi,
                       valsj, layout, n_ss, B, n, A.ncols, n_parts, rpp, H,
                       ncols_ext, pad, G)

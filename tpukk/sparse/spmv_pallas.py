@@ -2025,18 +2025,27 @@ def _pk_gather(X, pk, SR):
 
 @functools.partial(jax.jit, static_argnames=("nd4", "ns", "n_ss", "B",
                                              "nrows", "G", "reduce",
-                                             "interpret"))
+                                             "interpret", "out2d"))
 def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
-                      nd4, ns, n_ss, B, nrows, G=4, reduce="sum", interpret):
+                      nd4, ns, n_ss, B, nrows, G=4, reduce="sum", interpret,
+                      out2d=False):
     """v9 identity-scatter kernel: packed gt+lo stream (2 streams/chunk) and
     a (32,128) output block covering FOUR dst tiles — per-chunk sub (packed
     into srcsub upper bits) selects the 8-row quarter.  The 4-tile grouping
     lets B grow ~4x on matrices whose per-tile chunk counts are small
-    (structured patterns), amortizing the ~0.23us grid-step floor."""
+    (structured patterns), amortizing the ~0.23us grid-step floor.
+
+    x may arrive pre-shaped (ns*SR, 128) — the kernel-table layout — to
+    skip the 1-D→2-D relayout copy (a real ~2x-stream cost on TPU); with
+    out2d the result stays in that layout too (rows [:ceil(nrows/128)])."""
     TD, TS = _OH_DST, _OH_SRC
     SR = TS // 128
     m_pad = ns * TS
-    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+    if x.ndim == 2:
+        x2 = x.astype(jnp.float32)
+    else:
+        x2 = jnp.pad(x.astype(jnp.float32),
+                     (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
 
     def kernel(dst_ref, srcsub_ref, first_ref, pk_ref, v_ref, x_ref, y_ref):
         g = pl.program_id(0)
@@ -2082,14 +2091,108 @@ def _gi4_call_batched(dst_ss, srcsub_ids, first_ss, pk, vals, x, *,
         out_shape=jax.ShapeDtypeStruct((nd4 * G * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, srcsub_ids, first_ss, pk, vals, x2)
+    if out2d:
+        return y2[: -(-nrows // 128)]
     return y2.reshape(nd4 * G * TD)[:nrows].astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("off4", "ns", "n_ss", "B", "G",
+                                             "omega", "interpret"))
+def _gi4_gs_fused_batched(dst_ss, srcsub_ids, first_ss, last_ss, pk, vals,
+                          b2, invd2, mask2, x2, *, off4, ns, n_ss, B,
+                          G, omega, interpret):
+    """Colored-GS color step fused into the v9 gi4 kernel: accumulates the
+    color block's y = A_offdiag·x per output group and, at each group's LAST
+    super-step, applies  xnew = (1-ω)·xb + ω·invd·(b - y)  (mask-guarded)
+    directly into the ALIASED extended-x buffer (input_output_aliases) — the
+    distributed GS color loop then updates x in place instead of copying the
+    full local vector per color (round-4: the slice/concat variants paid
+    ~2 full-x streams per color; cf. the reference's PSGS color-permuted
+    update, sparse/impl/KokkosSparse_gauss_seidel_impl.hpp:128).
+
+    x2: (ns*SR, 128) kernel-table layout, rows [off4*G*8, off4*G*8 + Rc/128)
+    hold this color's block.  b2: (>=rows, 128) full local b in the same
+    layout.  invd2/mask2: (Rc/128, 128) for this color.  Unwritten rows of
+    the aliased output keep x2's values (verified: compiled AND interpret).
+    Gathers never read the color's own rows (distance-1 coloring excludes
+    same-color neighbors), so in-place is exact."""
+    SR = _OH_SRC // 128
+
+    def kernel(dst_ref, srcsub_ref, first_ref, last_ref, pk_ref, v_ref,
+               b_ref, invd_ref, mask_ref, x_ref, y_ref, xb_ref):
+        g = pl.program_id(0)
+        accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(G)]
+        for j in range(B):
+            ss = srcsub_ref[g * B + j]
+            src = ss >> 4
+            sub = ss & (G - 1)
+            X = x_ref[pl.ds(src * SR, SR), :]
+            sl = slice(j * 8, (j + 1) * 8)
+            pv = v_ref[sl, :] * _pk_gather(X, pk_ref[sl, :], SR)
+            for q in range(G):
+                accs[q] = jnp.where(sub == q, accs[q] + pv, accs[q])
+        acc = jnp.concatenate(accs, axis=0)
+        is_first = first_ref[g] == 1
+        is_last = last_ref[g] == 1
+        # at a block's first step the (aliased, revisit-loaded) out block
+        # still holds the OLD x rows — capture them in scratch for the
+        # epilogue (a dynamic x_ref slice here measured ~10us/call extra)
+        old = y_ref[:, :]
+
+        @pl.when(is_first)
+        def _():
+            xb_ref[:, :] = old
+
+        tot = jnp.where(is_first, acc, old + acc)
+
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            y_ref[:, :] = tot
+
+        @pl.when(is_last)
+        def _():
+            xb = xb_ref[:, :]
+            xnew = ((1.0 - omega) * xb
+                    + omega * invd_ref[:, :] * (b_ref[:, :] - tot))
+            y_ref[:, :] = jnp.where(mask_ref[:, :] > 0, xnew, xb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_ss,),
+        in_specs=[
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, l: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * B, 128), lambda g, d, s, f, l: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, 128), lambda g, d, s, f, l: (off4 + d[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, 128), lambda g, d, s, f, l: (d[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, 128), lambda g, d, s, f, l: (d[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G * 8, 128), lambda g, d, s, f, l:
+                               (off4 + d[g], 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G * 8, 128), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        name="tpukk_gs_gi4_fused",
+        out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.float32),
+        # 9 = x2's position in the flattened inputs (scalars included)
+        input_output_aliases={9: 0},
+        interpret=interpret,
+    )(dst_ss, srcsub_ids, first_ss, last_ss, pk, vals, b2, invd2, mask2, x2)
+
+
 @functools.partial(jax.jit, static_argnames=("nd", "ns", "n_ss", "B",
-                                             "nrows", "reduce", "interpret"))
+                                             "nrows", "reduce", "interpret",
+                                             "out2d"))
 def _dlp_call_batched(dst_ss, src_ids, first_ss, tabidx_ss, pk, rhi, vals,
                       lane_tab, x,
-                      *, nd, ns, n_ss, B, nrows, reduce="sum", interpret):
+                      *, nd, ns, n_ss, B, nrows, reduce="sum", interpret,
+                      out2d=False):
     """v9 dst-lane kernel: packed gt+lo stream + 8-way rhi scatter; when the
     C++ balanced lane assignment replaced the natural row%128 lanes, the
     per-super-step partial sum is lane-un-permuted INSIDE the kernel (one
@@ -2102,7 +2205,11 @@ def _dlp_call_batched(dst_ss, src_ids, first_ss, tabidx_ss, pk, rhi, vals,
     SR = TS // 128
     m_pad = ns * TS
     has_tab = lane_tab is not None
-    x2 = jnp.pad(x.astype(jnp.float32), (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
+    if x.ndim == 2:       # pre-shaped kernel-table layout (see _gi4 docstring)
+        x2 = x.astype(jnp.float32)
+    else:
+        x2 = jnp.pad(x.astype(jnp.float32),
+                     (0, m_pad - x.shape[0])).reshape(ns * SR, 128)
 
     def kernel(dst_ref, src_ref, first_ref, tabidx_ref, *refs):
         if has_tab:
@@ -2159,6 +2266,8 @@ def _dlp_call_batched(dst_ss, src_ids, first_ss, tabidx_ss, pk, rhi, vals,
         out_shape=jax.ShapeDtypeStruct((nd * 8, 128), jnp.float32),
         interpret=interpret,
     )(dst_ss, src_ids, first_ss, tabidx_ss, *args)
+    if out2d:
+        return y2[: -(-nrows // 128)]
     return y2.reshape(nd * TD)[:nrows].astype(x.dtype)
 
 
