@@ -180,3 +180,71 @@ def test_triangle_device_plan_matches_host(rng):
     w1 = jnp.ones(nnzL, jnp.float32)
     assert float(triangle_count_device(plan, values=w1)) == total
     assert float(triangle_count_device(plan, values=2 * w1)) == 8 * total
+
+
+def test_native_rcm_matches_scipy_quality():
+    """Native BFS RCM (tpukk_rcm) achieves scipy-level bandwidth on a
+    scrambled banded matrix (graph/impl/KokkosGraph_BFS_impl.hpp:113 role)."""
+    from tpukk import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    n = 30
+    I = sps.identity(n)
+    T = sps.diags([-1, 4, -1], [-1, 0, 1], (n, n))
+    A = (sps.kron(I, T)
+         + sps.diags([-1, -1], [-n, n], (n * n, n * n))).tocsr()
+    rng = np.random.default_rng(7)
+    q = rng.permutation(n * n)
+    As = A[q][:, q].tocsr().astype(np.float32)
+    perm = rcm(CsrMatrix.from_scipy(As))
+    assert sorted(perm) == list(range(n * n))
+
+    def bw(sp):
+        coo = sp.tocoo()
+        return int(np.abs(coo.row - coo.col).max(initial=0))
+
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    ps = reverse_cuthill_mckee(As, symmetric_mode=True)
+    b_native = bw(As[perm][:, perm].tocsr())
+    b_scipy = bw(As[ps][:, ps].tocsr())
+    # parity with the scipy TPL within 1.5x (both find near-optimal bands)
+    assert b_native <= max(b_scipy * 1.5, b_scipy + 4)
+
+
+def test_d2_coloring_rectangular():
+    """Rectangular D2 (rows sharing a column conflict) via the native
+    forbidden-set sweep — no G² materialization."""
+    B = sps.random(250, 180, 0.02, random_state=11,
+                   format="csr").astype(np.float32)
+    colors = graph_color_d2(CsrMatrix.from_scipy(B))
+    assert (colors > 0).all()
+    pat = B.copy()
+    pat.data[:] = 1.0
+    con = (pat @ pat.T).tocsr()
+    for v in range(B.shape[0]):
+        nbr = con.indices[con.indptr[v]:con.indptr[v + 1]]
+        nbr = nbr[nbr != v]
+        assert not (colors[nbr] == colors[v]).any()
+
+
+def test_d2_coloring_large_no_square_blowup():
+    """160k-vertex grid D2 colors in O(n) memory (the G²-free path); the
+    color count stays near the theoretical 5-point-stencil D2 bound."""
+    from tpukk import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    A = generate_structured_laplacian(400, 400)
+    colors = graph_color_d2(A)
+    sp = A.to_scipy()
+    pat = sp.copy()
+    pat.data[:] = 1.0
+    sq = (pat @ pat.T + pat).tocsr()
+    assert verify_coloring(CsrMatrix.from_scipy(sq.astype(np.float64)), colors)
+    assert colors.max() <= 16

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..common import round_up
 from ..common.tracing import annotate
 from ..containers import CsrMatrix, StaticCrsGraph
@@ -310,24 +311,67 @@ def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB,
 
 @annotate("graph_color_d2")
 def graph_color_d2(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -> np.ndarray:
-    """Distance-2 coloring via the square-graph reduction (the D2 conflict set
-    is exactly distance-1 adjacency of G²) — cf. Distance2Color_impl.hpp."""
+    """Distance-2 coloring.  Default path is the native forbidden-set sweep
+    (`tpukk_d2_greedy_color`): two-hop neighborhoods are walked with an O(n)
+    stamped workspace and G² is never materialized — the same memory shape as
+    the reference's forbidden arrays (Distance2Color_impl.hpp).  The scipy
+    square-graph reduction is the no-toolchain fallback only."""
     if isinstance(graph, CsrMatrix):
         sp = graph.to_scipy()
+        n, m = sp.shape
+        rm, ent = sp.indptr, sp.indices
     else:
+        n, m = graph.nrows, graph.ncols
+        rm = np.asarray(graph.host_row_map())
+        ent = np.asarray(graph.host_entries())
+        sp = None
+    square = (n == m)
+    if square:
+        # symmetrize so one adjacency serves both hops
         import scipy.sparse as sps
 
-        n = graph.nrows
-        rm = graph.host_row_map()
-        ent = graph.host_entries()
-        sp = sps.csr_matrix((np.ones(len(ent)), ent, rm), shape=(n, graph.ncols))
+        if sp is None:
+            sp = sps.csr_matrix((np.ones(len(ent), np.float32), ent, rm),
+                                shape=(n, m))
+        pat = sp.copy()
+        pat.data[:] = 1.0
+        pat = (pat + pat.T).tocsr()
+        pat.sort_indices()
+        colors = native.d2_greedy_color(pat.indptr, pat.indices, n,
+                                        include_d1=True)
+        if colors is not None:
+            return colors
+        sq = (pat @ pat).tocsr()
+        sq.sort_indices()
+        return graph_color(CsrMatrix.from_scipy(sq.astype(np.float32)),
+                           algorithm)
+    # rectangular: rows conflict iff they share a column
+    t_rm, t_ent, _ = _csr_transpose_pattern(rm, ent, n, m)
+    colors = native.d2_greedy_color(rm, ent, n, t_rm, t_ent, m,
+                                    include_d1=False)
+    if colors is not None:
+        return colors
+    import scipy.sparse as sps
+
+    if sp is None:
+        sp = sps.csr_matrix((np.ones(len(ent), np.float32), ent, rm),
+                            shape=(n, m))
     pat = sp.copy()
     pat.data[:] = 1.0
     sq = (pat @ pat.T).tocsr()
-    sq = ((sq + pat + pat.T) if sp.shape[0] == sp.shape[1] else sq).tocsr()
     sq.sort_indices()
-    A2 = CsrMatrix.from_scipy(sq.astype(np.float32))
-    return graph_color(A2, algorithm)
+    return graph_color(CsrMatrix.from_scipy(sq.astype(np.float32)), algorithm)
+
+
+def _csr_transpose_pattern(rm, ent, n, m):
+    """Pattern-only CSR transpose (counting sort), host."""
+    counts = np.bincount(ent, minlength=m)
+    t_rm = np.zeros(m + 1, np.int64)
+    np.cumsum(counts, out=t_rm[1:])
+    order = np.argsort(ent, kind="stable")
+    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(rm).astype(np.int64))
+    t_ent = rows[order]
+    return t_rm.astype(np.int32), t_ent.astype(np.int32), None
 
 
 def verify_coloring(graph, colors: np.ndarray) -> bool:

@@ -2,13 +2,16 @@
 impl graph/impl/KokkosGraph_BFS_impl.hpp) and RCB recursive coordinate
 bisection (graph/src/KokkosGraph_RCB.hpp, impl _RCB_impl.hpp).
 
-Orderings are plan-time symbolic work → host.  RCM delegates to scipy's
-csgraph implementation (our "TPL"); RCB is a direct median-split recursion.
+Orderings are plan-time symbolic work → host.  RCM is a native C++ BFS
+(George-Liu pseudo-peripheral start + ascending-degree Cuthill-McKee,
+`tpukk_rcm`), with scipy's csgraph as the no-toolchain fallback; RCB is a
+direct median-split recursion.
 """
 from __future__ import annotations
 
 import numpy as np
 
+from .. import native
 from ..containers import CsrMatrix
 
 __all__ = ["rcm", "rcb", "permute_matrix"]
@@ -16,11 +19,15 @@ __all__ = ["rcm", "rcb", "permute_matrix"]
 
 def rcm(A: CsrMatrix, symmetrize: bool = True) -> np.ndarray:
     """Reverse Cuthill-McKee permutation (new ordering: perm[i] = old index)."""
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
     sp = A.to_scipy()
     if symmetrize:
         sp = (sp + sp.T).tocsr()
+        sp.sort_indices()
+    perm = native.rcm(sp.indptr, sp.indices, sp.shape[0])
+    if perm is not None:
+        return perm
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
     return np.asarray(reverse_cuthill_mckee(sp, symmetric_mode=True), dtype=np.int32)
 
 

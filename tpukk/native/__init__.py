@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "spgemm_symbolic", "triangle_count"]
+__all__ = ["available", "d1_greedy_color", "d2_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "rcm", "spgemm_symbolic", "triangle_count"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -94,6 +94,12 @@ def _load():
                 i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p, i32p]
             lib.tpukk_gt_fetch_lane_tab.restype = ctypes.c_int32
             lib.tpukk_gt_fetch_lane_tab.argtypes = [i32p]
+            lib.tpukk_rcm.restype = None
+            lib.tpukk_rcm.argtypes = [ctypes.c_int64, i32p, i32p, i32p]
+            lib.tpukk_d2_greedy_color.restype = ctypes.c_int32
+            lib.tpukk_d2_greedy_color.argtypes = [
+                ctypes.c_int64, i32p, i32p, ctypes.c_int64, i32p, i32p,
+                ctypes.c_int32, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -301,6 +307,36 @@ def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
             "layout": "gi4" if layout == 0 else "dlp",
             "n_valid": n_valid, "nd": nd, "ns": ns, "lane_tab": lane_tab,
             "G": group}
+
+
+def rcm(row_map, entries, n):
+    """Reverse Cuthill-McKee permutation (perm[new] = old) over a symmetric
+    pattern; None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    perm = np.empty(n, np.int32)
+    lib.tpukk_rcm(n, _i32(row_map), _i32(entries), perm)
+    return perm
+
+
+def d2_greedy_color(row_map, entries, n, row_map_t=None, entries_t=None,
+                    m=None, include_d1=True):
+    """Distance-2 greedy coloring without materializing G²; None if the
+    native lib is unavailable.  Square-symmetric mode when no transpose is
+    given.  Returns 1-based colors."""
+    lib = _load()
+    if lib is None:
+        return None
+    rm = _i32(row_map); ent = _i32(entries)
+    if row_map_t is None:
+        rm_t, ent_t, m = rm, ent, n
+    else:
+        rm_t, ent_t = _i32(row_map_t), _i32(entries_t)
+    colors = np.zeros(n, np.int32)
+    lib.tpukk_d2_greedy_color(n, rm, ent, m, rm_t, ent_t,
+                              1 if include_d1 else 0, colors)
+    return colors
 
 
 def spgemm_symbolic(rmA, ciA, n, bcols, rmB, ciB):

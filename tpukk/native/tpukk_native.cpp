@@ -1218,4 +1218,132 @@ int32_t tpukk_gt_fetch(int32_t* pk, int32_t* eidx, int32_t* rhi,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering (role of graph/impl/KokkosGraph_BFS_impl.hpp:113
+// and graph/src/KokkosGraph_RCM.hpp).  BFS-based: per connected component a
+// George-Liu pseudo-peripheral start, then Cuthill-McKee BFS with neighbors
+// visited in ascending-degree order; the whole order is reversed at the end.
+// perm[new] = old (scipy reverse_cuthill_mckee convention).  Caller passes a
+// symmetric pattern.
+void tpukk_rcm(int64_t n, const int32_t* rm, const int32_t* ent,
+               int32_t* perm) {
+  std::vector<int32_t> deg(n);
+  for (int64_t v = 0; v < n; ++v) deg[v] = rm[v + 1] - rm[v];
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int32_t> level(n);
+  std::vector<int32_t> frontier, next, order;
+  order.reserve(n);
+
+  // BFS from s over unvisited vertices; returns (eccentricity, min-degree
+  // vertex of the last level); records the traversal in `touched`.
+  std::vector<int32_t> touched;
+  auto bfs = [&](int32_t s, int32_t* out_last) -> int32_t {
+    touched.clear();
+    frontier.clear();
+    frontier.push_back(s);
+    level[s] = 0;
+    visited[s] = 1;
+    touched.push_back(s);
+    int32_t ecc = 0, last = s;
+    while (!frontier.empty()) {
+      next.clear();
+      for (int32_t v : frontier) {
+        for (int32_t e = rm[v]; e < rm[v + 1]; ++e) {
+          int32_t u = ent[e];
+          if (u == v || visited[u]) continue;
+          visited[u] = 1;
+          level[u] = level[v] + 1;
+          touched.push_back(u);
+          next.push_back(u);
+        }
+      }
+      if (!next.empty()) {
+        ecc = level[next[0]];
+        last = next[0];
+        for (int32_t v : next)
+          if (deg[v] < deg[last]) last = v;
+      }
+      frontier.swap(next);
+    }
+    *out_last = last;
+    return ecc;
+  };
+
+  for (int64_t seed = 0; seed < n; ++seed) {
+    if (visited[seed]) continue;
+    // component start: the unvisited min-degree vertex is `seed`'s job only
+    // approximately; George-Liu refines it.
+    int32_t start = (int32_t)seed;
+    int32_t last, ecc = bfs(start, &last);
+    for (int iter = 0; iter < 8; ++iter) {
+      for (int32_t v : touched) visited[v] = 0;
+      int32_t last2, ecc2 = bfs(last, &last2);
+      if (ecc2 <= ecc) { start = last; break; }
+      ecc = ecc2;
+      last = last2;
+      start = last;
+    }
+    for (int32_t v : touched) visited[v] = 0;
+    // Cuthill-McKee BFS from start, neighbors in ascending-degree order.
+    size_t head = order.size();
+    order.push_back(start);
+    visited[start] = 1;
+    std::vector<int32_t> nbr;
+    while (head < order.size()) {
+      int32_t v = order[head++];
+      nbr.clear();
+      for (int32_t e = rm[v]; e < rm[v + 1]; ++e) {
+        int32_t u = ent[e];
+        if (u == v || visited[u]) continue;
+        visited[u] = 1;
+        nbr.push_back(u);
+      }
+      std::sort(nbr.begin(), nbr.end(), [&](int32_t a, int32_t b) {
+        return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+      });
+      for (int32_t u : nbr) order.push_back(u);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+}
+
+// ---------------------------------------------------------------------------
+// Distance-2 greedy coloring WITHOUT materializing G² (role of
+// graph/impl/KokkosGraph_Distance2Color_impl.hpp's forbidden-array sweep,
+// O(n) memory instead of O(sum deg²) storage).  Two modes:
+//   include_d1 = 1 (square symmetric graph): forbidden(v) = colors of
+//     N(v) ∪ N(N(v)) — pass rm_t/ent_t == rm/ent.
+//   include_d1 = 0 (bipartite/rectangular, rows colored): forbidden(v) =
+//     colors of every row sharing a column with v; rm_t/ent_t is the
+//     column→row transpose (m columns).
+// colors 1-based; returns max color used.
+int32_t tpukk_d2_greedy_color(int64_t n, const int32_t* rm, const int32_t* ent,
+                              int64_t m, const int32_t* rm_t,
+                              const int32_t* ent_t, int32_t include_d1,
+                              int32_t* colors) {
+  (void)m;
+  std::vector<int64_t> mark(n + 2, -1);  // mark[c] == v → color c forbidden
+  int32_t max_color = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    for (int32_t e = rm[v]; e < rm[v + 1]; ++e) {
+      int32_t w = ent[e];
+      if (include_d1 && w != (int32_t)v) {
+        int32_t cw = colors[w];
+        if (cw > 0 && cw <= (int32_t)n + 1) mark[cw] = v;
+      }
+      for (int32_t f = rm_t[w]; f < rm_t[w + 1]; ++f) {
+        int32_t u = ent_t[f];
+        if (u == (int32_t)v) continue;
+        int32_t cu = colors[u];
+        if (cu > 0 && cu <= (int32_t)n + 1) mark[cu] = v;
+      }
+    }
+    int32_t c = 1;
+    while (mark[c] == v) ++c;
+    colors[v] = c;
+    if (c > max_color) max_color = c;
+  }
+  return max_color;
+}
+
 }  // extern "C"
