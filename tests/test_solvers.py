@@ -341,3 +341,50 @@ class TestSuperLUImport:
         # exact LU preconditioner: converges within the first restart cycle
         assert stats.num_iters <= 10
         assert stats.end_rel_res < 1e-12
+
+
+class TestSpilukDeviceRefresh:
+    """Device value-refresh == host IKJ factorization (the reference's
+    _spiluk_numeric_impl.hpp level-parallel numeric, here as depth-many
+    synchronous Chow sweeps in one jit — exact, see spiluk.py docstring)."""
+
+    @pytest.mark.parametrize("fill_k", [0, 2])
+    def test_refresh_matches_host(self, fill_k):
+        from tpukk.sparse.spiluk import (build_iluk_refresh, refresh_to_csr,
+                                         spiluk_refresh)
+
+        A = generate_diag_dominant_csr(250, 5, dtype=np.float64, seed=9)
+        h = SpilukHandle(fill_level=fill_k)
+        spiluk_symbolic(h, A)
+        assert h.depth is None or h.depth >= 1
+        L, U = spiluk_numeric(h, A)
+        plan = build_iluk_refresh(h, A)
+        sp = A.to_scipy().tocsr()
+        sp.sort_indices()
+        lv, uv = spiluk_refresh(plan, sp.data)
+        Ld, Ud = refresh_to_csr(plan, lv, uv)
+        scale = np.abs(np.asarray(U.to_scipy().data)).max()
+        assert np.abs((Ld.to_scipy() - L.to_scipy())).max() < 1e-11 * scale
+        assert np.abs((Ud.to_scipy() - U.to_scipy())).max() < 1e-11 * scale
+
+    def test_refresh_new_values_no_resymbolic(self):
+        # time-stepping use case: same pattern, new values
+        from tpukk.sparse.spiluk import (build_iluk_refresh, refresh_to_csr,
+                                         spiluk_refresh)
+
+        A = generate_diag_dominant_csr(150, 4, dtype=np.float64, seed=4)
+        h = SpilukHandle(fill_level=1)
+        spiluk_symbolic(h, A)
+        plan = build_iluk_refresh(h, A)
+        sp = A.to_scipy().tocsr()
+        sp.sort_indices()
+        rng = np.random.default_rng(0)
+        new_vals = sp.data * (1.0 + 0.1 * rng.standard_normal(sp.nnz))
+        sp2 = sps.csr_matrix((new_vals, sp.indices, sp.indptr), shape=sp.shape)
+        A2 = CsrMatrix.from_scipy(sp2)
+        L2, U2 = spiluk_numeric(h, A2)      # host oracle on the new values
+        lv, uv = spiluk_refresh(plan, new_vals)
+        Ld, Ud = refresh_to_csr(plan, lv, uv)
+        scale = np.abs(np.asarray(U2.to_scipy().data)).max()
+        assert np.abs((Ld.to_scipy() - L2.to_scipy())).max() < 1e-11 * scale
+        assert np.abs((Ud.to_scipy() - U2.to_scipy())).max() < 1e-11 * scale

@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "d2_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "rcm", "spgemm_symbolic", "triangle_count"]
+__all__ = ["available", "d1_greedy_color", "d2_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_depth", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "rcm", "spgemm_symbolic", "triangle_count"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -94,6 +94,8 @@ def _load():
                 i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p, i32p]
             lib.tpukk_gt_fetch_lane_tab.restype = ctypes.c_int32
             lib.tpukk_gt_fetch_lane_tab.argtypes = [i32p]
+            lib.tpukk_iluk_depth.restype = ctypes.c_int32
+            lib.tpukk_iluk_depth.argtypes = [ctypes.c_int64, i32p, i32p]
             lib.tpukk_rcm.restype = None
             lib.tpukk_rcm.argtypes = [ctypes.c_int64, i32p, i32p, i32p]
             lib.tpukk_d2_greedy_color.restype = ctypes.c_int32
@@ -307,6 +309,15 @@ def gt_build(rm, ent, n, m, td, ts, force_layout=0, max_grow_gi=8,
             "layout": "gi4" if layout == 0 else "dlp",
             "n_valid": n_valid, "nd": nd, "ns": ns, "lane_tab": lane_tab,
             "G": group}
+
+
+def iluk_depth(row_map, entries, n):
+    """Entry-dependency DAG depth of an ILU(k) pattern (= the exact sweep
+    count for the device numeric); None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.tpukk_iluk_depth(n, _i32(row_map), _i32(entries)))
 
 
 def rcm(row_map, entries, n):

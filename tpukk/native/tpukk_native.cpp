@@ -1219,6 +1219,44 @@ int32_t tpukk_gt_fetch(int32_t* pk, int32_t* eidx, int32_t* rhi,
 }
 
 // ---------------------------------------------------------------------------
+// Entry-dependency depth of the ILU(k) pattern (device-numeric planning; cf.
+// the level schedule of sparse/impl/KokkosSparse_spiluk_symbolic_impl.hpp's
+// level_list — this is the finer ENTRY-level DAG depth).  An entry (i,j)
+// depends on L(i,k)/U(k,j) pairs with k < min(i,j) and, for i>j, on U(j,j).
+// A synchronous Chow sweep makes depth-s entries exact after s+1 sweeps, so
+// the returned value (max level + 1) is the sweep count for an EXACT
+// device factorization.  rm/ci: pattern CSR, sorted columns, diag present.
+int32_t tpukk_iluk_depth(int64_t n, const int32_t* rm, const int32_t* ci) {
+  std::vector<int32_t> lvl((size_t)rm[n], 0);
+  std::vector<int32_t> dpos(n, -1);
+  int32_t depth = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t e = rm[i]; e < rm[i + 1]; ++e) {
+      int32_t j = ci[e];
+      int32_t L = 0;
+      int32_t kmax = j < (int32_t)i ? j : (int32_t)i;
+      for (int32_t e2 = rm[i]; e2 < rm[i + 1] && ci[e2] < kmax; ++e2) {
+        int32_t k = ci[e2];
+        const int32_t* lo = ci + rm[k];
+        const int32_t* hi = ci + rm[k + 1];
+        const int32_t* it = std::lower_bound(lo, hi, j);
+        if (it != hi && *it == j) {
+          int32_t pkj = (int32_t)(rm[k] + (it - lo));
+          int32_t d = std::max(lvl[e2], lvl[pkj]) + 1;
+          if (d > L) L = d;
+        }
+      }
+      if (j < (int32_t)i && dpos[j] >= 0 && lvl[dpos[j]] + 1 > L)
+        L = lvl[dpos[j]] + 1;
+      if (j == (int32_t)i) dpos[i] = e;
+      lvl[e] = L;
+      if (L > depth) depth = L;
+    }
+  }
+  return depth + 1;
+}
+
+// ---------------------------------------------------------------------------
 // Reverse Cuthill-McKee ordering (role of graph/impl/KokkosGraph_BFS_impl.hpp:113
 // and graph/src/KokkosGraph_RCM.hpp).  BFS-based: per connected component a
 // George-Liu pseudo-peripheral start, then Cuthill-McKee BFS with neighbors

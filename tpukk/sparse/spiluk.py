@@ -5,16 +5,33 @@ sparse/impl/KokkosSparse_spiluk_symbolic_impl.hpp:37-88 and the per-level
 numeric of _spiluk_numeric_impl.hpp.
 
 TPU design: symbolic (host) computes the ILU(k) fill pattern by the standard
-level-of-fill recurrence and the row level schedule.  Numeric is a host
-row-by-row IKJ factorization for now (the level-parallel device numeric via
-pair plans is the par_ilut fixed-point machinery — see par_ilut.py — and a
-planned upgrade here); the *apply* (two sptrsv sweeps) is fully device-side.
-Returns L (unit lower) and U (upper) as separate CSR matrices.
+level-of-fill recurrence AND the entry-dependency DAG depth (C++
+`tpukk_iluk_depth`).  Numeric has two routes:
+
+* host row-by-row IKJ factorization (C++ `tpukk_ilu_numeric`) — the exact
+  classic algorithm, used by default and whenever the pattern's dependency
+  DAG is deep (banded matrices factor sequentially on ANY backend — the
+  reference's level schedule degenerates to 1-row levels there too,
+  _spiluk_symbolic_impl.hpp level_list);
+* **device value-refresh** (`build_iluk_refresh`, `spiluk_refresh`): the
+  ILU(k) factors on a FIXED pattern are the unique fixed point of the Chow
+  formulas restricted to that pattern, and a synchronous Jacobi sweep makes
+  every entry whose dependency depth ≤ s exact after s sweeps.  Running
+  depth-many sweeps inside ONE jit therefore reproduces the exact IKJ
+  factorization with zero host transfers of A's values — the reference's
+  per-level device numeric (_spiluk_numeric_impl.hpp:1-772) translated to
+  static TPU dataflow (SURVEY §2.10: level schedules → masked static
+  plans).  The *apply* (two sptrsv sweeps) is device-side as well.
+
+Returns L (unit lower w/ diag) and U (upper) as separate CSR matrices.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
 
@@ -22,7 +39,8 @@ from ..common import check
 from ..containers import CsrMatrix
 from ..common.tracing import annotate
 
-__all__ = ["SpilukHandle", "spiluk_symbolic", "spiluk_numeric"]
+__all__ = ["SpilukHandle", "spiluk_symbolic", "spiluk_numeric",
+           "build_iluk_refresh", "spiluk_refresh"]
 
 
 class SpilukHandle:
@@ -33,6 +51,7 @@ class SpilukHandle:
         self.is_symbolic_called = False
         self.pattern = None      # scipy.csr bool pattern of L+U (with diag)
         self.levels = None
+        self.depth = None        # entry-DAG depth (= exact device sweep count)
 
 
 def _iluk_pattern(A: sps.csr_matrix, k: int) -> sps.csr_matrix:
@@ -100,6 +119,8 @@ def spiluk_symbolic(handle: SpilukHandle, A: CsrMatrix):
     else:
         pat = _iluk_pattern(sp, handle.fill_level)
     handle.pattern = pat
+    if native.available():
+        handle.depth = native.iluk_depth(pat.indptr, pat.indices, A.nrows)
     handle.is_symbolic_called = True
     return pat.nnz
 
@@ -145,6 +166,117 @@ def spiluk_numeric(handle: SpilukHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMa
             w[kcols[upd]] -= lik * kvals[upd]
         vals[s:e] = w[cols]
     return _split_lu(sp, indptr, indices, vals, A.dtype)
+
+
+class IlukRefreshPlan:
+    """Static device plan for exact ILU(k) value-refresh on a fixed pattern.
+
+    Built once per symbolic pattern (host); `spiluk_refresh(plan, a_values)`
+    then factors NEW values entirely on device — no host transfer, one jit.
+    Exactness: `depth` synchronous Chow sweeps reproduce the IKJ
+    factorization (see module docstring).  The pair schedule reuses
+    par_ilut's `_SweepPlan` (same product enumeration, no prune phase)."""
+
+    def __init__(self, handle: SpilukHandle, A: CsrMatrix):
+        from .par_ilut import _SweepPlan
+
+        check(handle.is_symbolic_called, "build_iluk_refresh: symbolic first")
+        Asp = A.to_scipy().tocsr()
+        Asp.sort_indices()
+        n = Asp.shape[0]
+        pat = handle.pattern.tocsr()
+        pat.sort_indices()
+        patL = sps.tril(pat, k=-1).tocsr()
+        patU = sps.triu(pat, k=0).tocsr()
+        sweep = _SweepPlan(patL, patU, Asp)
+        check(sweep.nmiss_true == 0,
+              "iluk pattern must contain A's pattern")
+        self.sweep = sweep
+        self.n = n
+        if handle.depth is None:
+            from .. import native
+
+            d = native.iluk_depth(pat.indptr, pat.indices, n)
+            handle.depth = d if d is not None else n
+        self.depth = int(handle.depth)
+        # pattern-slot -> A-nnz-position maps (for the on-device A restrict);
+        # -1 where the slot is fill (A has no entry there) or padding
+        akey = (np.repeat(np.arange(n, dtype=np.int64),
+                          np.diff(Asp.indptr)) * n
+                + Asp.indices.astype(np.int64))
+
+        def amap(rows, cols, padded):
+            want = rows.astype(np.int64) * n + cols.astype(np.int64)
+            pos = np.searchsorted(akey, want)
+            pos = np.minimum(pos, max(0, len(akey) - 1))
+            hit = (akey[pos] == want) if len(akey) else np.zeros(len(want), bool)
+            out = np.full(padded, -1, np.int32)
+            out[:len(want)] = np.where(hit, pos, -1).astype(np.int32)
+            return out
+
+        self.mapL = jnp.asarray(amap(sweep.rowL_np, sweep.colL_np, sweep.nnzL))
+        self.mapU = jnp.asarray(amap(sweep.rowU_np, sweep.colU_np, sweep.nnzU))
+
+
+@annotate("spiluk.build_iluk_refresh")
+def build_iluk_refresh(handle: SpilukHandle, A: CsrMatrix) -> IlukRefreshPlan:
+    return IlukRefreshPlan(handle, A)
+
+
+@functools.partial(jax.jit, static_argnames=("nnzL", "nnzU", "nmiss",
+                                             "depth"))
+def _device_iluk(a_idx, b_idx, slot, mapL, mapU, diag_slot, colL, avals, *,
+                 nnzL, nnzU, nmiss, depth):
+    nseg = nnzL + nnzU + nmiss + 1
+    zero = jnp.zeros((), avals.dtype)
+    aL = jnp.where(mapL >= 0, jnp.take(avals, jnp.maximum(mapL, 0)), zero)
+    aU = jnp.where(mapU >= 0, jnp.take(avals, jnp.maximum(mapU, 0)), zero)
+
+    def one(_, lu):
+        lv, uv = lu
+        prod = jnp.take(lv, a_idx) * jnp.take(uv, b_idx)
+        s = jax.ops.segment_sum(prod, slot, num_segments=nseg,
+                                indices_are_sorted=True)
+        udiag = jnp.take(uv, diag_slot)
+        udiag = jnp.where(udiag != 0, udiag, 1.0)
+        new_l = (aL - s[:nnzL]) / jnp.take(udiag, colL)
+        new_u = aU - s[nnzL:nnzL + nnzU]
+        return new_l, new_u
+
+    return jax.lax.fori_loop(0, depth, one, (aL, aU))
+
+
+@annotate("spiluk.spiluk_refresh")
+def spiluk_refresh(plan: IlukRefreshPlan, a_values):
+    """Exact device re-factorization for new A values on the symbolic
+    pattern (role of re-calling the reference numeric on updated values,
+    KokkosSparse_spiluk.hpp:200 — the time-stepping refresh use case).
+    `a_values` is A's CSR value array (sorted-column order, device or host);
+    returns (l_values, u_values) DEVICE arrays in the pattern's strict-lower
+    / upper CSR entry order (padded tails are zero)."""
+    s = plan.sweep
+    lv, uv = _device_iluk(
+        s.a_idx, s.b_idx, s.slot, plan.mapL, plan.mapU, s.diag_slot, s.colL,
+        jnp.asarray(a_values), nnzL=s.nnzL, nnzU=s.nnzU, nmiss=s.nmiss,
+        depth=plan.depth)
+    return lv, uv
+
+
+def refresh_to_csr(plan: IlukRefreshPlan, lv, uv, dtype=None):
+    """Assemble (L, U) CsrMatrix from spiluk_refresh output (host sync —
+    for tests/interop; the hot path keeps lv/uv on device)."""
+    s = plan.sweep
+    n = plan.n
+    lvals = np.asarray(lv)[:s.nnzL_true]
+    uvals = np.asarray(uv)[:s.nnzU_true]
+    dt = np.asarray(lvals).dtype if dtype is None else dtype
+    L = sps.csr_matrix((lvals, (s.rowL_np, s.colL_np)), shape=(n, n))
+    L = (L + sps.identity(n, dtype=dt)).tocsr()
+    L.sort_indices()
+    U = sps.csr_matrix((uvals, (s.rowU_np, s.colU_np)), shape=(n, n)).tocsr()
+    U.sort_indices()
+    return (CsrMatrix.from_scipy(L, value_dtype=dt),
+            CsrMatrix.from_scipy(U, value_dtype=dt))
 
 
 def _split_lu(sp, indptr, indices, vals, dtype):
