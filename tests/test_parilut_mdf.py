@@ -53,3 +53,33 @@ def test_mdf_numeric_factors():
     prod = (L.to_scipy() @ U.to_scipy()).tocsr()
     diff = (prod - B).multiply(B != 0)
     assert np.abs(diff.data).max(initial=0.0) < 1e-10
+
+
+def test_par_ilut_candidate_regrowth():
+    """fill_factor=4 on a {0,±1,±10}-diagonal matrix whose true ILU fill
+    (the full width-21 band) exceeds the level-2 candidate set: the outer
+    loop must re-grow candidates (reference add_candidates role,
+    par_ilut_numeric_impl.hpp) instead of capping at level-2."""
+    import scipy.sparse as sps
+
+    from tpukk.sparse.par_ilut import (ParIlutHandle, _pattern,
+                                       par_ilut_numeric, par_ilut_symbolic)
+
+    n = 300
+    offs = {0: 30.0, 1: -1.0, -1: -1.0, 10: -1.0, -10: -1.0}
+    A = sps.diags(list(offs.values()), list(offs.keys()), (n, n)).tocsr()
+    A.sort_indices()
+    M = CsrMatrix.from_scipy(A.astype(np.float64))
+    patL = sps.tril(A, -1).tocsr()
+    patU = sps.triu(A, 0).tocsr()
+    cap = (_pattern(((_pattern(patL) + sps.identity(n))
+                     @ _pattern(patU)).tocsr()) + _pattern(A)).nnz
+    h = ParIlutHandle(max_iters=8, fill_factor=4.0, residual_tol=1e-10,
+                      sweeps_per_iter=3)
+    par_ilut_symbolic(h, M)
+    L, U = par_ilut_numeric(h, M)
+    fill = (L.nnz - n) + U.nnz
+    assert fill > cap, (fill, cap)          # grew beyond the level-2 set
+    assert h.final_residual < 1e-10         # and converged on A's pattern
+    R = A - (L.to_scipy() @ U.to_scipy())
+    assert sps.linalg.norm(R) / sps.linalg.norm(A) < 1e-4

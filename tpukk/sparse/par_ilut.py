@@ -18,10 +18,17 @@ TPU-native split (same contract as spgemm.py / spiluk.py):
   par_ilut.hpp:23-27), threshold-prune via device sort to the fill budget
   with diagonals kept (threshold_select + threshold_filter), post-prune
   sweeps with the pruned pattern realized as value masks (zeroed slots'
-  products vanish), and the pattern-restricted residual.  Divergence from
-  the reference (documented): fill can never exceed the level-2 candidate
-  set — the price of zero per-iteration host symbolics; with the usual
-  fill_factor ≈ 2-4 budgets the prune binds first.
+  products vanish), and the pattern-restricted residual.
+* **candidate re-growth when capacity binds** (round 4): when the fill
+  budget exceeds the current candidate capacity — i.e. the prune can never
+  bind, detectable from the static budgets alone — the host re-runs the
+  candidate symbolic from the CURRENT kept pattern
+  (cand' = pattern((L+I)·U) ∪ A ∪ cand), rebuilds the sweep plan, and
+  carries values over.  This is the reference's per-iteration
+  add_candidates (par_ilut_numeric_impl.hpp) with host syncs bounded by
+  ACTUAL pattern growth: on the common fill_factor ≈ 2-4 case the prune
+  binds first and no re-symbolic ever runs (zero extra cost); growth stops
+  as soon as the candidate set stops expanding.
 """
 from __future__ import annotations
 
@@ -237,8 +244,9 @@ def _device_outer(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
     n_sweeps post-prune sweeps with the pruned pattern realized as value
     masks, and the pattern-restricted residual.  This is the reference's
     {add candidates, compute, threshold_select+filter, compute} loop
-    (par_ilut_numeric_impl.hpp) with the pattern held at the first
-    candidate set so the host symbolic runs ONCE per factorization."""
+    (par_ilut_numeric_impl.hpp) over one candidate set; the Python outer
+    loop re-grows the candidate set only when capacity binds (see module
+    docstring)."""
     nseg = nnzL + nnzU + nmiss + 1
 
     def sweeps(lv, uv, mL, mU, k):
@@ -298,6 +306,63 @@ def _device_outer(a_idx, b_idx, slot, aL, aU, aM, diag_slot, colL, a_pos,
     return lv, uv, mL, mU, jnp.sqrt(jnp.sum(r * r))
 
 
+def _grow_candidates(patL, patU, Asp, prev=None):
+    """Candidate pattern from a (L, U) pattern pair:
+    cand = pattern((L+I)·U) ∪ A [∪ prev] — the add_candidates role
+    (par_ilut_numeric_impl.hpp)."""
+    n = Asp.shape[0]
+    lu_pat = (_pattern(patL.tocsr()) + sps.identity(n)) @ _pattern(patU.tocsr())
+    cand = lu_pat + _pattern(Asp)
+    if prev is not None:
+        cand = cand + prev
+    cand = _pattern(cand.tocsr())
+    cand.sort_indices()
+    return cand
+
+
+def _nondiag_u(plan):
+    return int((plan.rowU_np != plan.colU_np).sum())
+
+
+def _setup_plan(handle, cand, Asp, carryL, carryU):
+    """Build a _SweepPlan for the candidate pattern + budgets + initial
+    (lv, uv).  carryL/carryU = (rows, cols, vals) of values to carry over
+    from the previous plan (None → init from A's values)."""
+    n = Asp.shape[0]
+    cL = sps.tril(cand, k=-1).tocsr()
+    cU = sps.triu(cand, k=0).tocsr()
+    plan = _SweepPlan(cL, cU, Asp)
+    lvals = np.array(plan.aL)
+    uvals = np.array(plan.aU)
+    if carryL is not None:
+        _scatter_carry(lvals, plan.rowL_np, plan.colL_np, n, *carryL)
+    if carryU is not None:
+        _scatter_carry(uvals, plan.rowU_np, plan.colU_np, n, *carryU)
+    dslot = np.asarray(plan.diag_slot)
+    uvals[dslot] = np.where(uvals[dslot] != 0, uvals[dslot], 1.0)
+    is_diag_u = np.zeros(plan.nnzU, bool)
+    is_diag_u[:plan.nnzU_true] = plan.rowU_np == plan.colU_np
+    budget = int(handle.fill_factor * Asp.nnz)
+    budget_l = min(budget // 2, plan.nnzL)
+    # U's diagonal is always kept by the prune mask: deduct it from the
+    # non-diagonal selection budget so total kept stays within fill_factor
+    ndiag_u = int(is_diag_u.sum())
+    budget_u = min(max(0, budget - budget // 2 - ndiag_u), plan.nnzU)
+    return (plan, is_diag_u, budget_l, budget_u,
+            jnp.asarray(lvals), jnp.asarray(uvals))
+
+
+def _scatter_carry(dest, rows, cols, n, crows, ccols, cvals):
+    """Overwrite dest slots (keyed by row·n+col over the true prefix) with
+    carried values at matching keys."""
+    key = rows.astype(np.int64) * n + cols.astype(np.int64)
+    want = crows.astype(np.int64) * n + ccols.astype(np.int64)
+    pos = np.searchsorted(key, want)
+    pos = np.minimum(pos, max(0, len(key) - 1))
+    hit = (key[pos] == want) if len(key) else np.zeros(len(want), bool)
+    dest[pos[hit]] = cvals[hit]
+
+
 @annotate("par_ilut.par_ilut_numeric")
 def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, CsrMatrix]:
     """ONE host symbolic (the level-2 candidate pattern = pattern((L0+I)·U0)
@@ -312,37 +377,22 @@ def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, Cs
     Asp.sort_indices()
     n = Asp.shape[0]
     dt = np.asarray(Asp.data).dtype
-    # level-2 candidate pattern from A's tri parts — the ONE host symbolic
+    # level-2 candidate pattern from A's tri parts — the first host symbolic
     patL = sps.tril(Asp, k=-1).tocsr()
     patU = (sps.triu(Asp, k=0) + sps.identity(n, dtype=dt)).tocsr()
     patU.sum_duplicates()
-    lu_pat = (_pattern(patL) + sps.identity(n)) @ _pattern(patU)
-    cand = _pattern((lu_pat + _pattern(Asp)).tocsr())
-    cand.sort_indices()
-    cL = sps.tril(cand, k=-1).tocsr()
-    cU = sps.triu(cand, k=0).tocsr()
-    plan = _SweepPlan(cL, cU, Asp)
+    cand = _grow_candidates(_pattern(patL), _pattern(patU), Asp)
+    plan, is_diag_u, budget_l, budget_u, lv, uv = _setup_plan(
+        handle, cand, Asp, None, None)
 
-    lvals = np.array(plan.aL)
-    uvals = np.array(plan.aU)
-    # make sure U's diagonal starts nonzero
-    dslot = np.asarray(plan.diag_slot)
-    uvals[dslot] = np.where(uvals[dslot] != 0, uvals[dslot], 1.0)
-    is_diag_u = np.zeros(plan.nnzU, bool)
-    is_diag_u[:plan.nnzU_true] = plan.rowU_np == plan.colU_np
-
-    budget = int(handle.fill_factor * Asp.nnz)
-    budget_l = min(budget // 2, plan.nnzL)
-    # U's diagonal is always kept by the prune mask: deduct it from the
-    # non-diagonal selection budget so total kept stays within fill_factor
-    ndiag_u = int(is_diag_u.sum())
-    budget_u = min(max(0, budget - budget // 2 - ndiag_u),
-                   plan.nnzU)
     anorm = float(np.sqrt((Asp.data ** 2).sum()))
     res = float("inf")
     it = 0
-    lv, uv = jnp.asarray(lvals), jnp.asarray(uvals)
     mL = mU = None
+    # capacity-bound ⇔ the budget can never bind ⇒ the pattern wants to grow
+    def _capacity_bound(plan, bl, bu):
+        return (bl >= plan.nnzL_true) or (bu >= _nondiag_u(plan))
+
     for it in range(1, handle.max_iters + 1):
         lv, uv, mL, mU, rnorm = _device_outer(
             plan.a_idx, plan.b_idx, plan.slot, plan.aL, plan.aU, plan.aM,
@@ -353,6 +403,27 @@ def par_ilut_numeric(handle: ParIlutHandle, A: CsrMatrix) -> Tuple[CsrMatrix, Cs
         res = float(rnorm) / max(anorm, 1e-30)  # one scalar sync per iter
         if res <= handle.residual_tol:
             break
+        if it < handle.max_iters and _capacity_bound(plan, budget_l, budget_u):
+            # re-grow candidates from the CURRENT kept pattern (reference
+            # add_candidates role); host sync bounded by actual growth
+            lnp = np.asarray(lv)[:plan.nnzL_true]
+            unp = np.asarray(uv)[:plan.nnzU_true]
+            kL = (np.asarray(mL)[:plan.nnzL_true] > 0) & (lnp != 0)
+            kU = np.asarray(mU)[:plan.nnzU_true] > 0
+            curL = sps.csr_matrix(
+                (np.ones(int(kL.sum())),
+                 (plan.rowL_np[kL], plan.colL_np[kL])), shape=(n, n))
+            curU = sps.csr_matrix(
+                (np.ones(int(kU.sum())),
+                 (plan.rowU_np[kU], plan.colU_np[kU])), shape=(n, n))
+            cand2 = _grow_candidates(curL, curU, Asp, prev=cand)
+            if cand2.nnz <= cand.nnz:
+                continue  # pattern converged — keep iterating in place
+            cand = cand2
+            plan, is_diag_u, budget_l, budget_u, lv, uv = _setup_plan(
+                handle, cand, Asp,
+                (plan.rowL_np[kL], plan.colL_np[kL], lnp[kL]),
+                (plan.rowU_np[kU], plan.colU_np[kU], unp[kU]))
     handle.final_residual = res
     handle.num_iters = it
     # assemble L (unit diag) and U from the kept (mask>0) slots
