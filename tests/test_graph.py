@@ -139,19 +139,39 @@ def test_triangle_count_random_vs_dense():
     assert triangle_count_per_row(A).sum() == expected
 
 
-def test_coloring_algorithm_aliases(rng):
-    # VBBIT/VBD/VBDBIT/EB accepted (Distance1ColorHandle.hpp taxonomy) and
-    # deterministic: identical colors across variants and repeat runs
+def test_coloring_algorithm_variants(rng):
+    """Distance1ColorHandle.hpp taxonomy: VBBIT/EB share VB's demotion set
+    (identical colors); VBD/VBDBIT are the deterministic wavefront — a
+    genuinely different algorithm (valid + repeat-run deterministic, color
+    count usually <= VB's)."""
     from tpukk.containers import generate_structured_laplacian
     from tpukk.graph import ColoringAlgorithm, graph_color, verify_coloring
 
     A = generate_structured_laplacian(12, 12, dtype=np.float64)
     base = graph_color(A, ColoringAlgorithm.VB)
-    for alg in [ColoringAlgorithm.VBBIT, ColoringAlgorithm.VBD,
-                ColoringAlgorithm.VBDBIT, ColoringAlgorithm.EB]:
+    for alg in [ColoringAlgorithm.VBBIT, ColoringAlgorithm.EB]:
         c = graph_color(A, alg)
         assert verify_coloring(A, c)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(base))
+    for alg in [ColoringAlgorithm.VBD, ColoringAlgorithm.VBDBIT]:
+        c = graph_color(A, alg)
+        assert verify_coloring(A, c)
+        np.testing.assert_array_equal(np.asarray(c),
+                                      np.asarray(graph_color(A, alg)))
+
+
+def test_vbd_wavefront_distinct_and_economical(rng):
+    """VBD is not an alias: on random graphs the wavefront typically uses
+    fewer colors than speculative VB (and never more than degree+1)."""
+    from tpukk.graph import ColoringAlgorithm, graph_color, verify_coloring
+
+    A = _sym(generate_random_csr(5000, 5000, 8, seed=13))
+    cvb = graph_color(A, ColoringAlgorithm.VB)
+    cvbd = graph_color(A, ColoringAlgorithm.VBD)
+    assert verify_coloring(A, cvbd)
+    deg = int(np.diff(A.host_row_map()).max())
+    assert cvbd.max() <= deg + 1
+    assert cvbd.max() <= cvb.max() + 1   # usually strictly fewer
 
 
 def test_triangle_device_plan_matches_host(rng):

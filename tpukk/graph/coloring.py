@@ -30,17 +30,23 @@ __all__ = ["ColoringAlgorithm", "graph_color", "graph_color_d2", "verify_colorin
 
 
 class ColoringAlgorithm(enum.Enum):
-    """Taxonomy of Distance1ColorHandle.hpp:28-41.  On TPU every variant is
-    deterministic by construction (sorted masked vector ops, index-order
-    conflict demotion), so the reference's determinism-only variants (VBD,
-    VBDBIT) and bit-mask forbidden-set variants (VBBIT) coincide with VB —
-    they are accepted as distinct enum values for API parity and all route
-    to the same kernel.  EB (edge-based, atomics-driven) is realized by the
-    same vertex-based iteration (SURVEY §2.10: atomics-free reformulation)."""
+    """Taxonomy of Distance1ColorHandle.hpp:28-41, two genuine behaviors:
+
+    * VB / VBBIT / EB — speculative JPL coloring with hash-priority conflict
+      demotion (fewer rounds, occasionally more colors).  VBBIT coincides
+      with VB because the kernel already keeps forbidden sets as 32-color
+      bitmask words (the VBBIT idea); EB's edge-centric conflict pass
+      (Distance1Color_impl.hpp:1974) is a GPU-atomics memory-layout choice
+      whose data-parallel reduction is exactly VB's per-edge any-reduce —
+      same demotion set, so same colors (SURVEY §2.10 atomics-free rule).
+    * VBD / VBDBIT — deterministic wavefront
+      (Distance1Color_impl.hpp:1591): a vertex colors only when no
+      higher-priority neighbor remains uncolored; no speculation, schedule-
+      independent colors, more rounds, usually ≤ VB's color count."""
     SERIAL = "serial"
     VB = "vb"        # speculative parallel, deterministic conflict resolution
     VBBIT = "vbbit"  # == VB here (the kernel already uses bitmask forbidden sets)
-    VBD = "vbd"      # == VB (deterministic is the default on TPU)
+    VBD = "vbd"      # deterministic wavefront (no speculation)
     VBDBIT = "vbdbit"
     EB = "eb"        # vertex-based realization of the edge-based variant
 
@@ -76,8 +82,10 @@ def _serial_greedy(rm, ent, nrows) -> np.ndarray:
     return colors
 
 
-@functools.partial(jax.jit, static_argnames=("max_colors", "max_rounds"))
-def _vb_run(cols, *, max_colors: int, max_rounds: int):
+@functools.partial(jax.jit, static_argnames=("max_colors", "max_rounds",
+                                             "deterministic"))
+def _vb_run(cols, *, max_colors: int, max_rounds: int,
+            deterministic: bool = False):
     """Speculative parallel coloring, whole loop in ONE dispatch (per-round
     host syncs cost 1-30ms each through a tunneled TPU; lax.while_loop keeps
     it on device).  Module-level jit so repeated colorings of same-shaped
@@ -86,7 +94,6 @@ def _vb_run(cols, *, max_colors: int, max_rounds: int):
     nrows = cols.shape[0]
     idx = jnp.arange(nrows, dtype=jnp.int32)
 
-    n_words = (max_colors + 32) // 32  # forbidden set as 32-color bitmasks
     # hash priorities break the symmetry of speculative coloring: demoting
     # the lower-INDEX endpoint of each conflict makes progress a 1-vertex-
     # per-round wavefront on index-monotone graphs (measured: 64 rounds
@@ -98,44 +105,130 @@ def _vb_run(cols, *, max_colors: int, max_rounds: int):
     nbr_pri = jnp.where(nbr_valid, jnp.take(pri, jnp.maximum(cols, 0)), 0)
     nbr_idx = jnp.where(nbr_valid, cols, -1)
     # neighbor wins a tie on equal hash by larger index
+    nbr_beats = ((nbr_pri > pri[:, None]) | (
+        (nbr_pri == pri[:, None]) & (nbr_idx > idx[:, None]))) & nbr_valid
+
+    def gather(colors):
+        return jnp.where(nbr_valid,
+                         jnp.take(colors, jnp.maximum(cols, 0)), 0)
+
+    return _vb_loop(gather, nbr_beats, nrows, cols.shape[1], max_colors,
+                    max_rounds, deterministic=deterministic)
+
+
+def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
+              max_rounds: int = 64, deterministic: bool = False) -> np.ndarray:
+    return np.asarray(_vb_run(jnp.asarray(cols_ell),
+                              max_colors=max_colors, max_rounds=max_rounds,
+                              deterministic=deterministic))
+
+
+# ---------------------------------------------------------------------------
+# Offset VB rounds (banded/stencil graphs): when the adjacency has few
+# distinct (col − row) offsets — every mesh/stencil graph — the neighbor-
+# color gather is K shifted copies of the color vector (the DIA argument
+# from SpMV applied to coloring).  No gather plan, no kernel: jnp.roll
+# streams at full bandwidth and the one-shot cost collapses to the rounds
+# themselves.  Detection is one O(nnz) host pass.
+# ---------------------------------------------------------------------------
+
+def _vb_offsets(rm, ent, nrows, max_offsets: int = 24):
+    """(offsets tuple, valid mask (n,K), nbr_beats (n,K)) when the graph is
+    offset-representable with ≤ max_offsets distinct non-self offsets, else
+    None."""
+    rows = np.repeat(np.arange(nrows, dtype=np.int64),
+                     np.diff(rm).astype(np.int64))
+    ent64 = ent.astype(np.int64)
+    non_self = ent64 != rows
+    offs = (ent64 - rows)[non_self]
+    uniq = np.unique(offs)
+    if len(uniq) > max_offsets:
+        return None
+    K = max(1, len(uniq))
+    mask = np.zeros((nrows, K), bool)
+    if len(uniq):
+        k_of = np.searchsorted(uniq, offs)
+        mask[rows[non_self], k_of] = True
+    idx = np.arange(nrows, dtype=np.int64)
+    pri = ((idx * np.int64(-1640531527)).astype(np.int32)
+           ^ np.int32(0x5BF03635))
+    nbr_i = idx[:, None] + (uniq[None, :] if len(uniq) else 0)
+    inb = mask & (nbr_i >= 0) & (nbr_i < nrows)
+    nbr_pri = np.where(inb, pri[np.clip(nbr_i, 0, nrows - 1)], 0)
     nbr_beats = (nbr_pri > pri[:, None]) | (
-        (nbr_pri == pri[:, None]) & (nbr_idx > idx[:, None]))
+        (nbr_pri == pri[:, None])
+        & (np.where(inb, nbr_i, -1) > idx[:, None]))
+    nbr_beats &= inb
+    return (tuple(int(d) for d in uniq), jnp.asarray(inb),
+            jnp.asarray(nbr_beats))
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "max_colors",
+                                             "max_rounds", "deterministic"))
+def _vb_run_offsets(valid, nbr_beats, *, offsets, max_colors, max_rounds,
+                    deterministic=False):
+    """VB rounds with the neighbor gather realized as static shifts:
+    nbr_color[i, k] = colors[i + offsets[k]] — a roll per offset, masked by
+    `valid` (wrapped entries are never real edges)."""
+    n = valid.shape[0]
+    w = max(1, len(offsets))
+
+    def gather(colors):
+        if not offsets:
+            return jnp.zeros((n, w), jnp.int32)
+        cols = [jnp.roll(colors, -d) for d in offsets]
+        return jnp.where(valid, jnp.stack(cols, axis=1), 0)
+
+    return _vb_loop(gather, nbr_beats, n, w, max_colors, max_rounds,
+                    deterministic=deterministic)
+
+
+def _vb_loop(gather, nbr_beats, n, w, max_colors, max_rounds,
+             deterministic=False):
+    """Shared speculative-coloring loop body: one gather per round (demote
+    previous conflicts, recolor from the same snapshot), forbidden sets as
+    32-color bitmask words, runs until a round changes nothing.  Traced
+    inside a caller's jit; `gather(colors) -> (n, w) int32`.
+
+    deterministic=True is the VBD wavefront (Distance1Color_impl.hpp:1591
+    role): a vertex colors only once NO higher-priority neighbor remains
+    uncolored — no speculation, no conflicts ever, identical colors on
+    every run AND under any round schedule (the reference's VBD guarantee);
+    costs more rounds (priority-DAG depth) for usually-fewer colors."""
+    n_words = (max_colors + 32) // 32
 
     def one_round(colors):
-        # ONE gather per round: demote the previous assignment's conflicts,
-        # then color the demoted with the same gathered data.  Returns the
-        # conflict count — the loop runs until a round finds none (its
-        # assignment then changed nothing, so it is already verified).
-        nbr_colors = jnp.where(nbr_valid,
-                               jnp.take(colors, jnp.maximum(cols, 0)), 0)
-        conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
-                           & (colors[:, None] != 0), axis=1)
-        colors = jnp.where(conflict, 0, colors)
-        # "changed" drives the loop: conflicts demoted + zeros (re)assigned;
-        # a round with neither is a verified fixed point
-        n_changed = (jnp.sum(conflict) + jnp.sum(colors == 0)).astype(jnp.int32)
-        # forbidden bitmask words per vertex: word j bit t set <=> some
-        # neighbor has color 32j+t.  (The VBBIT idea of
-        # Distance1ColorHandle.hpp:28-41 — and vastly cheaper for XLA than a
-        # (n, w, max_colors) one-hot tensor, which dominated compile time.)
-        w = cols.shape[1]
+        nbr_colors = gather(colors)
+        if deterministic:
+            # wait out higher-priority uncolored neighbors
+            blocked = jnp.any(nbr_beats & (nbr_colors == 0), axis=1)
+            n_changed = jnp.sum((colors == 0) & ~blocked).astype(jnp.int32)
+        else:
+            conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
+                               & (colors[:, None] != 0), axis=1)
+            colors = jnp.where(conflict, 0, colors)
+            n_changed = (jnp.sum(conflict)
+                         + jnp.sum(colors == 0)).astype(jnp.int32)
         one = jnp.int32(1)
-        first_free = jnp.full(nrows, max_colors, jnp.int32)
-        found = jnp.zeros(nrows, jnp.bool_)
+        first_free = jnp.full(n, max_colors, jnp.int32)
+        found = jnp.zeros(n, jnp.bool_)
         for j in range(n_words):
-            rel = nbr_colors - 32 * j                     # (n, w)
+            rel = nbr_colors - 32 * j
             inb = (rel >= 0) & (rel < 32)
             bits = jnp.where(inb, jnp.left_shift(one, jnp.where(inb, rel, 0)), 0)
             word = functools.reduce(jnp.bitwise_or,
                                     [bits[:, k] for k in range(w)])
             if j == 0:
-                word = word | one                         # color 0 unusable
+                word = word | one
             free = ~word
             has = free != 0
             lsb = free & (-free)
             tz = jax.lax.population_count(lsb - 1)
             first_free = jnp.where(~found & has, 32 * j + tz, first_free)
             found = found | has
+        if deterministic:
+            assign = (colors == 0) & ~blocked
+            return jnp.where(assign, first_free, colors), n_changed
         return jnp.where(colors == 0, first_free, colors), n_changed
 
     def cond(state):
@@ -149,20 +242,11 @@ def _vb_run(cols, *, max_colors: int, max_rounds: int):
         return colors, it + 1, n_changed
 
     colors, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros(nrows, jnp.int32), 0, jnp.int32(0)))
-    # if the loop hit max_rounds the last assignment ran unchecked: demote
-    # remaining conflicts so callers always get a VALID partial coloring
-    # (0 = uncolored; graph_color falls back to serial greedy on those)
-    nbr_colors = jnp.where(nbr_valid, jnp.take(colors, jnp.maximum(cols, 0)), 0)
+        cond, body, (jnp.zeros(n, jnp.int32), 0, jnp.int32(0)))
+    nbr_colors = gather(colors)
     conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
                        & (colors[:, None] != 0), axis=1)
     return jnp.where(conflict, 0, colors)
-
-
-def _vb_color(cols_ell: np.ndarray, nrows: int, max_colors: int = 128,
-              max_rounds: int = 64) -> np.ndarray:
-    return np.asarray(_vb_run(jnp.asarray(cols_ell),
-                              max_colors=max_colors, max_rounds=max_rounds))
 
 
 # ---------------------------------------------------------------------------
@@ -227,62 +311,21 @@ def _vb_gather_plan(cols_ell: np.ndarray, nrows: int, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "max_colors",
-                                             "max_rounds", "interpret"))
+                                             "max_rounds", "interpret",
+                                             "deterministic"))
 def _vb_run_plan(plan, nbr_beats, *, n, w, max_colors, max_rounds,
-                 interpret=False):
+                 interpret=False, deterministic=False):
     """VB rounds with the neighbor-color gather as a gather-table SpMV.
     Invalid/self slots have no matrix entry, so they gather 0 — identical
     semantics to _vb_run's masked take (color 0 is never a constraint)."""
     from ..sparse import spmv_pallas as sp
-
-    n_words = (max_colors + 32) // 32
 
     def gather(colors):
         y = sp.onehot_spmv(plan, colors.astype(jnp.float32),
                            interpret=interpret)
         return y[:n * w].reshape(n, w).astype(jnp.int32)
 
-    def one_round(colors):
-        nbr_colors = gather(colors)
-        conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
-                           & (colors[:, None] != 0), axis=1)
-        colors = jnp.where(conflict, 0, colors)
-        n_changed = (jnp.sum(conflict) + jnp.sum(colors == 0)).astype(jnp.int32)
-        one = jnp.int32(1)
-        first_free = jnp.full(n, max_colors, jnp.int32)
-        found = jnp.zeros(n, jnp.bool_)
-        for j in range(n_words):
-            rel = nbr_colors - 32 * j
-            inb = (rel >= 0) & (rel < 32)
-            bits = jnp.where(inb, jnp.left_shift(one, jnp.where(inb, rel, 0)), 0)
-            word = functools.reduce(jnp.bitwise_or,
-                                    [bits[:, k] for k in range(w)])
-            if j == 0:
-                word = word | one
-            free = ~word
-            has = free != 0
-            lsb = free & (-free)
-            tz = jax.lax.population_count(lsb - 1)
-            first_free = jnp.where(~found & has, 32 * j + tz, first_free)
-            found = found | has
-        return jnp.where(colors == 0, first_free, colors), n_changed
-
-    def cond(state):
-        _, it, n_changed = state
-        return jnp.logical_and(it < max_rounds,
-                               jnp.logical_or(it == 0, n_changed > 0))
-
-    def body(state):
-        colors, it, _ = state
-        colors, n_changed = one_round(colors)
-        return colors, it + 1, n_changed
-
-    colors, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros(n, jnp.int32), 0, jnp.int32(0)))
-    nbr_colors = gather(colors)
-    conflict = jnp.any((nbr_colors == colors[:, None]) & nbr_beats
-                       & (colors[:, None] != 0), axis=1)
-    return jnp.where(conflict, 0, colors)
+    return _vb_loop(gather, nbr_beats, n, w, max_colors, max_rounds)
 
 
 @annotate("graph_color")
@@ -292,8 +335,21 @@ def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB,
     rm, ent, nrows = _adjacency(graph)
     if algorithm == ColoringAlgorithm.SERIAL:
         return _serial_greedy(rm, ent, nrows)
-    cols_ell = _ell_pad(rm, ent, nrows)
+    det = algorithm in (ColoringAlgorithm.VBD, ColoringAlgorithm.VBDBIT)
     colors = None
+    if nrows >= 4096 and not _interpret:
+        # banded/stencil fast path: neighbor gather = static shifts
+        off = _vb_offsets(rm, ent, nrows)
+        if off is not None:
+            offsets, valid, nbr_beats = off
+            colors = np.asarray(_vb_run_offsets(
+                valid, nbr_beats, offsets=offsets, max_colors=128,
+                max_rounds=64, deterministic=det))
+            if (colors == 0).any():
+                colors = None
+    if colors is not None:
+        return colors
+    cols_ell = _ell_pad(rm, ent, nrows)
     if cols_ell.size >= 32768 or _interpret:
         # big graphs: per-round gather via the v7 gather-table pallas kernel
         gp = _vb_gather_plan(cols_ell, nrows, interpret=_interpret)
@@ -301,9 +357,10 @@ def graph_color(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB,
             plan, nbr_beats = gp
             colors = np.asarray(_vb_run_plan(
                 plan, nbr_beats, n=nrows, w=cols_ell.shape[1],
-                max_colors=128, max_rounds=64, interpret=_interpret))
+                max_colors=128, max_rounds=64, interpret=_interpret,
+                deterministic=det))
     if colors is None:
-        colors = _vb_color(cols_ell, nrows)
+        colors = _vb_color(cols_ell, nrows, deterministic=det)
     if (colors == 0).any():  # pathological fallback
         return _serial_greedy(rm, ent, nrows)
     return colors
