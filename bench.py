@@ -274,12 +274,45 @@ def bench_sptrsv():
     t = chain_time_slope(mk, (b0,), k1=20, k2=100, reps=4)
     kind = jax.devices()[0].device_kind
     gbps = csr_bytes(L, 4) / t / 1e9
-    emit("sptrsv_fused_lap300_us", t * 1e6, "us",
-         gbps / (0.70 * peak_hbm_gbps(kind)),
+    # honest model for a dependent level chain: levels x 0.25us (measured
+    # minimum per-level turnaround of ANY chained in-kernel structure on
+    # v5e: 0.11us in-kernel + I/O permutes at speed-of-light) + stream time
+    t_model = h.num_levels * 0.25e-6 + csr_bytes(L, 4) / (0.70 * peak_hbm_gbps(kind) * 1e9)
+    emit("sptrsv_fused_lap300_us", t * 1e6, "us", t_model / t,
          levels=int(h.num_levels), gnnz=round(L.nnz / t / 1e9, 2),
          gbps=round(gbps, 1),
-         baseline_model="csr bytes / 0.7*HBM (level-latency-bound: "
-                        "~0.23us/level floor dominates)")
+         baseline_model="levels*0.25us dependency floor + csr bytes/0.7*HBM"
+                        " (wide fused kernel 67us + 2 routed permutes)")
+
+    # supernodal route on a factor with real supernodes (splu L of the 2-D
+    # Laplacian): batched dense diag-solves + panel matvecs per level
+    # (KokkosSparse_sptrsv_supernode.hpp role)
+    from tpukk.sparse.sptrsv_supernodal import (build_supernodal_plan,
+                                                supernodal_solve)
+
+    import scipy.sparse.linalg  # noqa: F401  (sps.linalg)
+
+    A2 = generate_structured_laplacian(100, 100, dtype=np.float64)
+    lu = sps.linalg.splu(A2.to_scipy().tocsc())  # COLAMD: shallow sn DAG
+    Lf = lu.L.tocsr().astype(np.float32)
+    Lf.sort_indices()
+    rm, ent, vv = Lf.indptr, Lf.indices, Lf.data
+    snplan = build_supernodal_plan(rm, ent, vv, Lf.shape[0], lower=True)
+    b1 = jax.device_put(np.ones(Lf.shape[0], np.float32))
+
+    def mks(K):
+        def step(c, _):
+            x = supernodal_solve(snplan, c)
+            return x * 0.5 + c * 0.5, None
+        return jax.jit(lambda x: jax.lax.scan(step, x, None, length=K)[0])
+
+    ts = chain_time_slope(mks, (b1,), k1=3, k2=10, reps=3)
+    nlev_sn = len(snplan.levels)
+    t_model_s = nlev_sn * 0.25e-6 + Lf.nnz * 8 / (0.70 * peak_hbm_gbps(kind) * 1e9)
+    emit("sptrsv_supernodal_lap100lu_us", ts * 1e6, "us", t_model_s / ts,
+         sn_levels=nlev_sn, nnz=int(Lf.nnz),
+         gnnz=round(Lf.nnz / ts / 1e9, 3),
+         baseline_model="sn-levels*0.25us + nnz bytes/0.7*HBM")
 
 
 def bench_solvers():

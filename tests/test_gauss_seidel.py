@@ -154,17 +154,28 @@ def test_multivector_apply(rng):
                                            gauss_seidel_numeric,
                                            gauss_seidel_symbolic)
 
+    from tpukk.sparse.gauss_seidel import GsAlgorithm
+
     A = generate_diag_dominant_csr(60, 5, dtype=np.float64, seed=11)
-    h = GsHandle()
-    gauss_seidel_symbolic(h, A)
-    gauss_seidel_numeric(h, A)
-    B = rng.standard_normal((A.nrows, 3))
-    X2 = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(B),
-                                       num_sweeps=2))
-    for j in range(3):
-        xj = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(B[:, j]),
+    for alg in [GsAlgorithm.POINT, GsAlgorithm.CLUSTER, GsAlgorithm.TWOSTAGE]:
+        h = GsHandle(algorithm=alg)
+        gauss_seidel_symbolic(h, A)
+        gauss_seidel_numeric(h, A)
+        B = rng.standard_normal((A.nrows, 3))
+        X2 = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(B),
                                            num_sweeps=2))
-        np.testing.assert_allclose(X2[:, j], xj, rtol=1e-12, atol=1e-12)
+        for j in range(3):
+            xj = np.asarray(gauss_seidel_apply(
+                h, A, None, jnp.asarray(B[:, j]), num_sweeps=2))
+            np.testing.assert_allclose(X2[:, j], xj, rtol=1e-12, atol=1e-12)
+        # warm-start (x given) path batches too
+        X0 = rng.standard_normal((A.nrows, 3))
+        X3 = np.asarray(gauss_seidel_apply(h, A, jnp.asarray(X0),
+                                           jnp.asarray(B), num_sweeps=1))
+        x30 = np.asarray(gauss_seidel_apply(h, A, jnp.asarray(X0[:, 0]),
+                                            jnp.asarray(B[:, 0]),
+                                            num_sweeps=1))
+        np.testing.assert_allclose(X3[:, 0], x30, rtol=1e-12, atol=1e-12)
 
 
 def test_block_gauss_seidel_bsr(rng):

@@ -11,7 +11,7 @@ from tpukk.sparse.gmres import GmresHandle, Ortho, gmres
 from tpukk.sparse.pcg import pcg
 from tpukk.sparse.preconditioner import GsPrec, JacobiPrec, LUPrec
 from tpukk.sparse.spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic
-from tpukk.sparse.sptrsv import SptrsvHandle, sptrsv_solve, sptrsv_symbolic
+from tpukk.sparse.sptrsv import SptrsvAlgorithm, SptrsvHandle, sptrsv_solve, sptrsv_symbolic
 from tpukk.sparse.trsv import trsv
 
 
@@ -388,3 +388,78 @@ class TestSpilukDeviceRefresh:
         scale = np.abs(np.asarray(U2.to_scipy().data)).max()
         assert np.abs((Ld.to_scipy() - L2.to_scipy())).max() < 1e-11 * scale
         assert np.abs((Ud.to_scipy() - U2.to_scipy())).max() < 1e-11 * scale
+
+
+class TestCholmodImport:
+    """CHOLMOD-format supernodal factor import (read_cholmod_factor role,
+    KokkosSparse_sptrsv_cholmod.hpp).  No CHOLMOD in-environment, so the
+    raw cholmod_factor arrays are manufactured from a scipy Cholesky
+    factor with a known supernode partition — exactly the struct fields
+    the importer decodes."""
+
+    @staticmethod
+    def _raw_from_dense_chol(Ls, partition):
+        """Pack a lower-tri scipy matrix into CHOLMOD supernodal raw arrays
+        given a monotone column partition (list of supernode sizes)."""
+        n = Ls.shape[0]
+        Ld = np.asarray(Ls.todense())
+        super_, pi, px, s, x = [0], [0], [0], [], []
+        for sz in partition:
+            c0 = super_[-1]
+            c1 = c0 + sz
+            # union row pattern of the supernode's columns (incl diag block)
+            pat = set(range(c0, c1))
+            for c in range(c0, c1):
+                pat |= set(np.nonzero(Ld[:, c])[0][np.nonzero(Ld[:, c])[0] >= c])
+            ridx = np.array(sorted(pat), np.int64)
+            panel = Ld[ridx][:, c0:c1]         # (nrows, ncols) col-major pack
+            s.extend(ridx.tolist())
+            x.extend(panel.T.ravel().tolist())
+            super_.append(c1)
+            pi.append(len(s))
+            px.append(len(x))
+        return (np.array(super_), np.array(pi), np.array(px),
+                np.array(s), np.array(x))
+
+    @pytest.mark.parametrize("algorithm", [SptrsvAlgorithm.SEQLVLSCHD,
+                                           SptrsvAlgorithm.SUPERNODAL])
+    def test_raw_import_solves(self, algorithm, rng):
+        from tpukk.sparse.sptrsv import SptrsvAlgorithm as Alg
+        from tpukk.sparse.sptrsv_cholmod import cholmod_import
+
+        n = 48
+        A = generate_structured_laplacian(6, 8, dtype=np.float64).to_scipy()
+        A = (A + 0.5 * sps.identity(n)).tocsc()
+        Ld = np.linalg.cholesky(np.asarray(A.todense()))
+        Ls = sps.csr_matrix(Ld)
+        # partition: run of 3 singletons, a 5-block, rest in 4s
+        sizes, left = [1, 1, 1, 5], n - 8
+        while left > 0:
+            sizes.append(min(4, left))
+            left -= min(4, left)
+        super_, pi, px, s, x = self._raw_from_dense_chol(Ls, sizes)
+        perm = np.arange(n)
+        solver = cholmod_import(n=n, super_=super_, pi=pi, px=px, s=s, x=x,
+                                perm=perm, algorithm=algorithm)
+        b = rng.standard_normal(n)
+        xs = np.asarray(solver(b))
+        ref = np.linalg.solve(np.asarray(A.todense()), b)
+        np.testing.assert_allclose(xs, ref, rtol=1e-8, atol=1e-8)
+
+    def test_raw_import_with_permutation(self, rng):
+        from tpukk.sparse.sptrsv_cholmod import cholmod_import
+
+        n = 30
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        perm = rng.permutation(n)
+        Ap = A[perm][:, perm]
+        Ld = np.linalg.cholesky(Ap)
+        Ls = sps.csr_matrix(Ld)
+        super_, pi, px, s, x = self._raw_from_dense_chol(Ls, [n])  # 1 big sn
+        solver = cholmod_import(n=n, super_=super_, pi=pi, px=px, s=s, x=x,
+                                perm=perm)
+        b = rng.standard_normal(n)
+        xs = np.asarray(solver(b))
+        np.testing.assert_allclose(xs, np.linalg.solve(A, b),
+                                   rtol=1e-8, atol=1e-8)

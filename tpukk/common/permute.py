@@ -62,8 +62,9 @@ def _rowperm_call(x2, tt, *, n_rows, SRR, B, interpret):
     def kernel(t_ref, x_ref, y_ref):
         for j in range(B):
             X = x_ref[j * SRR:(j + 1) * SRR, :]
-            for o in range(SRR // 8):
-                sl = slice(j * SRR + o * 8, j * SRR + o * 8 + 8)
+            for o in range(-(-SRR // 8)):
+                r0, r1 = o * 8, min(SRR, o * 8 + 8)
+                sl = slice(j * SRR + r0, j * SRR + r1)
                 y_ref[sl, :] = _gather_in_row(X, t_ref[sl, :], SRR)
 
     grid = n_rows // B
@@ -107,10 +108,10 @@ def build_permute_plan(src, *, _force=False):
     n = len(src)
     if not native.available() or n > _MAX_N or (n < _C * 1024 and not _force):
         return None  # small n: the runtime sort is already cheap
-    # phase-2 rows have length R viewed (R//128, 128) with an 8-sublane
-    # vreg loop -> R must be a multiple of 1024
+    # phase-2 rows have length R viewed (R//128, 128) -> R must be a
+    # multiple of 128 (was 1024, which padded 622k-element permutes to 1M)
     rows = -(-n // _C)
-    R = max(1024, -(-rows // 1024) * 1024)
+    R = max(128, -(-rows // 128) * 128)
     N = R * _C
     if n < N:  # pad with identity on the tail
         src = np.concatenate([src, np.arange(n, N, dtype=np.int64)])
@@ -140,8 +141,9 @@ def static_permute(plan, x, keys=None, interpret: bool = False):
                        B=8, interpret=interpret)
     y1t = y1.reshape(R, _C).T.reshape(_C * (R // 128), 128)
     SRR2 = R // 128
-    y2 = _rowperm_call(y1t, plan.t2, n_rows=_C, SRR=SRR2,
-                       B=max(1, 64 // SRR2), interpret=interpret)
+    # block rows = B*SRR2 must be a multiple of 8 (Mosaic block constraint)
+    y2 = _rowperm_call(y1t, plan.t2, n_rows=_C, SRR=SRR2, B=8,
+                       interpret=interpret)
     y2t = y2.reshape(_C, R).T.reshape(R * 8, 128)
     y3 = _rowperm_call(y2t, plan.t3, n_rows=R, SRR=8, B=8,
                        interpret=interpret)

@@ -319,14 +319,17 @@ def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
                        num_sweeps: int = 1, direction: str = "symmetric"):
     """x may be None (zero initial guess, the init_zero_x_vector flag).
     Rank-2 x/b (multivector, the reference's batched apply —
-    cluster_gauss_seidel_impl.hpp 16-wide) sweeps each column."""
+    cluster_gauss_seidel_impl.hpp 16-wide) sweeps all columns in ONE traced
+    computation via vmap over the column axis (every sweep flavor is built
+    from SpMVs/gathers that batch cleanly), not a per-column Python loop."""
     check(handle.is_numeric_called, "gauss_seidel_apply: numeric first")
     if b.ndim == 2:
-        cols = [gauss_seidel_apply(
-            handle, A, None if x is None else x[:, j], b[:, j],
-            num_sweeps=num_sweeps, direction=direction)
-            for j in range(b.shape[1])]
-        return jnp.stack(cols, axis=1)
+        fn = lambda xj, bj: gauss_seidel_apply(
+            handle, A, xj, bj, num_sweeps=num_sweeps, direction=direction)
+        if x is None:
+            return jax.vmap(lambda bj: fn(None, bj),
+                            in_axes=1, out_axes=1)(b)
+        return jax.vmap(fn, in_axes=(1, 1), out_axes=1)(x, b)
     if x is None:
         x = jnp.zeros_like(b)
     if getattr(handle, "_blk", None) is not None:

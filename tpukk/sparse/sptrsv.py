@@ -117,7 +117,8 @@ def sptrsv_symbolic(handle: SptrsvHandle, A: CsrMatrix):
     if handle.algorithm is SptrsvAlgorithm.SUPERNODAL:
         handle.sn_plan = build_supernodal_plan(
             rm, ent, vals, n, lower=handle.lower,
-            max_size=handle.supernode_max_size)
+            max_size=handle.supernode_max_size,
+            sn_of_col=getattr(handle, "sn_partition", None))
         handle.num_levels = len(handle.sn_plan.levels)
         handle.is_symbolic_called = True
         return

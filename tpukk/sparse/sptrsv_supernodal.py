@@ -74,6 +74,19 @@ def _detect_supernodes(rows, cols, n, max_size=64):
     return np.cumsum(new_sn) - 1
 
 
+def _split_partition(sn_of_col, max_size):
+    """Re-number an imported monotone partition, splitting runs > max_size
+    (dense blocks must stay MXU-shaped)."""
+    n = len(sn_of_col)
+    if n == 0:
+        return sn_of_col
+    new_start = np.concatenate(([True], sn_of_col[1:] != sn_of_col[:-1]))
+    run_id = np.cumsum(new_start) - 1
+    run_first = np.nonzero(new_start)[0]
+    within = np.arange(n) - run_first[run_id]
+    return np.cumsum(new_start | (within % max_size == 0)) - 1
+
+
 def _quotient_levels(sn_r, sn_c, nsn):
     """Kahn wavefront levels over the supernode quotient DAG (edges
     sn_c -> sn_r, sn_c < sn_r).  Returns level (nsn,) 0-based."""
@@ -127,11 +140,16 @@ class SupernodalPlan:
     dtype: Any
 
 
-def build_supernodal_plan(rm, ent, vals, n, lower=True, max_size=64):
+def build_supernodal_plan(rm, ent, vals, n, lower=True, max_size=64,
+                          sn_of_col=None):
     """Host symbolic+numeric: supernode detection, quotient level schedule,
     dense block extraction.  `rm/ent/vals` describe a triangular CSR (diagonal
     entries required).  Upper-triangular inputs are index-reversed into lower
-    form (perm i -> n-1-i) so one code path serves both sweeps."""
+    form (perm i -> n-1-i) so one code path serves both sweeps.
+
+    sn_of_col: optional IMPORTED supernode partition (e.g. from a CHOLMOD
+    factor, sptrsv_cholmod.py) — monotone supernode id per column in the
+    lower orientation; runs longer than max_size are split."""
     rm = np.asarray(rm, np.int64)
     ent = np.asarray(ent, np.int64)
     vals = np.asarray(vals)
@@ -143,7 +161,12 @@ def build_supernodal_plan(rm, ent, vals, n, lower=True, max_size=64):
     rows, cols, v = rows[tri], cols[tri], vals[tri]
 
     strict = cols < rows
-    sn_of_col = _detect_supernodes(rows[strict], cols[strict], n, max_size)
+    if sn_of_col is not None:
+        sn_of_col = _split_partition(np.asarray(sn_of_col, np.int64),
+                                     max_size)
+    else:
+        sn_of_col = _detect_supernodes(rows[strict], cols[strict], n,
+                                       max_size)
     nsn = int(sn_of_col[-1]) + 1 if n else 0
     sn_start = np.zeros(nsn + 1, np.int64)
     np.cumsum(np.bincount(sn_of_col, minlength=nsn), out=sn_start[1:])
