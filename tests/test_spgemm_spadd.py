@@ -305,3 +305,54 @@ def test_spgemm_pk_pair_layout_interpret(rng):
     refr = (Ar.to_scipy() @ Ar.to_scipy()).tocsr()
     refr.sort_indices()
     np.testing.assert_allclose(cvr, refr.data, rtol=1e-5, atol=1e-6)
+
+
+def test_spgemm_sort_pair_fused_interpret(monkeypatch):
+    """Fused compact pipeline (pinned-b expansion kernel + phase-3
+    a-gather+product): exact vs scipy in interpret mode.  Routing is
+    forced so the small test matrix takes the fused path."""
+    import tpukk.common.permute as pmod
+    from tpukk.sparse import spgemm_pallas
+
+    orig = pmod.build_permute_plan
+    monkeypatch.setattr(pmod, "build_permute_plan",
+                        lambda src, **kw: orig(src, _force=True))
+    A = generate_random_csr(2000, 2000, 6, seed=5, dtype=np.float32)
+    h = SpgemmHandle()
+    spgemm_symbolic(h, A, A)
+    pp = h.pair_plan
+    plan = spgemm_pallas.SortPairPlan(pp.a_idx, pp.b_idx, pp.c_idx,
+                                      A.nnz, A.nnz, pp.nnz_c)
+    assert plan.compact
+    assert plan.fused, "fused gate did not engage"
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sort_indices()
+    vals = np.asarray(spgemm_pallas.sort_pair_numeric(
+        plan, A.values, A.values, interpret=True))
+    np.testing.assert_allclose(vals, ref.data, rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_sort_pair_fused_noncompact_interpret(monkeypatch):
+    """Fused pipeline on the NON-compact layout (many multi-pair C
+    segments): products emerge in c-sorted pair order and reduce through
+    c_sum; exact vs scipy."""
+    import tpukk.common.permute as pmod
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.sparse import spgemm_pallas
+
+    orig = pmod.build_permute_plan
+    monkeypatch.setattr(pmod, "build_permute_plan",
+                        lambda src, **kw: orig(src, _force=True))
+    A = generate_structured_laplacian(40, 40, dtype=np.float32)
+    h = SpgemmHandle()
+    spgemm_symbolic(h, A, A)
+    pp = h.pair_plan
+    plan = spgemm_pallas.SortPairPlan(pp.a_idx, pp.b_idx, pp.c_idx,
+                                      A.nnz, A.nnz, pp.nnz_c)
+    assert not plan.compact
+    assert plan.fused, "non-compact fused gate did not engage"
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sort_indices()
+    vals = np.asarray(spgemm_pallas.sort_pair_numeric(
+        plan, A.values, A.values, interpret=True))
+    np.testing.assert_allclose(vals, ref.data, rtol=1e-5, atol=1e-5)

@@ -40,7 +40,11 @@ _MAX_N = 1 << 24   # beyond this the int32 tables / host routing get heavy
 def _gather_in_row(X, tt, SRR):
     """out[s, l] = X[tt[s,l] >> 7, tt[s,l] & 127] for X (SRR, 128), tt
     (8, 128): per-source-sublane broadcast + lane gather + select (the
-    _gather_rows pattern of spmv_pallas, v5 probe)."""
+    _gather_rows pattern of spmv_pallas, v5 probe).  NOTE two chained
+    take_along_axis calls can NOT replace this loop for per-target 2-D
+    indices: the second gather reads the other coordinate's plane at the
+    substituted row, which is a different target's index — the 3-stage
+    packed factorization (_rowperm3_call) is the fast path instead."""
     hi = tt >> 7
     lo = tt & 127
     xg = jnp.zeros(tt.shape, jnp.float32)
@@ -49,6 +53,87 @@ def _gather_in_row(X, tt, SRR):
         g = jnp.take_along_axis(row, lo, axis=1)
         xg = jnp.where(hi == r, g, xg)
     return xg
+
+
+def _pack_row_stages(t_rows, SRR):
+    """Inner-factor every row permutation into (lane, sublane, lane) stages
+    and pack the three index planes into ONE i32 table.
+
+    t_rows: (n_rows, SRR*128) row-local source positions (a permutation of
+    [0, SRR*128) per row).  The inner factorization is the same
+    Slepian–Duguid routing as the outer network (native.permute_route with
+    an (SRR, 128) grid): stage a permutes lanes within each sublane-row,
+    stage b permutes sublanes within each lane (vertical), stage c permutes
+    lanes — so the kernel gather is 2 lane-axis dynamic_gathers + one
+    blocked vertical gather instead of an SRR-iteration broadcast loop.
+    Packed: bits 0-6 stage-a lane, 7-13 stage-b sublane, 14-20 stage-c
+    lane (each plane indexed at its own stage's output position)."""
+    from .. import native
+
+    n_rows = t_rows.shape[0]
+    out = np.empty((n_rows, SRR * 128), np.int32)
+    for r in range(n_rows):
+        route = native.permute_route(SRR, 128, t_rows[r].astype(np.int64))
+        if route is None:
+            return None
+        i1, i2, i3 = route
+        sig = i2.reshape(128, SRR).T.reshape(-1)
+        out[r] = (i1.astype(np.int32) | (sig.astype(np.int32) << 7)
+                  | (i3.astype(np.int32) << 14))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "SRR", "B",
+                                             "interpret"))
+def _rowperm3_call(x2, ptab, *, n_rows, SRR, B, interpret):
+    """Row-local permutation via the packed 3-stage tables: per (SRR,128)
+    row — lane gather, blocked vertical gather (nb² vreg select pairs),
+    lane gather.  ~3 ops per 8-row block instead of 3 per row."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = -(-SRR // 8)
+
+    def kernel(t_ref, x_ref, y_ref):
+        for j in range(B):
+            X = x_ref[j * SRR:(j + 1) * SRR, :]
+            tab = t_ref[j * SRR:(j + 1) * SRR, :]
+            a1 = tab & 127
+            sig = (tab >> 7) & 127
+            a3 = (tab >> 14) & 127
+            z1 = jnp.take_along_axis(X, a1, axis=1)
+            if SRR < nb * 8:
+                pad = jnp.zeros((nb * 8 - SRR, 128), jnp.float32)
+                z1 = jnp.concatenate([z1, pad], axis=0)
+                sig_p = jnp.concatenate(
+                    [sig, jnp.zeros((nb * 8 - SRR, 128), jnp.int32)], axis=0)
+            else:
+                sig_p = sig
+            rows = []
+            for ob in range(nb):
+                sig_b = sig_p[ob * 8:(ob + 1) * 8, :]       # (8,128)
+                acc = jnp.zeros((8, 128), jnp.float32)
+                for sb in range(nb):
+                    g = jnp.take_along_axis(
+                        z1[sb * 8:(sb + 1) * 8, :],
+                        jnp.clip(sig_b - sb * 8, 0, 7), axis=0)
+                    acc = jnp.where((sig_b >> 3) == sb, g, acc)
+                rows.append(acc)
+            z2 = (jnp.concatenate(rows, axis=0) if nb > 1 else rows[0])[:SRR]
+            y_ref[j * SRR:(j + 1) * SRR, :] = jnp.take_along_axis(
+                z2, a3, axis=1)
+
+    spec = pl.BlockSpec((B * SRR, 128), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_rows // B,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows * SRR, 128), jnp.float32),
+        name="tpukk_rowperm3",
+        interpret=interpret,
+    )(ptab, x2)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "SRR", "B",
@@ -83,19 +168,24 @@ def _rowperm_call(x2, tt, *, n_rows, SRR, B, interpret):
 
 @jax.tree_util.register_pytree_node_class
 class StaticPermutePlan:
-    """Routing tables for out[i] = x[src[i]] on an (R, C=1024) grid."""
+    """Routing tables for out[i] = x[src[i]] on an (R, C=1024) grid.
+    packed3: tables are the 3-stage packed form consumed by _rowperm3_call
+    (lane/sublane/lane dynamic_gathers); else hi*128+lo per-row tables for
+    the broadcast-loop kernel."""
 
-    def __init__(self, t1, t2, t3, n, R, *, _from_tree=False):
+    def __init__(self, t1, t2, t3, n, R, *, packed3=False, _from_tree=False):
         self.t1, self.t2, self.t3 = t1, t2, t3
         self.n = n
         self.R = R
+        self.packed3 = packed3
 
     def tree_flatten(self):
-        return (self.t1, self.t2, self.t3), (self.n, self.R)
+        return (self.t1, self.t2, self.t3), (self.n, self.R, self.packed3)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux, _from_tree=True)
+        return cls(*children, aux[0], aux[1], packed3=aux[2],
+                   _from_tree=True)
 
 
 def build_permute_plan(src, *, _force=False):
@@ -119,11 +209,25 @@ def build_permute_plan(src, *, _force=False):
     if route is None:
         return None
     t1, t2, t3 = route
-    # rows viewed (SRR, 128); table entry = hi*128 + lo packed
+
+    # inner-factor each row permutation into 3 packed stages (fast kernel);
+    # fall back to the hi*128+lo tables + broadcast-loop kernel if the
+    # inner router balks
+    p1 = _pack_row_stages(t1.reshape(R, _C), _C // 128)
+    p2 = _pack_row_stages(t2.reshape(_C, R), R // 128) \
+        if p1 is not None else None
+    p3 = _pack_row_stages(t3.reshape(R, _C), _C // 128) \
+        if p2 is not None else None
+
     def pack(t, rows, rowlen):
         t = t.astype(np.int32)  # already the in-row index
         return jnp.asarray(t.reshape(rows * (rowlen // 128), 128))
 
+    if p3 is not None:
+        return StaticPermutePlan(
+            jnp.asarray(p1.reshape(R * (_C // 128), 128)),
+            jnp.asarray(p2.reshape(_C * (R // 128), 128)),
+            jnp.asarray(p3.reshape(R * (_C // 128), 128)), n, R, packed3=True)
     return StaticPermutePlan(pack(t1, R, _C), pack(t2, _C, R),
                              pack(t3, R, _C), n, R)
 
@@ -136,15 +240,16 @@ def static_permute(plan, x, keys=None, interpret: bool = False):
     R, n = plan.R, plan.n
     N = R * _C
     dt = x.dtype
+    call = _rowperm3_call if plan.packed3 else _rowperm_call
     xp = jnp.pad(x.astype(jnp.float32), (0, N - x.shape[0]))
-    y1 = _rowperm_call(xp.reshape(R * 8, 128), plan.t1, n_rows=R, SRR=8,
-                       B=8, interpret=interpret)
+    y1 = call(xp.reshape(R * 8, 128), plan.t1, n_rows=R, SRR=8,
+              B=8, interpret=interpret)
     y1t = y1.reshape(R, _C).T.reshape(_C * (R // 128), 128)
     SRR2 = R // 128
     # block rows = B*SRR2 must be a multiple of 8 (Mosaic block constraint)
-    y2 = _rowperm_call(y1t, plan.t2, n_rows=_C, SRR=SRR2, B=8,
-                       interpret=interpret)
+    y2 = call(y1t, plan.t2, n_rows=_C, SRR=SRR2, B=8,
+              interpret=interpret)
     y2t = y2.reshape(_C, R).T.reshape(R * 8, 128)
-    y3 = _rowperm_call(y2t, plan.t3, n_rows=R, SRR=8, B=8,
-                       interpret=interpret)
+    y3 = call(y2t, plan.t3, n_rows=R, SRR=8, B=8,
+              interpret=interpret)
     return y3.reshape(-1)[:n].astype(dt)

@@ -1199,9 +1199,9 @@ class SortPairPlan:
         n_multi = int(multi.sum())
         self.compact = bool(P) and n_multi <= 0.05 * max(nnz_c, 1)
         border = np.argsort(b_idx, kind="stable")
-        self.b_sel = selection(b_idx[border], max(nnz_b, 1))
         inv_border = np.empty(P, np.int64)
         inv_border[border] = np.arange(P, dtype=np.int64)
+        self.b_sel = None
         if self.compact:
             pair_single = ~multi[c_idx]
             n_over = int(P - pair_single.sum())
@@ -1215,7 +1215,6 @@ class SortPairPlan:
             np.cumsum(has, out=rm_s[1:])
             cols_s = np.empty(P, np.int64)
             cols_s[rm_s[slot_of]] = a_idx
-            self.a_sel = selection_rm(rm_s, cols_s, nslots, max(nnz_a, 1))
             # bijection on nslots: pair (b-order j) -> its slot; the
             # nslots-P pads -> the empty (multi-c) slots
             empty = np.nonzero(~has)[0]
@@ -1236,9 +1235,14 @@ class SortPairPlan:
             self.over_seg = jnp.asarray(np.searchsorted(
                 np.nonzero(multi)[0], over_c).astype(np.int32))
             self.nslots, self.n_over, self.n_multi = nslots, n_over, n_multi
+            self._build_fused(a_idx, b_idx, border, slot_of, nnz_a, nnz_b, P, nnz_c)
+            if not self.fused:
+                self.a_sel = selection_rm(rm_s, cols_s, nslots,
+                                          max(nnz_a, 1))
+                self.b_sel = selection(b_idx[border], max(nnz_b, 1))
+            else:
+                self.a_sel = None
         else:
-            # pairs arrive c-sorted (pair-plan contract): Sa directly
-            self.a_sel = selection(a_idx, max(nnz_a, 1))
             # b-order element j is c-order pair border[j]: route the static
             # permutation (3 local gathers) when the planner supports it,
             # else sort bg by key border at runtime
@@ -1254,21 +1258,215 @@ class SortPairPlan:
             self.multi_ids = jnp.zeros(0, jnp.int32)
             self.over_seg = jnp.zeros(0, jnp.int32)
             self.nslots, self.n_over, self.n_multi = P, 0, 0
+            # fused pipeline applies here too (products in c-sorted pair
+            # order, then the c_sum reduce); no overflow region
+            self._build_fused(a_idx, b_idx, border,
+                              np.arange(P, dtype=np.int64), nnz_a, nnz_b,
+                              P, P)
+            if not self.fused:
+                self.a_sel = selection(a_idx, max(nnz_a, 1))
+                self.b_sel = selection(b_idx[border], max(nnz_b, 1))
+            else:
+                self.a_sel = None
+        if not hasattr(self, "fused"):
+            self.fused = False
+            self.exp_wb = self.exp_pk = self.t3a = self.wb_a = None
+            self.a_over_sel = None
+            self.Rb = self.Ra = 0
         self.nnz_c = nnz_c
         self.npairs = P
 
+    def _build_fused(self, a_idx, b_idx, border, slot_of, nnz_a, nnz_b, P, nnz_c):
+        """Fused-pipeline tables (compact layout only): the b-expansion as a
+        2-sublane-window gather kernel (replaces the b_sel selection SpMV)
+        and the a-gather+product folded into phase 3 of the permute network
+        (a's window-relative position rides spare bits 21-29 of the packed
+        phase-3 table).  Gated on the routed packed3 permute plan and on
+        every tile/row's source span fitting 256 values."""
+        self.fused = False
+        self.exp_wb = self.exp_pk = self.t3a = self.wb_a = None
+        self.a_over_sel = None
+        self.Rb = self.Ra = 0
+        pp = self.perm_plan
+        if pp is None or not getattr(pp, "packed3", False):
+            return
+        nslots = self.nslots
+        R = pp.R
+        N = R * 1024
+        # --- expansion side: b-order tile windows over pinned b ---
+        Rb = max(4, -(-max(nnz_b, 1) // 128) + 3)
+        bpos = b_idx[border].astype(np.int64)          # sorted ascending
+        n_tiles = N // 1024
+        wb_b = np.zeros(n_tiles, np.int32)
+        rel_b = np.zeros(N, np.int64)
+        nt_real = -(-P // 1024)
+        starts = np.arange(0, nt_real * 1024, 1024)
+        mins = bpos[np.minimum(starts, P - 1)]         # sorted → tile min
+        wb = np.minimum(mins // 128, Rb - 4)
+        wb_b[:nt_real] = wb
+        rel_b[:P] = bpos - np.repeat(wb, 1024)[:P] * 128
+        if rel_b[:P].max(initial=0) >= 512 or rel_b[:P].min(initial=0) < 0:
+            return
+        # --- a side: per-final-row windows over pinned a.  Overflow slots
+        # (multi-pair segments, slot >= nnz_c) have arbitrary a positions:
+        # they get the PASSTHROUGH flag (bit 29, av = 1 in-kernel) and
+        # their a-product is applied in the fixup via a small selection
+        # plan (a_over_sel) ---
+        Ra = max(4, -(-max(nnz_a, 1) // 128) + 3)
+        apos = np.zeros(N, np.int64)
+        apos[slot_of] = a_idx
+        real = np.zeros(N, bool)
+        real[slot_of] = True
+        single = real.copy()
+        single[nnz_c:] = False              # overflow + tail: flag
+        ap2 = apos.reshape(R, 1024)
+        sg2 = single.reshape(R, 1024)
+        mins_a = np.where(sg2.any(axis=1),
+                          np.where(sg2, ap2, np.iinfo(np.int64).max)
+                          .min(axis=1), 0)
+        wa = np.minimum(mins_a // 128, Ra - 4).astype(np.int64)
+        rel_a = np.where(sg2, ap2 - wa[:, None] * 128, 0)
+        if rel_a.max(initial=0) >= 512 or rel_a.min(initial=0) < 0:
+            return
+        flag = (~sg2).astype(np.int32) << 30
+        t3 = np.asarray(pp.t3)                          # (R*8,128) packed
+        self.t3a = jnp.asarray(
+            t3 | (rel_a.reshape(R * 8, 128).astype(np.int32) << 21)
+            | flag.reshape(R * 8, 128))
+        self.wb_a = jnp.asarray(wa.astype(np.int32))
+        # overflow a-values: tiny deg-1 selection plan (n_over rows)
+        self.a_over_sel = None
+        if self.n_over:
+            from ..containers.csr import CsrMatrix
+            from .spmv_pallas import build_onehot_spmv_plan
+
+            over_a = apos[nnz_c:nnz_c + self.n_over]
+            Ao = CsrMatrix.from_arrays(
+                np.arange(self.n_over + 1, dtype=np.int64),
+                over_a.astype(np.int32),
+                np.ones(self.n_over, np.float32),
+                nrows=self.n_over, ncols=max(nnz_a, 1))
+            self.a_over_sel = build_onehot_spmv_plan(Ao)
+        self.exp_wb = jnp.asarray(wb_b)
+        self.exp_pk = jnp.asarray(rel_b.reshape(N // 128, 128)
+                                  .astype(np.int32))
+        self.Rb, self.Ra = Rb, Ra
+        self.fused = True
+
     def tree_flatten(self):
         return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
-                 self.perm_plan, self.multi_ids, self.over_seg),
+                 self.perm_plan, self.multi_ids, self.over_seg,
+                 self.exp_wb, self.exp_pk, self.t3a, self.wb_a,
+                 self.a_over_sel),
                 (self.nnz_c, self.npairs, self.compact, self.nslots,
-                 self.n_over, self.n_multi))
+                 self.n_over, self.n_multi, self.fused, self.Rb, self.Ra))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(None, None, None, 0, 0, 0, _fields=(*children, *aux))
+        obj = cls(None, None, None, 0, 0, 0,
+                  _fields=(*children[:7], *aux[:6]))
+        (obj.exp_wb, obj.exp_pk, obj.t3a, obj.wb_a,
+         obj.a_over_sel) = children[7:]
+        (obj.fused, obj.Rb, obj.Ra) = aux[6:]
+        return obj
 
 
 jax.tree_util.register_pytree_node_class(SortPairPlan)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "B", "Rb",
+                                             "interpret"))
+def _expand2_call(wb, pk, bpin, *, n_tiles, B, Rb, interpret):
+    """b-order expansion from PINNED b: out[t*1024 + s*128 + l] =
+    b[wb[t]*128 + pk[...]] — each tile's sources fit a 2-sublane window of
+    the VMEM-resident b, so the gather is two lane-takes + a select
+    (~6 ops/tile, 8 B/slot streams) instead of a selection-matrix SpMV."""
+
+    def kernel(wb_ref, pk_ref, b_ref, y_ref):
+        g = pl.program_id(0)
+        for j in range(B):
+            base = wb_ref[g * B + j]
+            win = b_ref[pl.ds(base, 4), :]
+            pkj = pk_ref[j * 8:(j + 1) * 8, :]
+            lane = pkj & 127
+            hi = pkj >> 7
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for w in range(4):
+                tw = jnp.take_along_axis(
+                    jnp.broadcast_to(win[w:w + 1, :], (8, 128)), lane,
+                    axis=1)
+                acc = jnp.where(hi == w, tw, acc)
+            y_ref[j * 8:(j + 1) * 8, :] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // B,),
+        in_specs=[
+            pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, 128), lambda g, wb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, name="tpukk_spgemm_expand2", grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
+        interpret=interpret)(wb, pk, bpin)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "B", "Ra",
+                                             "interpret"))
+def _rowperm3a_call(x2, ptab, wb_a, apin, *, n_rows, B, Ra, interpret):
+    """Phase 3 of the permute network (SRR=8) FUSED with the a-value gather
+    and the pair product: the packed table carries (lane, sublane, lane)
+    permute stages in bits 0-20 and the a-position window offset in bits
+    21-29 (bit 30 = passthrough); a is pinned in VMEM."""
+
+    def kernel(wb_ref, t_ref, x_ref, a_ref, y_ref):
+        g = pl.program_id(0)
+        for j in range(B):
+            X = x_ref[j * 8:(j + 1) * 8, :]
+            tab = t_ref[j * 8:(j + 1) * 8, :]
+            a1 = tab & 127
+            sig = (tab >> 7) & 7
+            a3 = (tab >> 14) & 127
+            rel = (tab >> 21) & 511
+            passthru = (tab >> 30) & 1
+            z1 = jnp.take_along_axis(X, a1, axis=1)
+            z2 = jnp.take_along_axis(z1, sig, axis=0)
+            y3 = jnp.take_along_axis(z2, a3, axis=1)
+            base = wb_ref[g * B + j]
+            win = a_ref[pl.ds(base, 4), :]
+            lane = rel & 127
+            hi = rel >> 7
+            av = jnp.ones((8, 128), jnp.float32)
+            for w in range(4):
+                tw = jnp.take_along_axis(
+                    jnp.broadcast_to(win[w:w + 1, :], (8, 128)), lane,
+                    axis=1)
+                av = jnp.where((passthru == 0) & (hi == w), tw, av)
+            y_ref[j * 8:(j + 1) * 8, :] = y3 * av
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows // B,),
+        in_specs=[
+            pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ra, 128), lambda g, wb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, name="tpukk_spgemm_perm3_prod", grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows * 8, 128), jnp.float32),
+        interpret=interpret)(wb_a, ptab, x2, apin)
 
 
 def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
@@ -1280,6 +1478,45 @@ def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
 
     a32 = a_vals.astype(jnp.float32)
     b32 = b_vals.astype(jnp.float32)
+    if plan.fused:
+        # fused pipeline: expansion-from-pinned-b, permute phases 1-2,
+        # phase 3 + a-gather + product in one kernel — two full passes and
+        # both selection SpMVs eliminated
+        from ..common.permute import _C, _rowperm3_call
+
+        pp = plan.perm_plan
+        R = pp.R
+        bpin = jnp.pad(b32, (0, plan.Rb * 128 - b32.shape[0])
+                       ).reshape(plan.Rb, 128)
+        apin = jnp.pad(a32, (0, plan.Ra * 128 - a32.shape[0])
+                       ).reshape(plan.Ra, 128)
+        xb2 = _expand2_call(plan.exp_wb, plan.exp_pk, bpin,
+                            n_tiles=R, B=8, Rb=plan.Rb, interpret=interpret)
+        y1 = _rowperm3_call(xb2, pp.t1, n_rows=R, SRR=8, B=8,
+                            interpret=interpret)
+        y1t = y1.reshape(R, _C).T.reshape(_C * (R // 128), 128)
+        y2 = _rowperm3_call(y1t, pp.t2, n_rows=_C, SRR=R // 128, B=8,
+                            interpret=interpret)
+        y2t = y2.reshape(_C, R).T.reshape(R * 8, 128)
+        prod2 = _rowperm3a_call(y2t, plan.t3a, plan.wb_a, apin,
+                                n_rows=R, B=8, Ra=plan.Ra,
+                                interpret=interpret)
+        prod = prod2.reshape(-1)[:plan.nslots]
+        if not plan.compact:
+            # non-compact: reduce c-sorted pair products per C entry
+            return onehot_spmv(plan.c_sum, prod, interpret=interpret)
+        y = prod[:plan.nnz_c]
+        if plan.n_multi:
+            # overflow slots passed b through un-multiplied (arbitrary a
+            # positions): apply a via the tiny overflow selection plan
+            ag_over = onehot_spmv(plan.a_over_sel, a32,
+                                  interpret=interpret)[:plan.n_over]
+            extra = jax.ops.segment_sum(
+                prod[plan.nnz_c:plan.nnz_c + plan.n_over] * ag_over,
+                plan.over_seg,
+                num_segments=plan.n_multi, indices_are_sorted=True)
+            y = y.at[plan.multi_ids].set(extra.astype(y.dtype))
+        return y
     ag = onehot_spmv(plan.a_sel, a32, interpret=interpret)
     bg = onehot_spmv(plan.b_sel, b32, interpret=interpret)
     if plan.compact:
