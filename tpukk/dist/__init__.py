@@ -6,7 +6,7 @@ from .gauss_seidel import (
     dist_gs_sweep,
     shard_dist_gs_plan,
 )
-from .gt_spmv import DistGtPlan, build_dist_gt_plan, dist_spmv_gt, shard_dist_gt_plan
+from .gt_spmv import DistGtPlan, DistGtPlan2, build_dist_gt_plan, build_dist_gt_plan2, dist_spmv_gt, shard_dist_gt_plan
 from .halo import HaloPlan, build_halo_plan, import_lists
 from .partition import RowPartition, partition_rows
 from .spgemm import (
@@ -27,9 +27,9 @@ from .spmv import (
 )
 
 __all__ = [
-    "DistGsGtPlan", "DistGsPlan", "DistGtPlan", "HaloPlan", "RingSpgemmPlan",
+    "DistGsGtPlan", "DistGsPlan", "DistGtPlan", "DistGtPlan2", "HaloPlan", "RingSpgemmPlan",
     "RowPartition", "build_dist_gs_gt_plan", "build_dist_gs_plan",
-    "build_dist_gt_plan", "build_halo_plan", "build_ring_spgemm_plan",
+    "build_dist_gt_plan", "build_dist_gt_plan2", "build_halo_plan", "build_ring_spgemm_plan",
     "dist_cg_step", "dist_dot", "dist_gmres", "dist_gs_sweep", "dist_pcg",
     "dist_spmv", "dist_spmv_gt", "dist_spmv_halo", "import_lists",
     "partition_rows", "ring_spgemm_numeric", "shard_dist_gs_plan",

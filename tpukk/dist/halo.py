@@ -123,6 +123,56 @@ def import_index(rm, ent, n, n_parts, rpp):
     return send_idx, rem_cols, rem_ids, H
 
 
+def neighbor_import(rm, ent, n, n_parts, rpp, max_offsets: int = 8):
+    """Neighbor-ppermute exchange schedule: O(Σ_d H_d) traffic instead of
+    the padded all_to_all's O(P·H_max) per part.
+
+    Returns (offsets, send_lists, rem_cols, rem_ids, H_per_offset) or None
+    when the communication pattern is denser than max_offsets distinct part
+    offsets (callers keep the all_to_all).  For offset d (index k), part q
+    ppermutes H_k values to part (q − d) mod P; part p's halo block k holds
+    its imports from part (p + d) mod P.  x_ext = [x_local | block_0 | …];
+    rem_cols[p] (sorted global ids) + rem_ids[p] realize the remap."""
+    imports, _, _ = _import_sets(rm, ent, n, n_parts, rpp)
+    P = n_parts
+    traffic = {}
+    for p in range(P):
+        for q in range(P):
+            if p != q and imports[p][q].size:
+                d = (q - p) % P
+                traffic[d] = max(traffic.get(d, 0), imports[p][q].size)
+    offsets = sorted(traffic)
+    if len(offsets) > max_offsets:
+        return None
+    H_off = [round_up(traffic[d], 8) for d in offsets]
+    bases = np.concatenate(([0], np.cumsum(H_off))).astype(np.int64)
+    send_lists = []
+    for k, d in enumerate(offsets):
+        sl = np.zeros((P, H_off[k]), np.int32)
+        for q in range(P):
+            p = (q - d) % P
+            imp = imports[p][q]
+            sl[q, :imp.size] = (imp - q * rpp).astype(np.int32)
+        send_lists.append(sl)
+    rem_cols, rem_ids = [], []
+    for p in range(P):
+        cols_p, ids_p = [], []
+        for k, d in enumerate(offsets):
+            q = (p + d) % P
+            imp = imports[p][q]
+            cols_p.append(imp)
+            ids_p.append(rpp + bases[k]
+                         + np.arange(imp.size, dtype=np.int64))
+        cols_p = (np.concatenate(cols_p) if cols_p
+                  else np.empty(0, np.int64))
+        ids_p = (np.concatenate(ids_p) if ids_p
+                 else np.empty(0, np.int64))
+        o = np.argsort(cols_p)
+        rem_cols.append(cols_p[o])
+        rem_ids.append(ids_p[o])
+    return offsets, send_lists, rem_cols, rem_ids, H_off
+
+
 def build_halo_plan(A: CsrMatrix, n_parts: int, row_block: int = 8) -> HaloPlan:
     """Block row partition with import lists (square matrices: x partitioned
     like the rows)."""

@@ -102,9 +102,9 @@ def dist_spmv_halo(plan: HaloPlan, x_padded, mesh: Mesh, axis: str = "parts"):
 
 
 def _spmv_fn_for(plan):
-    from .gt_spmv import DistGtPlan, dist_spmv_gt
+    from .gt_spmv import DistGtPlan, DistGtPlan2, dist_spmv_gt
 
-    if isinstance(plan, DistGtPlan):
+    if isinstance(plan, (DistGtPlan, DistGtPlan2)):
         return dist_spmv_gt
     return dist_spmv_halo if isinstance(plan, HaloPlan) else dist_spmv
 

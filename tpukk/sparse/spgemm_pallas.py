@@ -1490,8 +1490,10 @@ def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
                        ).reshape(plan.Rb, 128)
         apin = jnp.pad(a32, (0, plan.Ra * 128 - a32.shape[0])
                        ).reshape(plan.Ra, 128)
+        b16 = 16 if R % 16 == 0 else 8
         xb2 = _expand2_call(plan.exp_wb, plan.exp_pk, bpin,
-                            n_tiles=R, B=8, Rb=plan.Rb, interpret=interpret)
+                            n_tiles=R, B=b16, Rb=plan.Rb,
+                            interpret=interpret)
         y1 = _rowperm3_call(xb2, pp.t1, n_rows=R, SRR=8, B=8,
                             interpret=interpret)
         y1t = y1.reshape(R, _C).T.reshape(_C * (R // 128), 128)
@@ -1499,7 +1501,7 @@ def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
                             interpret=interpret)
         y2t = y2.reshape(_C, R).T.reshape(R * 8, 128)
         prod2 = _rowperm3a_call(y2t, plan.t3a, plan.wb_a, apin,
-                                n_rows=R, B=8, Ra=plan.Ra,
+                                n_rows=R, B=b16, Ra=plan.Ra,
                                 interpret=interpret)
         prod = prod2.reshape(-1)[:plan.nslots]
         if not plan.compact:
