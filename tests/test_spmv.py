@@ -362,3 +362,41 @@ def test_onehot_spmm_gi4_wide_group_interpret(rng):
     ref = A.to_scipy() @ X
     tol = 50 * np.finfo(np.float32).eps * max(1.0, np.abs(ref).max())
     assert np.abs(Y - ref).max() < tol
+
+
+def test_spmv_bf16_dia_route():
+    """bf16 value planes through the banded DIA route: upcast once at plan
+    time (measured negative result: in-kernel widening is 3.7x slower on
+    v5e — see build_dia_pallas_plan), results match the f32 kernel exactly
+    when values are bf16-representable."""
+    import jax.numpy as jnp
+
+    A = generate_structured_laplacian(60, 60, dtype=np.float32)
+    Ab = A.with_values(A.values.astype(jnp.bfloat16))
+    x = np.linspace(-1, 1, A.ncols).astype(np.float32)
+    y32 = np.asarray(spmv(A, jnp.asarray(x)))
+    yb = np.asarray(spmv(Ab, jnp.asarray(x))).astype(np.float32)
+    np.testing.assert_allclose(yb, y32, rtol=1e-6, atol=1e-6)
+
+
+def test_spmv_bf16_modes_and_coefficients():
+    """bf16 scalar axis with alpha/beta/transpose — the bhalf ETI rows of
+    the reference's Test_Sparse_spmv.hpp."""
+    import jax.numpy as jnp
+
+    A = generate_random_csr(150, 120, 5, seed=8, dtype=np.float32)
+    Ab = A.with_values(A.values.astype(jnp.bfloat16))
+    x = np.linspace(-1, 1, A.ncols).astype(np.float32)
+    y0 = np.linspace(1, 2, A.nrows).astype(np.float32)
+    got = np.asarray(spmv(Ab, jnp.asarray(x), alpha=2.0, beta=-0.5,
+                          y=jnp.asarray(y0))).astype(np.float32)
+    spq = A.to_scipy().copy()
+    spq.data = np.asarray(spq.data.astype(np.float32)
+                          .astype(jnp.bfloat16)).astype(np.float32)
+    Abf = np.asarray(spq.todense())
+    ref = 2.0 * (Abf @ x) - 0.5 * y0
+    assert np.abs(got - ref).max() <= 2e-2 * np.abs(ref).max()
+    xt = np.linspace(-1, 1, A.nrows).astype(np.float32)
+    gt = np.asarray(spmv(Ab, jnp.asarray(xt), mode="T")).astype(np.float32)
+    reft = Abf.T @ xt
+    assert np.abs(gt - reft).max() <= 2e-2 * np.abs(reft).max()

@@ -210,7 +210,18 @@ class CsrMatrix:
         )
 
     def to_dense(self):
-        return jnp.asarray(self.to_scipy().toarray())
+        # scipy's csr_todense rejects ml_dtypes scalars (bf16): widen for
+        # the conversion, restore the value dtype on device
+        dt = np.asarray(self.host_values_full()).dtype
+        if dt in (np.float32, np.float64, np.complex64, np.complex128) \
+                or dt.kind in "iu":
+            return jnp.asarray(self.to_scipy().toarray())
+        import scipy.sparse as sps_
+
+        sp = self.to_scipy()
+        sp = sps_.csr_matrix((np.asarray(sp.data).astype(np.float32),
+                              sp.indices, sp.indptr), shape=sp.shape)
+        return jnp.asarray(sp.toarray()).astype(self.values.dtype)
 
     def with_values(self, values) -> "CsrMatrix":
         """Same sparsity, new values (the numeric-phase reuse idiom)."""

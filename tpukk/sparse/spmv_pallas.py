@@ -17,6 +17,7 @@ own software pipelining.  Keep it serial.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -52,6 +53,13 @@ def _dia_call(x_full, *diags, offsets, chunk, interpret):
     assert x_full.shape[0] == n_pad + W, (x_full.shape, n_pad, W)
     dtype = diags[0].dtype
 
+    # bf16 value planes (the reference's bhalf scalar axis): stream A's
+    # diagonals at 2 B/value, widen in-register, accumulate f32 — halves
+    # the dominant stream of the banded kernel at f32-x accuracy minus
+    # only the bf16 value rounding the caller opted into
+    bf16_vals = dtype == jnp.bfloat16
+    out_dtype = jnp.float32 if bf16_vals else dtype
+
     def kernel(x_ref, *rest):
         d_refs = rest[:k]
         y_ref = rest[k]
@@ -60,9 +68,14 @@ def _dia_call(x_full, *diags, offsets, chunk, interpret):
         cp = pltpu.make_async_copy(x_ref.at[pl.ds(i * C, win)], scratch, sem)
         cp.start()
         cp.wait()
-        acc = d_refs[0][:] * scratch[pl.ds(offsets[0] - off_min, C)]
+
+        def dv(j):
+            d = d_refs[j][:]
+            return d.astype(jnp.float32) if bf16_vals else d
+
+        acc = dv(0) * scratch[pl.ds(offsets[0] - off_min, C)]
         for j in range(1, k):
-            acc = acc + d_refs[j][:] * scratch[pl.ds(offsets[j] - off_min, C)]
+            acc = acc + dv(j) * scratch[pl.ds(offsets[j] - off_min, C)]
         y_ref[:] = acc
 
     return pl.pallas_call(
@@ -72,7 +85,7 @@ def _dia_call(x_full, *diags, offsets, chunk, interpret):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM) for _ in range(k)],
         out_specs=pl.BlockSpec((C,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((win,), x_full.dtype),
             pltpu.SemaphoreType.DMA(()),
@@ -125,6 +138,17 @@ def build_dia_pallas_plan(dia_plan, chunk: int = 128 * 1024) -> DiaPallasPlan:
     # x window, f32) stays within the ~16 MB scoped-vmem budget — wide bands
     # (e.g. the BSR->scalar-DIA route: (2b-1) diagonals per block diagonal)
     # otherwise OOM the stack at the default 128k chunk
+    if np.dtype(dia_plan.diags.dtype) == np.dtype(jnp.bfloat16):
+        # NEGATIVE RESULT (round 4, v5e): streaming bf16 value planes and
+        # widening in-kernel measured 3.7x SLOWER than f32 (65.8 vs
+        # 17.9 us on lap1000) — the f32 banded kernel already runs above
+        # nominal HBM (clock-boosted, partially cache-resident), so the
+        # kernel is compute-bound and per-element widening only adds VPU
+        # work (plus a halved chunk to fit the widened stack copies).
+        # bf16-valued matrices therefore upcast ONCE at plan time; the
+        # in-kernel bf16 path stays for completeness.
+        dia_plan = dataclasses.replace(
+            dia_plan, diags=dia_plan.diags.astype(jnp.float32))
     k = len(dia_plan.offsets)
     budget_elems = (6 * 1024 * 1024) // 4
     c = min(chunk, max(1, budget_elems // (k + 2)) // 1024 * 1024)
@@ -2224,6 +2248,12 @@ def _dlp_call_batched(dst_ss, src_ids, first_ss, tabidx_ss, pk, rhi, vals,
             sl = slice(j * 8, (j + 1) * 8)
             pv = v_ref[sl, :] * _pk_gather(X, pk_ref[sl, :], SR)
             rhi2 = rhi_ref[sl, :]
+            # NOTE (round 4): an XOR-butterfly sublane scatter (3 static
+            # shuffles) is INCORRECT here — elements merging at an
+            # intermediate row can carry divergent remaining routes, and
+            # once summed they cannot split.  The masked 8-way reduction
+            # is the exact form; only a placement-level capacity
+            # constraint (= the gi layout) removes it.
             red = jnp.sum if reduce == "sum" else jnp.max
             crows = [red(jnp.where(rhi2 == d, pv, 0.0), axis=0,
                          keepdims=True) for d in range(8)]
