@@ -30,8 +30,12 @@ def main():
               "see dist_halo_spmv.py for the portable schedule")
         return
     plan = shard_dist_gt_plan(plan, mesh)
-    print(f"plan: layout={plan.layout} parts={n_parts} "
-          f"halo={plan.halo} pad={plan.pad_ratio:.2f}")
+    if hasattr(plan, "offsets"):   # neighbor-ppermute overlap plan (v2)
+        print(f"plan: v2 offsets={plan.offsets} parts={n_parts} "
+              f"halo_total={plan.halo_total} pad={plan.pad_ratio:.2f}")
+    else:
+        print(f"plan: layout={plan.layout} parts={n_parts} "
+              f"halo={plan.halo} pad={plan.pad_ratio:.2f}")
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal(n).astype(np.float32)
