@@ -35,7 +35,11 @@ PAGES = {
                       ["sptrsv_symbolic", "sptrsv_solve", "SptrsvHandle",
                        "SptrsvAlgorithm"]),
     "sparse/spiluk": ("tpukk.sparse.spiluk",
-                      ["spiluk_symbolic", "spiluk_numeric", "SpilukHandle"]),
+                      ["spiluk_symbolic", "spiluk_numeric", "SpilukHandle",
+                       "build_iluk_refresh", "spiluk_refresh"]),
+    "sparse/sptrsv_cholmod": ("tpukk.sparse.sptrsv_cholmod",
+                              ["cholmod_import", "cholmod_raw_to_csr",
+                               "CholmodSolve"]),
     "sparse/par_ilut": ("tpukk.sparse.par_ilut",
                         ["par_ilut", "ParIlutHandle"]),
     "sparse/gmres": ("tpukk.sparse.gmres",

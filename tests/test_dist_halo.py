@@ -163,3 +163,42 @@ def test_ring_spgemm_pk_fast_path(mesh, rng):
     assert (Cs.indices == ref.indices).all()
     tol = 50 * np.finfo(np.float32).eps * max(1, np.abs(ref.data).max())
     assert np.abs(Cs.data - ref.data).max() < tol
+
+
+def test_neighbor_import_schedule():
+    """neighbor_import (the v2 O(P*H) exchange schedule): a 1-D partitioned
+    banded matrix has exactly the +-1 part offsets, per-offset send lists
+    reproduce the all_to_all import sets, and the offset-major remap covers
+    every remote column."""
+    import numpy as np
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.dist.halo import _import_sets, neighbor_import
+
+    A = generate_structured_laplacian(40, 40, dtype=np.float32)
+    rm = A.host_row_map().astype(np.int64)
+    ent = A.host_entries().astype(np.int64)
+    n, P = A.nrows, 8
+    rpp = -(-n // P)
+    rpp += (-rpp) % 8
+    ni = neighbor_import(rm, ent, n, P, rpp)
+    assert ni is not None
+    offsets, send_lists, rem_cols, rem_ids, H_off = ni
+    assert offsets == [1, P - 1]          # up/down neighbors only
+    imports, _, _ = _import_sets(rm, ent, n, P, rpp)
+    bases = np.concatenate(([0], np.cumsum(H_off)))
+    for p in range(P):
+        # every remote column remapped exactly once, into its offset block
+        want = np.sort(np.concatenate(
+            [imports[p][q] for q in range(P) if imports[p][q].size]
+            or [np.empty(0, np.int64)]))
+        np.testing.assert_array_equal(rem_cols[p], want)
+        for k, d in enumerate(offsets):
+            q = (p + d) % P
+            imp = imports[p][q]
+            # the values q sends for offset d are what p imports from q
+            sl = send_lists[k][q][:imp.size] + q * rpp
+            np.testing.assert_array_equal(np.sort(sl), np.sort(imp))
+            # and p's ids for those columns sit inside halo block k
+            ids = rem_ids[p][np.searchsorted(rem_cols[p], imp)]
+            assert ((ids >= rpp + bases[k])
+                    & (ids < rpp + bases[k] + H_off[k])).all()

@@ -70,6 +70,9 @@ def _pack_row_stages(t_rows, SRR):
     lane (each plane indexed at its own stage's output position)."""
     from .. import native
 
+    out = native.permute_route_rows(t_rows.astype(np.int64), SRR)
+    if out is not None:
+        return out
     n_rows = t_rows.shape[0]
     out = np.empty((n_rows, SRR * 128), np.int32)
     for r in range(n_rows):

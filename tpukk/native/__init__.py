@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "d1_greedy_color", "d2_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_depth", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "rcm", "spgemm_symbolic", "triangle_count"]
+__all__ = ["available", "d1_greedy_color", "d2_greedy_color", "gt_assign_lanes", "gt_build", "gt_place", "gt_place2", "iluk_depth", "iluk_symbolic", "ilu_numeric", "csr_transpose", "mdf_order", "permute_route", "permute_route_rows", "rcm", "spgemm_symbolic", "triangle_count"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpukk_native.cpp")
@@ -94,6 +94,9 @@ def _load():
                 i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p, i32p]
             lib.tpukk_gt_fetch_lane_tab.restype = ctypes.c_int32
             lib.tpukk_gt_fetch_lane_tab.argtypes = [i32p]
+            lib.tpukk_permute_route_rows.restype = ctypes.c_int32
+            lib.tpukk_permute_route_rows.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i32p]
             lib.tpukk_iluk_depth.restype = ctypes.c_int32
             lib.tpukk_iluk_depth.argtypes = [ctypes.c_int64, i32p, i32p]
             lib.tpukk_rcm.restype = None
@@ -245,6 +248,19 @@ def gt_assign_lanes(nd, ns, pair_off, pair_st, pair_cnt):
     lib.tpukk_gt_assign_lanes(nd, ns, np.ascontiguousarray(pair_off, np.int64),
                               _i32(pair_st), _i32(pair_cnt), out)
     return out
+
+
+def permute_route_rows(t_rows, SRR):
+    """Batched inner routing + 3-stage packing for n_rows row permutations
+    (see tpukk_permute_route_rows); None if unavailable or routing fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    t_rows = np.ascontiguousarray(t_rows, np.int64)
+    n_rows = t_rows.shape[0]
+    out = np.empty((n_rows, SRR * 128), np.int32)
+    rc = lib.tpukk_permute_route_rows(n_rows, SRR, t_rows.reshape(-1), out)
+    return out if rc == 0 else None
 
 
 def permute_route(R, C, src):

@@ -1219,6 +1219,32 @@ int32_t tpukk_gt_fetch(int32_t* pk, int32_t* eidx, int32_t* rhi,
 }
 
 // ---------------------------------------------------------------------------
+// Batched inner routing for the 3-stage packed row-permutation tables
+// (common/permute.py::_pack_row_stages): every row permutation of an outer
+// Beneš phase is itself Slepian-Duguid-routed on an (SRR, 128) grid and the
+// three index planes packed into one i32 (bits 0-6 stage-a lane, 7-13
+// stage-b sublane, 14-20 stage-c lane).  The Python per-row ctypes loop
+// cost seconds at plan build; this loops in C++.
+int32_t tpukk_permute_route_rows(int64_t n_rows, int64_t SRR,
+                                 const int64_t* t_rows, int32_t* out) {
+  const int64_t L = SRR * 128;
+  std::vector<int32_t> t1(L), t2(L), t3(L);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int32_t rc = tpukk_permute_route(SRR, 128, t_rows + r * L,
+                                     t1.data(), t2.data(), t3.data());
+    if (rc != 0) return rc;
+    int32_t* o = out + r * L;
+    for (int64_t s = 0; s < SRR; ++s)
+      for (int64_t l = 0; l < 128; ++l) {
+        int32_t sig = t2[l * SRR + s];  // transposed (128, SRR) layout
+        o[s * 128 + l] = t1[s * 128 + l] | (sig << 7)
+                         | (t3[s * 128 + l] << 14);
+      }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Entry-dependency depth of the ILU(k) pattern (device-numeric planning; cf.
 // the level schedule of sparse/impl/KokkosSparse_spiluk_symbolic_impl.hpp's
 // level_list — this is the finer ENTRY-level DAG depth).  An entry (i,j)
