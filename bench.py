@@ -364,9 +364,11 @@ def bench_graph():
 
     A = generate_structured_laplacian(400, 400, dtype=np.float32)
     graph_color(A, ColoringAlgorithm.VB)  # warm the jit
-    t0 = time.perf_counter()
-    colors = graph_color(A, ColoringAlgorithm.VB)
-    t = time.perf_counter() - t0
+    t = float("inf")
+    for _ in range(3):   # min-of-3 one-shots: relay latency is 1-30 ms
+        t0 = time.perf_counter()
+        colors = graph_color(A, ColoringAlgorithm.VB)
+        t = min(t, time.perf_counter() - t0)
     rm, ent, nrows = col._adjacency(A)
     cols_ell = col._ell_pad(rm, ent, nrows)
     gp = col._vb_gather_plan(cols_ell, nrows)

@@ -280,3 +280,56 @@ def test_spgemm_pk_pair_on_tpu(rngm):
     ref.sort_indices()
     rel = np.abs(cv - ref.data).max() / np.abs(ref.data).max()
     assert rel < 1e-6, rel
+
+
+def test_sort_pair_fused_on_tpu(rngm):
+    """Fused scattered SpGEMM pipeline (pinned-operand window gathers +
+    3-stage permute with phase-3 product) exact on hardware."""
+    _require_tpu()
+    import tpukk.common.permute as pmod
+    from tpukk.containers import generate_random_csr
+    from tpukk.sparse import SpgemmHandle, spgemm_symbolic
+    from tpukk.sparse import spgemm_pallas
+
+    orig = pmod.build_permute_plan
+    pmod.build_permute_plan = lambda src, **kw: orig(src, _force=True)
+    try:
+        A = generate_random_csr(3000, 3000, 6, seed=4, dtype=np.float32)
+        h = SpgemmHandle()
+        spgemm_symbolic(h, A, A)
+        pp = h.pair_plan
+        plan = spgemm_pallas.SortPairPlan(pp.a_idx, pp.b_idx, pp.c_idx,
+                                          A.nnz, A.nnz, pp.nnz_c)
+        assert plan.fused
+        vals = np.asarray(spgemm_pallas.sort_pair_numeric(
+            plan, A.values, A.values))
+    finally:
+        pmod.build_permute_plan = orig
+    sp = A.to_scipy()
+    ref = (sp @ sp).tocsr()
+    ref.sort_indices()
+    rel = np.abs(vals - ref.data).max() / np.abs(ref.data).max()
+    assert rel < 1e-5, rel
+
+
+def test_sptrsv_wide_fused_on_tpu(rngm):
+    """Wide (level-per-step) fused sptrsv + routed permutes exact on
+    hardware."""
+    _require_tpu()
+    import scipy.sparse as sps
+
+    from tpukk.containers import CsrMatrix, generate_structured_laplacian
+    from tpukk.sparse.sptrsv import SptrsvHandle, sptrsv_solve, sptrsv_symbolic
+
+    A = generate_structured_laplacian(80, 80, dtype=np.float32)
+    sp = sps.tril(A.to_scipy()).tocsr()
+    sp.sort_indices()
+    L = CsrMatrix.from_scipy(sp)
+    h = SptrsvHandle(lower=True)
+    sptrsv_symbolic(h, L)
+    assert h.fused_plan is not None and h.fused_plan.wide
+    b = rngm.standard_normal(L.nrows).astype(np.float32)
+    x = np.asarray(sptrsv_solve(h, L, jnp.asarray(b)))
+    ref = sps.linalg.spsolve_triangular(sp, b, lower=True)
+    rel = np.abs(x - ref).max() / max(1e-9, np.abs(ref).max())
+    assert rel < 1e-4, rel
