@@ -316,6 +316,7 @@ def test_sptrsv_wide_fused_on_tpu(rngm):
     """Wide (level-per-step) fused sptrsv + routed permutes exact on
     hardware."""
     _require_tpu()
+    import jax.numpy as jnp
     import scipy.sparse as sps
 
     from tpukk.containers import CsrMatrix, generate_structured_laplacian

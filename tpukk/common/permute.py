@@ -101,20 +101,20 @@ def _rowperm3_call(x2, ptab, *, n_rows, SRR, B, interpret):
         for j in range(B):
             X = x_ref[j * SRR:(j + 1) * SRR, :]
             tab = t_ref[j * SRR:(j + 1) * SRR, :]
+            if SRR < nb * 8:
+                # Mosaic's dynamic_gather wants whole (8,128) vregs:
+                # zero-pad the sub-vreg remainder before the takes
+                zf = jnp.zeros((nb * 8 - SRR, 128), jnp.float32)
+                zi = jnp.zeros((nb * 8 - SRR, 128), jnp.int32)
+                X = jnp.concatenate([X, zf], axis=0)
+                tab = jnp.concatenate([tab, zi], axis=0)
             a1 = tab & 127
             sig = (tab >> 7) & 127
             a3 = (tab >> 14) & 127
             z1 = jnp.take_along_axis(X, a1, axis=1)
-            if SRR < nb * 8:
-                pad = jnp.zeros((nb * 8 - SRR, 128), jnp.float32)
-                z1 = jnp.concatenate([z1, pad], axis=0)
-                sig_p = jnp.concatenate(
-                    [sig, jnp.zeros((nb * 8 - SRR, 128), jnp.int32)], axis=0)
-            else:
-                sig_p = sig
             rows = []
             for ob in range(nb):
-                sig_b = sig_p[ob * 8:(ob + 1) * 8, :]       # (8,128)
+                sig_b = sig[ob * 8:(ob + 1) * 8, :]         # (8,128)
                 acc = jnp.zeros((8, 128), jnp.float32)
                 for sb in range(nb):
                     g = jnp.take_along_axis(
@@ -122,9 +122,9 @@ def _rowperm3_call(x2, ptab, *, n_rows, SRR, B, interpret):
                         jnp.clip(sig_b - sb * 8, 0, 7), axis=0)
                     acc = jnp.where((sig_b >> 3) == sb, g, acc)
                 rows.append(acc)
-            z2 = (jnp.concatenate(rows, axis=0) if nb > 1 else rows[0])[:SRR]
-            y_ref[j * SRR:(j + 1) * SRR, :] = jnp.take_along_axis(
-                z2, a3, axis=1)
+            z2 = jnp.concatenate(rows, axis=0) if nb > 1 else rows[0]
+            z3 = jnp.take_along_axis(z2, a3, axis=1)
+            y_ref[j * SRR:(j + 1) * SRR, :] = z3[:SRR]
 
     spec = pl.BlockSpec((B * SRR, 128), lambda g: (g, 0),
                         memory_space=pltpu.VMEM)
