@@ -315,6 +315,52 @@ def bench_sptrsv():
          baseline_model="sn-levels*0.25us + nnz bytes/0.7*HBM")
 
 
+def bench_spiluk_refresh():
+    """Device ILU(k) value-refresh (round-4 verdict item 3): exact on-device
+    re-factorization for new A values vs the host C++ IKJ numeric + its two
+    transfers (the time-stepping refresh use case)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpukk.common.timing import chain_time_slope
+    from tpukk.containers import generate_diag_dominant_csr
+    from tpukk.sparse.spiluk import (SpilukHandle, build_iluk_refresh,
+                                     spiluk_numeric, spiluk_symbolic)
+
+    A = generate_diag_dominant_csr(20_000, 8, dtype=np.float32, seed=2)
+    h = SpilukHandle(fill_level=1)
+    spiluk_symbolic(h, A)
+    plan = build_iluk_refresh(h, A)
+    sp = A.to_scipy().tocsr()
+    sp.sort_indices()
+    av = jnp.asarray(sp.data.astype(np.float32))
+
+    # host path wall time (values to host + C++ IKJ + factors back)
+    t0 = time.perf_counter()
+    spiluk_numeric(h, A)
+    t_host = time.perf_counter() - t0
+
+    from tpukk.sparse import spiluk as _si
+
+    def mk(K):
+        def body(i, v):
+            lv, uv = _si._device_iluk(
+                plan.sweep.a_idx, plan.sweep.b_idx, plan.sweep.slot,
+                plan.mapL, plan.mapU, plan.sweep.diag_slot, plan.sweep.colL,
+                v, nnzL=plan.sweep.nnzL, nnzU=plan.sweep.nnzU,
+                nmiss=plan.sweep.nmiss, depth=plan.depth)
+            return v * 0.5 + lv[0] * 1e-20
+        return jax.jit(lambda v: jax.lax.fori_loop(0, K, body, v))
+
+    t_dev = chain_time_slope(mk, (av,), k1=3, k2=10, reps=3)
+    emit("spiluk_refresh_20k_us", t_dev * 1e6, "us",
+         t_host / t_dev,
+         depth=int(plan.depth), pattern_nnz=int(h.pattern.nnz),
+         host_ms=round(t_host * 1e3, 2),
+         baseline_model="host C++ IKJ numeric wall time (ratio; >1 = device"
+                        " refresh beats the host round-trip)")
+
+
 def bench_solvers():
     """Solver-level per-iteration costs (pcg+twostage GS, gmres+ILU-jacobi)."""
     import jax
@@ -835,7 +881,7 @@ def bench_flagship():
 def main():
     t_start = time.time()
     for fn in (bench_spmv_unstructured, bench_spmv_f64, bench_spgemm,
-               bench_sptrsv, bench_solvers, bench_graph, bench_spmm_blas,
+               bench_sptrsv, bench_spiluk_refresh, bench_solvers, bench_graph, bench_spmm_blas,
                bench_gs_gmres, bench_bsr_banded, bench_dist):
         family(fn)
     family(bench_flagship)  # LAST line = headline
