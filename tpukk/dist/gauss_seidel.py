@@ -232,12 +232,15 @@ def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
         col_p = colors[lo:hi]
         by_part_color.append([lo + np.nonzero(col_p == c)[0]
                               for c in range(1, ncolors + 1)])
-    # G*1024-aligned color blocks (G=4 pinned below): offsets land on whole
-    # output GROUPS of the gi4 kernel, so the fused in-place GS update's
-    # aliased out blocks tile cleanly
+    # G*1024-aligned color blocks: offsets land on whole output GROUPS of
+    # the gi4 kernel, so the fused in-place GS update's aliased out blocks
+    # tile cleanly.  G=4 (NOT 16 — measured round 4: wider groups made the
+    # fused kernel 2.5x SLOWER per color, the G live accumulators and
+    # per-chunk quarter selects outweigh the run-floor cut).
+    G_GS = 4
     rcs = tuple(round_up(max(1, max(by_part_color[p][c - 1].size
                                     for p in range(n_parts))),
-                         max(row_block, 4096))
+                         max(row_block, G_GS * 1024))
                 for c in range(1, ncolors + 1))
     offs = tuple(int(np.sum(rcs[:c], dtype=np.int64)) for c in range(ncolors))
     rpp_perm = int(sum(rcs))
@@ -314,7 +317,7 @@ def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
             iv[p, :nrc] = np.where(dloc != 0,
                                    1.0 / np.where(dloc == 0, 1.0, dloc), 0.0)
         built = build_stacked_streams(locals_c, Rc, ncols_ext,
-                                      force_group=4,
+                                      force_group=G_GS,
                                       force_batch=force_batch)
         if built is None:
             return None

@@ -1271,6 +1271,7 @@ class SortPairPlan:
         if not hasattr(self, "fused"):
             self.fused = False
             self.exp_wb = self.exp_pk = self.t3a = self.wb_a = None
+            self.t1x = None
             self.a_over_sel = None
             self.Rb = self.Ra = 0
         self.nnz_c = nnz_c
@@ -1285,6 +1286,7 @@ class SortPairPlan:
         every tile/row's source span fitting 256 values."""
         self.fused = False
         self.exp_wb = self.exp_pk = self.t3a = self.wb_a = None
+        self.t1x = None
         self.a_over_sel = None
         self.Rb = self.Ra = 0
         pp = self.perm_plan
@@ -1334,6 +1336,17 @@ class SortPairPlan:
             t3 | (rel_a.reshape(R * 8, 128).astype(np.int32) << 21)
             | flag.reshape(R * 8, 128))
         self.wb_a = jnp.asarray(wa.astype(np.int32))
+        # compose expansion with stage a of phase 1: t1x bits 0-8 = the
+        # composed window offset rel' = rel[s, a1(s,l)], 9-15 = sig,
+        # 16-22 = a3 (consumed by _expand3_call — the separate expansion
+        # kernel and its HBM round-trip disappear)
+        t1 = np.asarray(pp.t1).reshape(R, 8, 128)
+        a1 = t1 & 127
+        rel3 = rel_b.reshape(R, 8, 128).astype(np.int32)
+        relc = np.take_along_axis(rel3, a1, axis=2)
+        self.t1x = jnp.asarray(
+            (relc | (((t1 >> 7) & 127) << 9)
+             | (((t1 >> 14) & 127) << 16)).reshape(R * 8, 128))
         # overflow a-values: tiny deg-1 selection plan (n_over rows)
         self.a_over_sel = None
         if self.n_over:
@@ -1357,7 +1370,7 @@ class SortPairPlan:
         return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
                  self.perm_plan, self.multi_ids, self.over_seg,
                  self.exp_wb, self.exp_pk, self.t3a, self.wb_a,
-                 self.a_over_sel),
+                 self.a_over_sel, self.t1x),
                 (self.nnz_c, self.npairs, self.compact, self.nslots,
                  self.n_over, self.n_multi, self.fused, self.Rb, self.Ra))
 
@@ -1366,12 +1379,61 @@ class SortPairPlan:
         obj = cls(None, None, None, 0, 0, 0,
                   _fields=(*children[:7], *aux[:6]))
         (obj.exp_wb, obj.exp_pk, obj.t3a, obj.wb_a,
-         obj.a_over_sel) = children[7:]
+         obj.a_over_sel, obj.t1x) = children[7:]
         (obj.fused, obj.Rb, obj.Ra) = aux[6:]
         return obj
 
 
 jax.tree_util.register_pytree_node_class(SortPairPlan)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "B", "Rb",
+                                             "interpret"))
+def _expand3_call(wb, tab, bpin, *, n_rows, B, Rb, interpret):
+    """Expansion FUSED with phase 1 of the permute network: stage a of the
+    row factorization composes with the b-window gather on the host
+    (rel' = rel ∘ a1), so one kernel reads pinned b through the 4-sublane
+    window, applies the vertical (sig) and lane (a3) stages in-register,
+    and writes y1 directly — the xb2 HBM round-trip and the separate
+    expansion kernel disappear.  tab bits: 0-8 rel', 9-15 sig, 16-22 a3."""
+
+    def kernel(wb_ref, t_ref, b_ref, y_ref):
+        g = pl.program_id(0)
+        for j in range(B):
+            tabj = t_ref[j * 8:(j + 1) * 8, :]
+            rel = tabj & 511
+            sig = (tabj >> 9) & 127
+            a3 = (tabj >> 16) & 127
+            base = wb_ref[g * B + j]
+            win = b_ref[pl.ds(base, 4), :]
+            lane = rel & 127
+            hi = rel >> 7
+            z1 = jnp.zeros((8, 128), jnp.float32)
+            for w in range(4):
+                tw = jnp.take_along_axis(
+                    jnp.broadcast_to(win[w:w + 1, :], (8, 128)), lane,
+                    axis=1)
+                z1 = jnp.where(hi == w, tw, z1)
+            z2 = jnp.take_along_axis(z1, sig, axis=0)
+            y_ref[j * 8:(j + 1) * 8, :] = jnp.take_along_axis(z2, a3,
+                                                              axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows // B,),
+        in_specs=[
+            pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, 128), lambda g, wb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, name="tpukk_spgemm_expand_perm1", grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows * 8, 128), jnp.float32),
+        interpret=interpret)(wb, tab, bpin)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "B", "Rb",
@@ -1491,11 +1553,9 @@ def sort_pair_numeric(plan: SortPairPlan, a_vals, b_vals,
         apin = jnp.pad(a32, (0, plan.Ra * 128 - a32.shape[0])
                        ).reshape(plan.Ra, 128)
         b16 = 16 if R % 16 == 0 else 8
-        xb2 = _expand2_call(plan.exp_wb, plan.exp_pk, bpin,
-                            n_tiles=R, B=b16, Rb=plan.Rb,
-                            interpret=interpret)
-        y1 = _rowperm3_call(xb2, pp.t1, n_rows=R, SRR=8, B=8,
-                            interpret=interpret)
+        y1 = _expand3_call(plan.exp_wb, plan.t1x, bpin,
+                           n_rows=R, B=b16, Rb=plan.Rb,
+                           interpret=interpret)
         y1t = y1.reshape(R, _C).T.reshape(_C * (R // 128), 128)
         y2 = _rowperm3_call(y1t, pp.t2, n_rows=_C, SRR=R // 128, B=8,
                             interpret=interpret)
