@@ -268,3 +268,21 @@ def test_d2_coloring_large_no_square_blowup():
     sq = (pat @ pat.T + pat).tocsr()
     assert verify_coloring(CsrMatrix.from_scipy(sq.astype(np.float64)), colors)
     assert colors.max() <= 16
+
+
+def test_d2_coloring_fallback_keeps_d1_edges(monkeypatch):
+    """Scipy fallback (native unavailable) must keep distance-1 constraints:
+    a path graph with no explicit diagonal previously lost them because
+    pat@pat alone drops D1 edges (round-4 advisor finding)."""
+    from tpukk import native
+
+    monkeypatch.setattr(native, "d2_greedy_color",
+                        lambda *a, **k: None)
+    n = 6
+    P = sps.diags([np.ones(n - 1), np.ones(n - 1)], [-1, 1],
+                  (n, n)).tocsr().astype(np.float32)
+    colors = graph_color_d2(CsrMatrix.from_scipy(P))
+    pat = P.copy()
+    pat.data[:] = 1.0
+    sq = (pat @ pat.T + pat).tocsr()
+    assert verify_coloring(CsrMatrix.from_scipy(sq.astype(np.float64)), colors)

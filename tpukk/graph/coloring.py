@@ -417,7 +417,9 @@ def graph_color_d2(graph, algorithm: ColoringAlgorithm = ColoringAlgorithm.VB) -
                                         include_d1=True)
         if colors is not None:
             return colors
-        sq = (pat @ pat).tocsr()
+        # pat@pat alone drops distance-1 edges when the diagonal is not
+        # explicitly stored; add pat back so the D1-reduction keeps them.
+        sq = (pat @ pat + pat).tocsr()
         sq.sort_indices()
         return graph_color(CsrMatrix.from_scipy(sq.astype(np.float32)),
                            algorithm)

@@ -1270,7 +1270,7 @@ class SortPairPlan:
                 self.a_sel = None
         if not hasattr(self, "fused"):
             self.fused = False
-            self.exp_wb = self.exp_pk = self.t3a = self.wb_a = None
+            self.exp_wb = self.t3a = self.wb_a = None
             self.t1x = None
             self.a_over_sel = None
             self.Rb = self.Ra = 0
@@ -1285,12 +1285,20 @@ class SortPairPlan:
         phase-3 table).  Gated on the routed packed3 permute plan and on
         every tile/row's source span fitting 256 values."""
         self.fused = False
-        self.exp_wb = self.exp_pk = self.t3a = self.wb_a = None
+        self.exp_wb = self.t3a = self.wb_a = None
         self.t1x = None
         self.a_over_sel = None
         self.Rb = self.Ra = 0
         pp = self.perm_plan
         if pp is None or not getattr(pp, "packed3", False):
+            return
+        # Both value arrays are pinned whole in VMEM ((Rb,128)+(Ra,128)
+        # f32 blocks); gate like every other pinned-operand path so a
+        # large-nnz product falls back to the non-fused selection SpMVs
+        # instead of failing at Mosaic compile.
+        _rb = max(4, -(-max(nnz_b, 1) // 128) + 3)
+        _ra = max(4, -(-max(nnz_a, 1) // 128) + 3)
+        if (_rb + _ra) * 128 * 4 > _VALS_VMEM_CAP:
             return
         nslots = self.nslots
         R = pp.R
@@ -1361,15 +1369,13 @@ class SortPairPlan:
                 nrows=self.n_over, ncols=max(nnz_a, 1))
             self.a_over_sel = build_onehot_spmv_plan(Ao)
         self.exp_wb = jnp.asarray(wb_b)
-        self.exp_pk = jnp.asarray(rel_b.reshape(N // 128, 128)
-                                  .astype(np.int32))
         self.Rb, self.Ra = Rb, Ra
         self.fused = True
 
     def tree_flatten(self):
         return ((self.a_sel, self.b_sel, self.c_sum, self.perm_keys,
                  self.perm_plan, self.multi_ids, self.over_seg,
-                 self.exp_wb, self.exp_pk, self.t3a, self.wb_a,
+                 self.exp_wb, self.t3a, self.wb_a,
                  self.a_over_sel, self.t1x),
                 (self.nnz_c, self.npairs, self.compact, self.nslots,
                  self.n_over, self.n_multi, self.fused, self.Rb, self.Ra))
@@ -1378,7 +1384,7 @@ class SortPairPlan:
     def tree_unflatten(cls, aux, children):
         obj = cls(None, None, None, 0, 0, 0,
                   _fields=(*children[:7], *aux[:6]))
-        (obj.exp_wb, obj.exp_pk, obj.t3a, obj.wb_a,
+        (obj.exp_wb, obj.t3a, obj.wb_a,
          obj.a_over_sel, obj.t1x) = children[7:]
         (obj.fused, obj.Rb, obj.Ra) = aux[6:]
         return obj
@@ -1434,48 +1440,6 @@ def _expand3_call(wb, tab, bpin, *, n_rows, B, Rb, interpret):
         kernel, name="tpukk_spgemm_expand_perm1", grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows * 8, 128), jnp.float32),
         interpret=interpret)(wb, tab, bpin)
-
-
-@functools.partial(jax.jit, static_argnames=("n_tiles", "B", "Rb",
-                                             "interpret"))
-def _expand2_call(wb, pk, bpin, *, n_tiles, B, Rb, interpret):
-    """b-order expansion from PINNED b: out[t*1024 + s*128 + l] =
-    b[wb[t]*128 + pk[...]] — each tile's sources fit a 2-sublane window of
-    the VMEM-resident b, so the gather is two lane-takes + a select
-    (~6 ops/tile, 8 B/slot streams) instead of a selection-matrix SpMV."""
-
-    def kernel(wb_ref, pk_ref, b_ref, y_ref):
-        g = pl.program_id(0)
-        for j in range(B):
-            base = wb_ref[g * B + j]
-            win = b_ref[pl.ds(base, 4), :]
-            pkj = pk_ref[j * 8:(j + 1) * 8, :]
-            lane = pkj & 127
-            hi = pkj >> 7
-            acc = jnp.zeros((8, 128), jnp.float32)
-            for w in range(4):
-                tw = jnp.take_along_axis(
-                    jnp.broadcast_to(win[w:w + 1, :], (8, 128)), lane,
-                    axis=1)
-                acc = jnp.where(hi == w, tw, acc)
-            y_ref[j * 8:(j + 1) * 8, :] = acc
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles // B,),
-        in_specs=[
-            pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rb, 128), lambda g, wb: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B * 8, 128), lambda g, wb: (g, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel, name="tpukk_spgemm_expand2", grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
-        interpret=interpret)(wb, pk, bpin)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "B", "Ra",
