@@ -309,10 +309,19 @@ def bench_sptrsv():
     ts = chain_time_slope(mks, (b1,), k1=3, k2=10, reps=3)
     nlev_sn = len(snplan.levels)
     t_model_s = nlev_sn * 0.25e-6 + Lf.nnz * 8 / (0.70 * peak_hbm_gbps(kind) * 1e9)
+    from tpukk.sparse.sptrsv_supernodal import FusedSupernodalPlan
+    sn_path = ("fused_dag" if isinstance(snplan, FusedSupernodalPlan)
+               else "batched_xla")
+    sn_extra = {}
+    if sn_path == "fused_dag":
+        sn_extra = dict(dag_rows=int(snplan.num_rows_dag),
+                        kernel_W=int(snplan.plan.W),
+                        n_pad=int(snplan.plan.n_pad))
     emit("sptrsv_supernodal_lap100lu_us", ts * 1e6, "us", t_model_s / ts,
-         sn_levels=nlev_sn, nnz=int(Lf.nnz),
+         sn_levels=nlev_sn, nnz=int(Lf.nnz), path=sn_path,
          gnnz=round(Lf.nnz / ts / 1e9, 3),
-         baseline_model="sn-levels*0.25us + nnz bytes/0.7*HBM")
+         baseline_model="sn-levels*0.25us + nnz bytes/0.7*HBM",
+         **sn_extra)
 
 
 def bench_spiluk_refresh():

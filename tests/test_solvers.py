@@ -463,3 +463,66 @@ class TestCholmodImport:
         xs = np.asarray(solver(b))
         np.testing.assert_allclose(xs, np.linalg.solve(A, b),
                                    rtol=1e-8, atol=1e-8)
+
+
+class TestFusedSupernodal:
+    """Whole-solve fused supernodal reduction (FusedSupernodalPlan): the
+    solve rides the wide fused kernel over an expanded unit-lower DAG
+    (z-rows with C = P.Dinv entries, partial-sum aux rows, relay ladders,
+    x-rows applying Dinv) — reference analog: the SUPERNODAL_SPMV mode of
+    sparse/impl/KokkosSparse_sptrsv_solve_impl.hpp (inverted diagonal
+    blocks turn every level into a matvec)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(77)
+
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_splu_factor_interpret(self, lower, rng):
+        import jax.numpy as jnp
+        import scipy.sparse.linalg as spla
+        from tpukk.containers import generate_structured_laplacian
+        from tpukk.sparse.sptrsv_supernodal import (
+            build_supernodal_fused_plan, supernodal_solve)
+
+        A = generate_structured_laplacian(14, 14, dtype=np.float64)
+        lu = spla.splu(A.to_scipy().tocsc())
+        T = (lu.L if lower else lu.U).tocsr().astype(np.float32)
+        T.sort_indices()
+        n = T.shape[0]
+        plan = build_supernodal_fused_plan(
+            T.indptr, T.indices, T.data, n, lower=lower)
+        assert plan is not None, "fused supernodal plan outside gates"
+        assert plan.num_rows_dag > n      # aux/relay/x rows present
+        b = rng.standard_normal(n).astype(np.float32)
+        x = np.asarray(supernodal_solve(plan, jnp.asarray(b),
+                                        interpret=True))
+        ref = spla.spsolve_triangular(T.astype(np.float64),
+                                      b.astype(np.float64), lower=lower)
+        scale = np.abs(ref).max()
+        assert np.abs(x - ref).max() / scale < 5e-5
+
+    def test_imported_partition_interpret(self, rng):
+        """sn_of_col import path (CHOLMOD adapter role) through the fused
+        reduction."""
+        import jax.numpy as jnp
+        import scipy.sparse.linalg as spla
+        from tpukk.containers import generate_structured_laplacian
+        from tpukk.sparse.sptrsv_supernodal import (
+            build_supernodal_fused_plan, supernodal_solve)
+
+        A = generate_structured_laplacian(12, 12, dtype=np.float64)
+        lu = spla.splu(A.to_scipy().tocsc())
+        T = lu.L.tocsr().astype(np.float32)
+        T.sort_indices()
+        n = T.shape[0]
+        part = np.arange(n) // 4        # blocked monotone partition
+        plan = build_supernodal_fused_plan(
+            T.indptr, T.indices, T.data, n, lower=True, sn_of_col=part)
+        assert plan is not None
+        b = rng.standard_normal(n).astype(np.float32)
+        x = np.asarray(supernodal_solve(plan, jnp.asarray(b),
+                                        interpret=True))
+        ref = spla.spsolve_triangular(T.astype(np.float64),
+                                      b.astype(np.float64), lower=True)
+        assert np.abs(x - ref).max() / np.abs(ref).max() < 5e-5

@@ -63,7 +63,7 @@ class FusedSptrsvPlan:
 
     def __init__(self, cols, vals, invd, wb, sort_key_b, sort_key_x,
                  n, n_pad, W, slot_src, slot_row, wide=False, gt=None,
-                 LB=1, pb=None, px=None):
+                 LB=1, pb=None, px=None, n_in=None, n_out=None):
         self.cols = cols            # deep: (S,8,W,128); wide: lo (S,W,8,128)
         self.vals = vals            # same layout as cols, f32
         self.invd = invd            # (S,8,128) f32 (0 on pad rows)
@@ -76,6 +76,8 @@ class FusedSptrsvPlan:
         self.sort_key_b = sort_key_b  # (n_pad,) keys: concat(b, 0s) -> padded
         self.sort_key_x = sort_key_x  # (n_pad,) keys: padded -> natural x
         self.n = n
+        self.n_in = n if n_in is None else n_in    # external b length
+        self.n_out = n if n_out is None else n_out  # external x length
         self.n_pad = n_pad
         self.W = W
         self.slot_src = slot_src    # flat nnz index feeding each slot lane
@@ -94,7 +96,51 @@ class FusedSptrsvPlan:
         self.invd = jnp.asarray(inv.reshape(self.invd.shape))
 
 
-def _build_wide(rm, ent, vals, n, levels, lower: bool):
+def _greedy_slot_assign(gidx, sidx, lane, sl, srow, srcp, wmax):
+    """First-fit slot assignment for the wide kernel when the fast
+    rank+replica packing overflows _WMAX.  The true constraint set is a
+    bipartite edge coloring whose optimum is the max degree (~max row nnz):
+    per (g,w,s) each target lane holds one entry; per (g,w,s,src-lane) one
+    source row (the T=1 cell); per (g,w) all sources fit one 32-sublane
+    window.  Entries are placed in (g, srcp) order so windows fill
+    near-monotonically.  Returns the slot array or None on overflow."""
+    order = np.lexsort((srcp, gidx))
+    slot = np.empty(len(gidx), np.int64)
+    cur_g = -1
+    lane_used = src_map = wlo = whi = None
+    for e in order:
+        g = gidx[e]
+        if g != cur_g:
+            lane_used, src_map, wlo, whi = {}, {}, {}, {}
+            cur_g = g
+        s = sidx[e]
+        l = int(lane[e])
+        sli = int(sl[e])
+        sr = int(srow[e])
+        for w in range(wmax):
+            lu = lane_used.get((w, s), 0)
+            if (lu >> l) & 1:
+                continue
+            m = src_map.get((w, s, sli))
+            if m is not None and m != sr:
+                continue
+            lo = wlo.get(w, sr)
+            hi = whi.get(w, sr)
+            if max(hi, sr) - min(lo, sr) >= 32:
+                continue
+            lane_used[(w, s)] = lu | (1 << l)
+            src_map[(w, s, sli)] = sr
+            wlo[w] = min(lo, sr)
+            whi[w] = max(hi, sr)
+            slot[e] = w
+            break
+        else:
+            return None
+    return slot
+
+
+def _build_wide(rm, ent, vals, n, levels, lower: bool,
+                ext_in=None, ext_out=None, wmax=_WMAX):
     """One level per 1024-row grid step: the 8 sublanes of a step are
     independent (sources live strictly in earlier steps), so the whole
     (8,128) block solves in one batched iteration — the sequential unit is
@@ -141,7 +187,7 @@ def _build_wide(rm, ent, vals, n, levels, lower: bool):
     rank = (np.arange(len(dstp), dtype=np.int64) - rstart[rid]
             if len(dstp) else np.empty(0, np.int64))
     W_nat = int(rank.max()) + 1 if len(rank) else 1
-    if W_nat > _WMAX:
+    if W_nat > wmax:
         return None
     gidx = dstp // 1024
     sidx = (dstp // 128) % 8
@@ -166,11 +212,9 @@ def _build_wide(rm, ent, vals, n, levels, lower: bool):
         jj[ko] = jj_sorted
     slot = rank + W_nat * jj
     W1 = int(slot.max()) + 1 if len(slot) else 1
-    if W1 > _WMAX:
-        return None
     # window split: per (g, slot) the source span must fit a 32-sublane
     # window; farther entries bucket into replica slots of stride W1
-    if len(slot):
+    if len(slot) and W1 <= wmax:
         fs = gidx * W1 + slot
         ordfs = np.argsort(fs, kind="stable")
         fs_s = fs[ordfs]
@@ -182,7 +226,12 @@ def _build_wide(rm, ent, vals, n, levels, lower: bool):
         bucket = (srcp - gmin_per) // (_WIN - 128)
         slot = slot + W1 * bucket
     W = int(slot.max()) + 1 if len(slot) else 1
-    if W > _WMAX:
+    if W > wmax and len(slot):
+        slot = _greedy_slot_assign(gidx, sidx, lane, sl, srow, srcp, wmax)
+        if slot is None:
+            return None
+        W = int(slot.max()) + 1
+    if W > wmax:
         return None
     gt_a = np.zeros((S, W, 8, 128), np.int32)
     lo_a = np.zeros((S, W, 8, 128), np.int32)
@@ -207,7 +256,7 @@ def _build_wide(rm, ent, vals, n, levels, lower: bool):
     have = slot_row >= 0
     invd_a[have] = 1.0 / vals[slot_row[have]].astype(np.float32)
 
-    key_b, key_x, pb, px = _perm_plans(pos, n, n_pad)
+    key_b, key_x, pb, px = _perm_plans(pos, n, n_pad, ext_in, ext_out)
 
     return FusedSptrsvPlan(
         cols=jnp.asarray(lo_a), vals=jnp.asarray(vals_a),
@@ -217,27 +266,41 @@ def _build_wide(rm, ent, vals, n, levels, lower: bool):
         sort_key_b=jnp.asarray(key_b.astype(np.int32)),
         sort_key_x=jnp.asarray(key_x.astype(np.int32)),
         n=n, n_pad=n_pad, W=W, wide=True, LB=LB, pb=pb, px=px,
-        slot_src=slot_src.reshape(-1), slot_row=slot_row)
+        slot_src=slot_src.reshape(-1), slot_row=slot_row,
+        n_in=None if ext_in is None else len(ext_in),
+        n_out=None if ext_out is None else len(ext_out))
 
 
-def _perm_plans(pos, n, n_pad):
+def _perm_plans(pos, n, n_pad, ext_in=None, ext_out=None):
     """Sort keys (fallback) + routed static-permute plans for b->padded and
     padded->natural.  The two runtime lax.sort permutations dominated the
     whole fused solve (measured: kernel 67us vs 2.1ms end-to-end at
     n_pad=622k) — the Benes router (common.permute) replaces them with
-    3 pad-free row-gather passes each."""
+    3 pad-free row-gather passes each.
+
+    ext_in: optional (n_in,) node ids — external b slot e feeds row
+    ext_in[e] (rows not listed get zero).  ext_out: optional (n_out,) node
+    ids — external x slot j reads row ext_out[j].  Both default to identity
+    over all n rows; the supernodal reduction (sptrsv_supernodal) uses them
+    to feed only z-rows and read only x-rows of its expanded DAG."""
     from ..common.permute import build_permute_plan
 
+    if ext_in is None:
+        ext_in = np.arange(n, dtype=np.int64)
+    if ext_out is None:
+        ext_out = np.arange(n, dtype=np.int64)
+    n_in, n_out = len(ext_in), len(ext_out)
     key_b = np.empty(n_pad, np.int64)
-    key_b[:n] = pos
-    pad_slots = np.setdiff1d(np.arange(n_pad, dtype=np.int64), pos,
-                             assume_unique=True)
-    key_b[n:] = pad_slots
-    key_x = np.empty(n_pad, np.int64)
-    key_x[pos] = np.arange(n, dtype=np.int64)
-    key_x[pad_slots] = np.arange(n, n_pad, dtype=np.int64)
+    key_b[:n_in] = pos[ext_in]
+    used_b = np.zeros(n_pad, bool)
+    used_b[pos[ext_in]] = True
+    key_b[n_in:] = np.nonzero(~used_b)[0]
+    key_x = np.full(n_pad, -1, np.int64)
+    key_x[pos[ext_out]] = np.arange(n_out, dtype=np.int64)
+    rest = key_x < 0
+    key_x[rest] = np.arange(n_out, n_pad, dtype=np.int64)
     pb = px = None
-    if n_pad >= 131072:
+    if n_pad >= 32768:
         srcb = np.empty(n_pad, np.int64)
         srcb[key_b] = np.arange(n_pad)
         srcx = np.empty(n_pad, np.int64)
@@ -245,6 +308,14 @@ def _perm_plans(pos, n, n_pad):
         pb = build_permute_plan(srcb, _force=True)
         px = build_permute_plan(srcx, _force=True)
     return key_b, key_x, pb, px
+
+
+def build_fused_dag_plan(rm, ent, vals, n, levels, ext_in, ext_out):
+    """Wide fused plan over an arbitrary unit-diagonal lower DAG system with
+    external b/x maps (the supernodal reduction's entry point) — wide layout
+    only; returns None outside its gates."""
+    return _build_wide(rm, ent, vals, n, levels, True,
+                       ext_in=ext_in, ext_out=ext_out, wmax=64)
 
 
 def build_fused_sptrsv_plan(rm, ent, vals, n, levels, lower: bool):
@@ -497,7 +568,8 @@ def _fused_call(wb, cols, vals, invd, b2, *, S, SR, W, interpret):
 def fused_sptrsv_solve(plan: FusedSptrsvPlan, b, interpret: bool = False):
     """x with tri(A) x = b via the fused kernel; b natural order."""
     bfull = jnp.concatenate(
-        [b.astype(jnp.float32), jnp.zeros(plan.n_pad - plan.n, jnp.float32)])
+        [b.astype(jnp.float32),
+         jnp.zeros(plan.n_pad - plan.n_in, jnp.float32)])
     if plan.pb is not None:
         from ..common.permute import static_permute
 
@@ -522,4 +594,4 @@ def fused_sptrsv_solve(plan: FusedSptrsvPlan, b, interpret: bool = False):
     else:
         _, x = jax.lax.sort((plan.sort_key_x, x2.reshape(plan.n_pad)),
                             num_keys=1)
-    return x[: plan.n].astype(b.dtype)
+    return x[: plan.n_out].astype(b.dtype)

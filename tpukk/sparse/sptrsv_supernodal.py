@@ -30,7 +30,8 @@ import numpy as np
 
 from ..common import check
 
-__all__ = ["build_supernodal_plan", "supernodal_solve", "SupernodalPlan"]
+__all__ = ["build_supernodal_plan", "supernodal_solve", "SupernodalPlan",
+           "FusedSupernodalPlan"]
 
 
 def _detect_supernodes(rows, cols, n, max_size=64):
@@ -140,8 +141,270 @@ class SupernodalPlan:
     dtype: Any
 
 
+@dataclasses.dataclass
+class FusedSupernodalPlan:
+    """Whole-solve supernodal plan: the solve reduced to a unit-lower point
+    DAG system run through the wide fused level kernel (sptrsv_pallas).
+
+    Reduction (the SUPERNODAL_SPMV idea of the reference,
+    sparse/impl/KokkosSparse_sptrsv_solve_impl.hpp — invert the diagonal
+    blocks so every level becomes a matvec): with L = D + P (D block
+    diagonal, P the panels), z := D x satisfies the unit-lower system
+    (I + P·Dinv) z = b whose point-level count equals the SUPERNODE level
+    count, and x = Dinv z.  Both the z recursion and the final Dinv apply
+    are expressed as rows of one expanded DAG (z-rows, x-rows, plus
+    partial-sum aux rows that split any row with more than Wc entries so
+    the wide kernel's slot gate holds) and solved in ONE Pallas dispatch.
+    """
+    plan: Any               # FusedSptrsvPlan over the expanded DAG
+    n: int
+    reversed_: bool
+    num_supernodes: int
+    num_levels_sn: int      # supernode quotient levels (the model's floor)
+    num_rows_dag: int
+    max_block: int
+    dtype: Any
+
+    @property
+    def levels(self):       # len(plan.levels) compatibility for benches
+        return [None] * self.num_levels_sn
+
+
+def _split_heavy_rows(con, ch, av, chlev, chpos, next_id, Wc):
+    """Partial-sum aux expansion: while any consumer has more than Wc
+    entries, its oldest entries (by child level, then position) are grouped
+    into chunks of Wc; each chunk becomes an aux row carrying the chunk's
+    coefficients (v_aux = -sum a_e v_child) and the consumer references it
+    with coefficient -1.  Entries at the consumer's critical level
+    (parent_level - 1) stay direct when possible so the dependency depth
+    does not inflate.  Returns the updated entry arrays + per-aux levels."""
+    con = con.copy(); ch = ch.copy(); av = av.copy()
+    chlev = chlev.copy(); chpos = chpos.copy()
+    for _ in range(8):
+        cnt = np.bincount(con, minlength=next_id)
+        heavy = cnt > Wc
+        if not heavy.any():
+            break
+        m = heavy[con]
+        idx = np.nonzero(m)[0]
+        o = idx[np.lexsort((chpos[idx], chlev[idx], con[idx]))]
+        cs, ls = con[o], chlev[o]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        rid = np.cumsum(first) - 1
+        rstart = np.nonzero(first)[0]
+        w = np.arange(len(o)) - rstart[rid]
+        # parent critical level = max child level per consumer (sorted: last)
+        rend = np.r_[rstart[1:], len(o)]
+        pmax = ls[rend[rid] - 1]
+        crit = ls == pmax
+        ncrit = np.bincount(rid, weights=crit)[rid]
+        # chunk everything below the critical level; if the critical set
+        # alone exceeds Wc, chunk it too (depth inflation unavoidable)
+        chunkable = ~crit | (ncrit > Wc - 1)
+        ci = np.nonzero(chunkable)[0]
+        if not len(ci):
+            break
+        wch = np.arange(len(ci)) - np.searchsorted(ci, rstart[rid[ci]])
+        chunk_key = rid[ci] * (len(o) + 1) + wch // Wc
+        newc = np.r_[True, chunk_key[1:] != chunk_key[:-1]]
+        chunk_id = np.cumsum(newc) - 1
+        nchunks = int(chunk_id[-1]) + 1
+        aux_ids = next_id + np.arange(nchunks)
+        sel = o[ci]
+        # move entries to their aux rows
+        con[sel] = aux_ids[chunk_id]
+        # aux meta: level = max child level in chunk + 1, pos = min pos
+        aux_lev = np.zeros(nchunks, np.int64)
+        np.maximum.at(aux_lev, chunk_id, chlev[sel])
+        aux_lev += 1
+        aux_pos = np.full(nchunks, np.iinfo(np.int64).max)
+        np.minimum.at(aux_pos, chunk_id, chpos[sel])
+        # consumer references: (parent, aux, -1)
+        par = cs[ci][newc]
+        con = np.concatenate([con, par])
+        ch = np.concatenate([ch, aux_ids])
+        av = np.concatenate([av, np.full(nchunks, -1.0)])
+        chlev = np.concatenate([chlev, aux_lev])
+        chpos = np.concatenate([chpos, aux_pos])
+        next_id += nchunks
+    return con, ch, av, chlev, chpos, next_id
+
+
+_RELAY_HOP = 3   # max level distance before a value rides a relay ladder
+
+
+def _insert_relays(con, ch, av, klev, N):
+    """Relay ladders: the wide kernel's gather window spans 4 level-units,
+    so any edge longer than _RELAY_HOP levels is re-pointed at a chain of
+    identity rows (one per _RELAY_HOP levels) that carries the value
+    forward.  Every reference becomes window-local, which collapses the
+    slot count W from the window-region-stacking regime (~30-50 measured
+    on lap100's LU factor) back to the max-degree bound (~Wc)."""
+    d = klev[con] - klev[ch]
+    far = d > _RELAY_HOP
+    if not far.any():
+        return con, ch, av, klev, N
+    kstar = (d - 1) // _RELAY_HOP            # relay index each far edge rides
+    vmax = np.zeros(N, np.int64)
+    np.maximum.at(vmax, ch[far], kstar[far])
+    vids = np.nonzero(vmax)[0]               # values needing ladders
+    Kv = vmax[vids]
+    base = np.zeros(len(vids), np.int64)
+    np.cumsum(Kv[:-1], out=base[1:])
+    base += N
+    base_of = np.full(N, -1, np.int64)
+    base_of[vids] = base
+    total = int(Kv.sum())
+    # relay rows: r_{v,k} (k = 1..Kv) with single child (prev rung) and
+    # coefficient -1 (unit diagonal makes the row copy its child's value)
+    rk = np.concatenate([np.arange(1, k + 1) for k in Kv]) if total else \
+        np.empty(0, np.int64)
+    rv = np.repeat(vids, Kv)
+    rid = np.repeat(base, Kv) + rk - 1
+    prev = np.where(rk == 1, rv, rid - 1)
+    con2 = np.concatenate([con, rid])
+    ch2 = np.concatenate([ch, prev])
+    av2 = np.concatenate([av, np.full(total, -1.0)])
+    klev2 = np.concatenate([klev, klev[rv] + rk * _RELAY_HOP])
+    # re-point far edges at the deepest rung still below the consumer
+    ch2[: len(ch)][far] = base_of[ch[far]] + kstar[far] - 1
+    return con2, ch2, av2, klev2, N + total
+
+
+def build_supernodal_fused_plan(rm, ent, vals, n, lower=True, max_size=32,
+                                sn_of_col=None, Wc=8):
+    """Build the expanded-DAG fused supernodal plan (see
+    FusedSupernodalPlan).  Returns None outside the wide kernel's gates —
+    callers fall back to the batched-XLA SupernodalPlan."""
+    if n == 0 or np.dtype(np.asarray(vals).dtype) != np.float32:
+        return None
+    rm = np.asarray(rm, np.int64)
+    ent = np.asarray(ent, np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rm))
+    cols = ent.copy()
+    if not lower:
+        rows, cols = n - 1 - rows, n - 1 - cols
+    tri = cols <= rows
+    rows, cols = rows[tri], cols[tri]
+    v = np.asarray(vals)[tri].astype(np.float64)
+
+    strict = cols < rows
+    if sn_of_col is not None:
+        sn = _split_partition(np.asarray(sn_of_col, np.int64), max_size)
+    else:
+        sn = _detect_supernodes(rows[strict], cols[strict], n, max_size)
+    nsn = int(sn[-1]) + 1
+    sn_start = np.zeros(nsn + 1, np.int64)
+    np.cumsum(np.bincount(sn, minlength=nsn), out=sn_start[1:])
+    size = np.diff(sn_start)
+    M = int(size.max(initial=1))
+
+    diag_present = np.zeros(n, bool)
+    diag_present[rows[rows == cols]] = True
+    if not diag_present.all():
+        return None
+
+    esn = sn[cols]
+    in_diag = rows < sn_start[esn + 1]
+    # batched diagonal-block inverses (f64 host; identity padding keeps the
+    # inverse of the real block in the top-left corner)
+    D = np.zeros((nsn, M, M))
+    D[:, np.arange(M), np.arange(M)] = 1.0
+    dl = in_diag
+    D[esn[dl], rows[dl] - sn_start[esn[dl]], cols[dl] - sn_start[esn[dl]]] \
+        = v[dl]
+    try:
+        Dinv = np.linalg.inv(D)
+    except np.linalg.LinAlgError:
+        return None
+
+    # C = P · Dinv, one dense row segment per distinct (panel row, sn)
+    pm = ~in_diag
+    pr, pc, pv, ps = rows[pm], cols[pm], v[pm], esn[pm]
+    if len(pr):
+        order = np.lexsort((pc, pr, ps))
+        ps_o, pr_o, pc_o, pv_o = ps[order], pr[order], pc[order], pv[order]
+        newp = np.r_[True, (ps_o[1:] != ps_o[:-1]) | (pr_o[1:] != pr_o[:-1])]
+        starts_p = np.nonzero(newp)[0]
+        contrib = pv_o[:, None] * Dinv[ps_o, pc_o - sn_start[ps_o], :]
+        Cp = np.add.reduceat(contrib, starts_p, axis=0)
+        pair_r, pair_s = pr_o[starts_p], ps_o[starts_p]
+        valid = (np.arange(M)[None, :] < size[pair_s][:, None]) & (Cp != 0.0)
+        pidx, kidx = np.nonzero(valid)
+        e_row = pair_r[pidx]
+        e_col = sn_start[pair_s[pidx]] + kidx
+        e_val = Cp[pidx, kidx]
+    else:
+        e_row = e_col = np.empty(0, np.int64)
+        e_val = np.empty(0, np.float64)
+
+    # x-rows: x_j = sum_k Dinv[sn(j)][local(j), k] z_(block col k)
+    jl = np.arange(n, dtype=np.int64) - sn_start[sn]
+    Xv = Dinv[sn, jl, :]                                     # (n, M)
+    xvalid = (np.arange(M)[None, :] < size[sn][:, None]) & (Xv != 0.0)
+    xj, xk = np.nonzero(xvalid)
+    x_child = sn_start[sn[xj]] + xk
+    x_val = Xv[xj, xk]
+
+    # supernode quotient levels give z-node levels for chunk ordering
+    lev_sn = _quotient_levels(sn[rows], sn[cols], nsn)
+    zlev = lev_sn[sn]                                        # (n,)
+
+    # assemble (consumer, child, coefficient) with provisional ids:
+    # z_j -> j, x_j -> n + j, aux appended from 2n
+    con = np.concatenate([e_row, n + xj])
+    ch = np.concatenate([e_col, x_child])
+    av = np.concatenate([e_val, -x_val])
+    chlev = zlev[ch]
+    chpos = ch.copy()
+    con, ch, av, chlev, chpos, N = _split_heavy_rows(
+        con, ch, av, chlev, chpos, 2 * n, Wc)
+
+    # exact Kahn levels over the expanded DAG (0-based), then split any
+    # level beyond 1024 rows into independent pseudo-level blocks
+    klev = _quotient_levels(con, ch, N)
+    con, ch, av, klev, N = _insert_relays(con, ch, av, klev, N)
+    lev_cnt = np.bincount(klev, minlength=int(klev.max()) + 1)
+    nblk = -(-lev_cnt // 1024)
+    base = np.zeros(len(nblk) + 1, np.int64)
+    np.cumsum(nblk, out=base[1:])
+    order_nodes = np.argsort(klev, kind="stable")
+    lev_off = np.zeros(len(nblk) + 1, np.int64)
+    np.cumsum(lev_cnt, out=lev_off[1:])
+    within = np.arange(N) - lev_off[klev[order_nodes]]
+    blk = np.empty(N, np.int64)
+    blk[order_nodes] = base[klev[order_nodes]] + within // 1024
+    # topo relabel: new id sorted by (block level, provisional id)
+    new_of = np.empty(N, np.int64)
+    perm = np.lexsort((np.arange(N), blk))
+    new_of[perm] = np.arange(N)
+
+    # CSR of the expanded system (unit diagonal everywhere)
+    r_all = np.concatenate([new_of[con], np.arange(N)])
+    c_all = np.concatenate([new_of[ch], np.arange(N)])
+    v_all = np.concatenate([av, np.ones(N)])
+    o2 = np.lexsort((c_all, r_all))
+    r_all, c_all, v_all = r_all[o2], c_all[o2], v_all[o2]
+    rm2 = np.zeros(N + 1, np.int64)
+    np.cumsum(np.bincount(r_all, minlength=N), out=rm2[1:])
+    levels2 = np.empty(N, np.int64)
+    levels2[new_of] = blk + 1                                # 1-based
+
+    from .sptrsv_pallas import build_fused_dag_plan
+
+    fplan = build_fused_dag_plan(
+        rm2, c_all, v_all.astype(np.float32), N, levels2,
+        ext_in=new_of[:n], ext_out=new_of[n:2 * n])
+    if fplan is None:
+        return None
+    return FusedSupernodalPlan(
+        plan=fplan, n=n, reversed_=not lower, num_supernodes=nsn,
+        num_levels_sn=int(lev_sn.max()) + 1, num_rows_dag=N,
+        max_block=M, dtype=np.float32)
+
+
 def build_supernodal_plan(rm, ent, vals, n, lower=True, max_size=64,
-                          sn_of_col=None):
+                          sn_of_col=None, fused="auto"):
     """Host symbolic+numeric: supernode detection, quotient level schedule,
     dense block extraction.  `rm/ent/vals` describe a triangular CSR (diagonal
     entries required).  Upper-triangular inputs are index-reversed into lower
@@ -149,7 +412,21 @@ def build_supernodal_plan(rm, ent, vals, n, lower=True, max_size=64,
 
     sn_of_col: optional IMPORTED supernode partition (e.g. from a CHOLMOD
     factor, sptrsv_cholmod.py) — monotone supernode id per column in the
-    lower orientation; runs longer than max_size are split."""
+    lower orientation; runs longer than max_size are split.
+
+    fused: "auto" tries the whole-solve fused reduction (FusedSupernodalPlan)
+    on TPU and falls back to the batched-XLA per-level plan; True forces the
+    fused build (tests drive it in interpret mode on CPU); False skips it."""
+    if fused == "auto":
+        from .spmv_pallas import supports_pallas
+
+        fused = supports_pallas()
+    if fused:
+        fp = build_supernodal_fused_plan(
+            rm, ent, vals, n, lower=lower,
+            max_size=min(max_size, 32), sn_of_col=sn_of_col)
+        if fp is not None:
+            return fp
     rm = np.asarray(rm, np.int64)
     ent = np.asarray(ent, np.int64)
     vals = np.asarray(vals)
@@ -264,10 +541,17 @@ def build_supernodal_plan(rm, ent, vals, n, lower=True, max_size=64,
                           int(sn_size.max(initial=1)), dtype)
 
 
-def supernodal_solve(plan: SupernodalPlan, b):
-    """x with tri(A)·x = b using the supernodal plan.  One batched
-    triangular_solve + one batched panel matvec per level; work vector has a
-    dump slot at index n so padded lanes never branch."""
+def supernodal_solve(plan, b, interpret: bool = False):
+    """x with tri(A)·x = b using the supernodal plan.  Fused plans run the
+    whole expanded DAG in one Pallas dispatch; batched-XLA plans run one
+    triangular_solve + one panel matvec per level with an n-index dump slot
+    so padded lanes never branch."""
+    if isinstance(plan, FusedSupernodalPlan):
+        from .sptrsv_pallas import fused_sptrsv_solve
+
+        bv = b[::-1] if plan.reversed_ else b
+        x = fused_sptrsv_solve(plan.plan, bv, interpret=interpret)
+        return x[::-1] if plan.reversed_ else x
     n = plan.n
     bv = b[::-1] if plan.reversed_ else b
     bw = jnp.concatenate([bv, jnp.zeros((1,), bv.dtype)])
