@@ -183,3 +183,60 @@ class TestBlas3:
         _close(np.tril(A) @ X, B, scalar, 500)
         X2 = np.asarray(blas.trsm("R", "U", "N", "N", 2.0, A, B.T.copy()))
         _close(X2 @ np.triu(A), 2 * B.T, scalar, 500)
+
+
+class TestRotmgRescaling:
+    """Full drotmg gamma-threshold rescaling (reference LAPACK semantics).
+    scipy.linalg.blas.drotmg returns only the 5-vector param; the d/x
+    outputs are checked through the defining invariants instead: H zeroes
+    the second component of (x1, y1), the weighted norm d1 a^2 + d2 b^2 is
+    preserved for every vector, and the rescaled scale factors sit inside
+    [1/GAM^2, GAM^2]."""
+
+    @pytest.mark.parametrize("d1,d2,x1,y1", [
+        (2.0, 3.0, 1.5, -0.5),          # ordinary flag path
+        (1e-12, 2.0, 1.0, 1.0),         # small d1 -> rescale up
+        (1e12, 1e-14, 3.0, 2.0),        # large d1 / tiny d2
+        (4.0, 1e18, 1.0, 2.0),          # huge d2 -> rescale down
+        (1e-20, 1e-20, 7.0, 3.0),       # both tiny
+    ])
+    def test_matches_lapack(self, d1, d2, x1, y1):
+        from scipy.linalg import blas as sblas
+        from tpukk.blas import rotmg
+
+        rparam = np.asarray(sblas.drotmg(d1, d2, x1, y1), np.float64).ravel()
+        nd1, nd2, nx1, param = rotmg(np.float64(d1), np.float64(d2),
+                                     np.float64(x1), np.float64(y1))
+        nd1, nd2, nx1 = float(nd1), float(nd2), float(nx1)
+        p = np.asarray(param, np.float64)
+        assert p[0] == rparam[0]
+
+        def full(par):
+            fl, h11, h21, h12, h22 = par
+            if fl == -2.0:
+                return np.eye(2)
+            if fl == 0.0:
+                return np.array([[1.0, h12], [h21, 1.0]])
+            if fl == 1.0:
+                return np.array([[h11, 1.0], [-1.0, h22]])
+            return np.array([[h11, h12], [h21, h22]])
+
+        H = full(p)
+        np.testing.assert_allclose(H, full(rparam), rtol=1e-6, atol=1e-300)
+        # defining contract: H zeroes y, x1' is the rotated first component
+        out = H @ np.array([x1, y1])
+        assert abs(out[1]) <= 1e-10 * max(1.0, abs(out[0]))
+        np.testing.assert_allclose(out[0], nx1, rtol=1e-10)
+        # weighted norm preserved for arbitrary vectors
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            v = rng.standard_normal(2)
+            w = H @ v
+            lhs = d1 * v[0] ** 2 + d2 * v[1] ** 2
+            rhs = nd1 * w[0] ** 2 + nd2 * w[1] ** 2
+            np.testing.assert_allclose(rhs, lhs, rtol=1e-8)
+        # gamma rescaling engaged: scale factors inside the window
+        gamsq = 4096.0 ** 2
+        for d in (nd1, nd2):
+            if d != 0:
+                assert 1.0 / gamsq <= abs(d) <= gamsq

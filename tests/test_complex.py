@@ -140,3 +140,36 @@ def test_complex64_pair_route_matches_xla(rng):
     tol = 60 * np.finfo(np.float32).eps * np.abs(ref).max()
     assert np.abs(y_pair - ref).max() < tol
     assert np.abs(y_xla - ref).max() < tol
+
+
+def test_dtype_tier_policy():
+    """Pinned dtype-tier decision (docs/API.md 'Value-dtype tiers'):
+    complex128 and int-valued matrices are COMPATIBILITY tier — correct
+    through the XLA routes, no Pallas plan engaged.  If a fast path is
+    added later this test must be updated together with the docs."""
+    import scipy.sparse as sps
+    from tpukk.sparse import spmv
+    from tpukk.sparse.spmv import SpmvHandle
+
+    rng = np.random.default_rng(4)
+    n = 60
+    # complex128
+    Ac = sps.random(n, n, 0.1, random_state=4, format="csr").astype(np.complex128)
+    Ac.data += 1j * rng.standard_normal(len(Ac.data))
+    M = CsrMatrix.from_scipy(Ac)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y = np.asarray(spmv(M, jnp.asarray(x)))
+    ref = Ac @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-12
+    h = SpmvHandle(M)
+    assert h.algorithm.name in ("ELL", "SEGSUM", "DENSE"), h.algorithm
+    # integer values
+    Ai = sps.random(n, n, 0.1, random_state=5, format="csr")
+    Ai.data = np.round(Ai.data * 10)
+    Mi = CsrMatrix.from_scipy(Ai.astype(np.int32))
+    xi = np.arange(n, dtype=np.int32)
+    yi = np.asarray(spmv(Mi, jnp.asarray(xi)))
+    refi = (Ai.astype(np.int64) @ xi.astype(np.int64))
+    assert (yi.astype(np.int64) == refi).all()
+    hi = SpmvHandle(Mi)
+    assert hi.algorithm.name in ("ELL", "SEGSUM", "DENSE"), hi.algorithm

@@ -183,3 +183,61 @@ def test_replace_sum_into_values(rng):
             if p:
                 ref2[r, c] = v
         np.testing.assert_allclose(A3.to_scipy().toarray(), ref2.toarray())
+
+
+class TestDetectBlockSize:
+    """Pattern-aware block-size detection — contract of
+    sparse/impl/KokkosSparse_crs_detect_block_size.hpp (every nonempty b*b
+    block must be FULLY dense; largest such b wins)."""
+
+    def test_truly_blocked(self):
+        import scipy.sparse as sps
+        from tpukk.containers import detect_block_size
+
+        rng = np.random.default_rng(0)
+        nb, b = 10, 4
+        pat = sps.random(nb, nb, 0.4, random_state=1, format="csr")
+        pat.data[:] = 1.0
+        dense_blocks = sps.kron(pat, np.ones((b, b))).tocsr()
+        A = CsrMatrix.from_scipy(dense_blocks.astype(np.float32))
+        assert detect_block_size(A) == b
+
+    def test_non_blocked_even_dims_returns_1(self):
+        """The round-4 advisor case: even dimensions but scattered pattern
+        must NOT report a block size > 1."""
+        import scipy.sparse as sps
+        from tpukk.containers import detect_block_size
+
+        A = sps.random(64, 64, 0.05, random_state=2, format="csr")
+        A.setdiag(1.0)
+        A = CsrMatrix.from_scipy(A.tocsr().astype(np.float32))
+        assert detect_block_size(A) == 1
+
+    def test_multiple_factor(self):
+        import scipy.sparse as sps
+        from tpukk.containers import detect_block_size
+
+        pat = sps.random(6, 6, 0.5, random_state=3, format="csr")
+        pat.data[:] = 1.0
+        A = CsrMatrix.from_scipy(
+            sps.kron(pat, np.ones((6, 6))).tocsr().astype(np.float32))
+        # blocks of 6 are dense; 2 and 3 divide 6 so they are dense too —
+        # the LARGEST must be returned
+        assert detect_block_size(A) == 6
+
+
+def test_generate_random_bsr():
+    """BSR random generator (IOUtils kk_generate_sparse_matrix BSR overload,
+    sparse/src/KokkosSparse_IOUtils.hpp:383)."""
+    from tpukk.containers import generate_random_bsr
+
+    A = generate_random_bsr(12, 10, 3, 4, seed=5)
+    assert A.shape == (36, 30)
+    assert A.block_size == 3
+    assert A.values.shape == (12 * 4, 3, 3)
+    sp = A.to_scipy().tocsr()
+    assert sp.shape == (36, 30)
+    # block columns within range and sorted per row
+    ent = np.asarray(A.entries).reshape(12, 4)
+    assert (ent >= 0).all() and (ent < 10).all()
+    assert (np.diff(ent, axis=1) > 0).all()

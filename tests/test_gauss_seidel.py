@@ -1,6 +1,7 @@
 """GS tests — error must decrease per sweep (the reference's oracle,
 Test_Sparse_gauss_seidel.hpp) and POINT must match a sequential GS sweep
 ordering-equivalence (colored GS = exact GS in the permuted order)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -206,3 +207,31 @@ def test_block_gauss_seidel_bsr(rng):
         errs.append(float(np.linalg.norm(np.asarray(x) - xstar)))
     assert all(errs[i + 1] < errs[i] for i in range(len(errs) - 1)), errs
     assert errs[-1] < 0.05 * errs[0]
+
+
+def test_twostage_compact_form():
+    """compact_form (twostage_gauss_seidel_impl.hpp:120): complement-matrix
+    rhs, no full-A residual SpMV.  With many inner sweeps both forms
+    converge to classical GS, and at omega=1 with an (effectively) exact
+    inner solve they coincide."""
+    from tpukk.sparse.gauss_seidel import (GsAlgorithm, GsHandle,
+                                           gauss_seidel_apply,
+                                           gauss_seidel_numeric,
+                                           gauss_seidel_symbolic)
+
+    A = generate_diag_dominant_csr(60, 4, dtype=np.float64, seed=9)
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal(60)
+    xs = {}
+    for compact in (False, True):
+        h = GsHandle(algorithm=GsAlgorithm.TWOSTAGE, inner_sweeps=60,
+                     compact_form=compact)
+        gauss_seidel_symbolic(h, A)
+        gauss_seidel_numeric(h, A)
+        x = gauss_seidel_apply(h, A, None, jnp.asarray(b), num_sweeps=3,
+                               direction="forward")
+        xs[compact] = np.asarray(x)
+    np.testing.assert_allclose(xs[True], xs[False], rtol=1e-8, atol=1e-10)
+    # and it actually reduces the residual
+    r = A.to_scipy() @ xs[True] - b
+    assert np.linalg.norm(r) < 0.5 * np.linalg.norm(b)

@@ -356,3 +356,20 @@ def test_spgemm_sort_pair_fused_noncompact_interpret(monkeypatch):
     vals = np.asarray(spgemm_pallas.sort_pair_numeric(
         plan, A.values, A.values, interpret=True))
     np.testing.assert_allclose(vals, ref.data, rtol=1e-5, atol=1e-5)
+
+
+def test_bspadd_block_matrices():
+    """Block SpADD over BsrMatrix (Test_BlockSparse.hpp spadd coverage):
+    C = 2A - B with block-pattern union."""
+    from tpukk.containers import generate_random_bsr
+    from tpukk.sparse import bspadd
+
+    A = generate_random_bsr(8, 8, 4, 3, seed=1)
+    B = generate_random_bsr(8, 8, 4, 3, seed=2)
+    C = bspadd(2.0, A, -1.0, B)
+    ref = (2.0 * A.to_scipy() - B.to_scipy()).tocsr()
+    got = C.to_scipy().tocsr()
+    ref.sort_indices(); got.sort_indices()
+    ref.eliminate_zeros(); got.eliminate_zeros()
+    assert np.abs((got - ref).toarray()).max() < 1e-5
+    assert C.block_size == 4

@@ -12,6 +12,7 @@ coefficient arrays apply per column.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..common import arith_traits
@@ -180,8 +181,11 @@ def rotm(x, y, param):
 
 @annotate("blas1.rotmg")
 def rotmg(d1, d2, x1, y1):
-    """Construct modified Givens rotation (reference LAPACK drotmg semantics,
-    simplified: no rescaling against gamma thresholds)."""
+    """Construct modified Givens rotation — full reference LAPACK drotmg
+    semantics including the gamma-threshold rescaling loops (GAM=4096):
+    whenever a scale factor leaves [1/GAM^2, GAM^2], d/x1/H are rescaled by
+    GAM^2 steps and the flag drops to -1 (full-matrix form), keeping the
+    factored representation away from over/underflow on extreme scales."""
     d1 = jnp.asarray(d1, jnp.result_type(d1, 1.0))
     d2 = jnp.asarray(d2, d1.dtype)
     x1 = jnp.asarray(x1, d1.dtype)
@@ -211,11 +215,55 @@ def rotmg(d1, d2, x1, y1):
     f0 = case_flag0()
     f1 = case_flag1()
     flag, nd1, nd2, nx1, h11, h21, h12, h22 = [jnp.where(use0, a, b) for a, b in zip(f0, f1)]
-    # degenerate: d1 < 0 or zero inputs → identity-ish flag -2
+    # flag-1 branch with u <= 0 (negative weight would result): LAPACK zeroes
+    # everything and returns the full-matrix form with H = 0
+    zero = jnp.zeros_like(d1)
+    bad = (~use0) & (1.0 + (p1 / p2) * (x1 / y1) <= 0.0) & (q2 != 0)
+    flag = jnp.where(bad, -1.0, flag)
+    nd1 = jnp.where(bad, zero, nd1)
+    nd2 = jnp.where(bad, zero, nd2)
+    nx1 = jnp.where(bad, zero, nx1)
+    h11, h21, h12, h22 = (jnp.where(bad, zero, h) for h in (h11, h21, h12, h22))
+    # degenerate: zero inputs → identity flag -2
     degen = (q2 == 0) & (q1 == 0)
     flag = jnp.where(degen, -2.0, flag)
-    param = jnp.stack([flag, h11, h21, h12, h22])
     nd1 = jnp.where(degen, d1, nd1)
     nd2 = jnp.where(degen, d2, nd2)
     nx1 = jnp.where(degen, x1, nx1)
+
+    # --- gamma rescaling (LAPACK drotmg GAM/GAMSQ/RGAMSQ loops) ---
+    gam = jnp.asarray(4096.0, d1.dtype)
+    gamsq, rgamsq = gam * gam, 1.0 / (gam * gam)
+
+    def _need(s):
+        fl, a1, a2, ax, g11, g21, g12, g22 = s
+        d1bad = (a1 != 0) & ((a1 <= rgamsq) | (a1 >= gamsq))
+        d2bad = (a2 != 0) & ((jnp.abs(a2) <= rgamsq) | (jnp.abs(a2) >= gamsq))
+        return (fl != -2.0) & (d1bad | d2bad)
+
+    def _step(s):
+        fl, a1, a2, ax, g11, g21, g12, g22 = s
+        # entering full-matrix form: materialize the implicit 1 / -1 entries
+        g11 = jnp.where(fl == 0.0, jnp.ones_like(g11), g11)
+        g22 = jnp.where(fl == 0.0, jnp.ones_like(g22), g22)
+        g21 = jnp.where(fl == 1.0, -jnp.ones_like(g21), g21)
+        g12 = jnp.where(fl == 1.0, jnp.ones_like(g12), g12)
+        fl = jnp.where(fl != -2.0, jnp.full_like(fl, -1.0), fl)
+        lo1 = (a1 != 0) & (a1 <= rgamsq)
+        hi1 = a1 >= gamsq
+        a1 = jnp.where(lo1, a1 * gamsq, jnp.where(hi1, a1 / gamsq, a1))
+        ax = jnp.where(lo1, ax / gam, jnp.where(hi1, ax * gam, ax))
+        g11 = jnp.where(lo1, g11 / gam, jnp.where(hi1, g11 * gam, g11))
+        g12 = jnp.where(lo1, g12 / gam, jnp.where(hi1, g12 * gam, g12))
+        lo2 = (a2 != 0) & (jnp.abs(a2) <= rgamsq)
+        hi2 = jnp.abs(a2) >= gamsq
+        a2 = jnp.where(lo2, a2 * gamsq, jnp.where(hi2, a2 / gamsq, a2))
+        g21 = jnp.where(lo2, g21 / gam, jnp.where(hi2, g21 * gam, g21))
+        g22 = jnp.where(lo2, g22 / gam, jnp.where(hi2, g22 * gam, g22))
+        return (fl, a1, a2, ax, g11, g21, g12, g22)
+
+    state = (flag, nd1, nd2, nx1, h11, h21, h12, h22)
+    state = jax.lax.while_loop(_need, _step, state)
+    flag, nd1, nd2, nx1, h11, h21, h12, h22 = state
+    param = jnp.stack([flag, h11, h21, h12, h22])
     return nd1, nd2, nx1, param

@@ -7,6 +7,7 @@ from .generators import (
     generate_banded_csr,
     generate_fem2d_csr,
     generate_diag_dominant_csr,
+    generate_random_bsr,
     generate_random_csr,
     generate_structured_laplacian,
 )

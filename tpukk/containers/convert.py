@@ -56,13 +56,39 @@ def crs2ccs(csr: CsrMatrix) -> CcsMatrix:
     return CcsMatrix.from_scipy(csr.to_scipy().tocsc())
 
 
-def detect_block_size(csr: CsrMatrix, candidates=(8, 4, 2)) -> int:
-    """Largest b dividing the shape whose block pattern is consistent —
-    analog of sparse/impl/KokkosSparse_crs_detect_block_size.hpp."""
-    for b in candidates:
-        if csr.nrows % b == 0 and csr.ncols % b == 0:
-            return b
-    return 1
+def detect_block_size(csr: CsrMatrix) -> int:
+    """Largest b for which EVERY nonempty b×b block of the pattern is fully
+    dense — the reference contract of
+    sparse/impl/KokkosSparse_crs_detect_block_size.hpp (BlockPopulations::
+    all_dense): trial sizes run from 2 to min(sqrt(nnz), rows, cols,
+    shortest nonempty row); dims must divide evenly; multiples of a
+    rejected size are skipped (a 2N block contains a non-dense N block)."""
+    import numpy as np
+
+    rm = np.asarray(csr.host_row_map(), np.int64)
+    ent = np.asarray(csr.host_entries(), np.int64)
+    nnz = len(ent)
+    if nnz == 0:
+        return 1
+    row_len = np.diff(rm)
+    nonempty = row_len[row_len > 0]
+    upper = int(min(np.sqrt(nnz), csr.nrows, csr.ncols,
+                    nonempty.min() if len(nonempty) else 1))
+    rows = np.repeat(np.arange(csr.nrows, dtype=np.int64), row_len)
+    best = 1
+    rejected = []
+    for b in range(2, upper + 1):
+        if csr.nrows % b or csr.ncols % b:
+            continue
+        if any(b % r == 0 for r in rejected):
+            continue
+        key = (rows // b) * (csr.ncols // b) + ent // b
+        _, counts = np.unique(key, return_counts=True)
+        if (counts == b * b).all():
+            best = b
+        else:
+            rejected.append(b)
+    return best
 
 
 def crs2bsr(csr: CsrMatrix, block_size: int) -> BsrMatrix:

@@ -17,6 +17,7 @@ __all__ = [
     "generate_diag_dominant_csr",
     "generate_banded_csr",
     "generate_fem2d_csr",
+    "generate_random_bsr",
 ]
 
 
@@ -126,3 +127,28 @@ def generate_fem2d_csr(n_nodes: int, dtype=np.float64, seed: int = 0) -> CsrMatr
     A = A + 1e-3 * sps.identity(n_nodes, format="csr")
     A.sort_indices()
     return CsrMatrix.from_scipy(A, value_dtype=dtype)
+
+
+def generate_random_bsr(n_block_rows: int, n_block_cols: int, block_size: int,
+                        blocks_per_row: int, dtype=np.float32, seed: int = 0):
+    """Random BSR matrix with dense (b,b) blocks — analog of the BSR
+    overload of kk_generate_sparse_matrix
+    (sparse/src/KokkosSparse_IOUtils.hpp:383-399, which generates a scalar
+    CRS and re-blocks it).  The block pattern is a random CSR pattern at
+    block granularity; every stored block is fully dense."""
+    from .bsr import BsrMatrix
+
+    rng = np.random.default_rng(seed)
+    bpr = min(blocks_per_row, n_block_cols)
+    cols = np.concatenate([
+        np.sort(rng.choice(n_block_cols, size=bpr, replace=False))
+        for _ in range(n_block_rows)]) if n_block_rows else np.empty(0, int)
+    row_map = np.arange(n_block_rows + 1, dtype=np.int32) * bpr
+    nnzb = n_block_rows * bpr
+    vals = rng.standard_normal((nnzb, block_size, block_size)).astype(dtype)
+    import jax.numpy as jnp
+
+    return BsrMatrix(jnp.asarray(row_map), jnp.asarray(cols.astype(np.int32)),
+                     jnp.asarray(vals),
+                     n_block_rows * block_size, n_block_cols * block_size,
+                     block_size)

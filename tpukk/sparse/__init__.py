@@ -13,7 +13,7 @@ from .mdf import MdfHandle, mdf_numeric, mdf_ordering, mdf_symbolic
 from .par_ilut import ParIlutHandle, par_ilut, par_ilut_numeric, par_ilut_symbolic
 from .pcg import PcgStats, pcg
 from .preconditioner import GsPrec, IdentityPrec, JacobiPrec, LUPrec, MatrixPrec, Preconditioner
-from .spadd import SpaddHandle, spadd, spadd_numeric, spadd_symbolic
+from .spadd import SpaddHandle, bspadd, spadd, spadd_numeric, spadd_symbolic
 from .spgemm import (SpgemmAlgorithm, SpgemmHandle, bspgemm, bspgemm_numeric,
                      bspgemm_symbolic, spgemm, spgemm_numeric, spgemm_symbolic)
 from .spiluk import SpilukHandle, spiluk_numeric, spiluk_symbolic

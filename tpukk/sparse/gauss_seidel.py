@@ -70,10 +70,12 @@ class GsHandle:
                  coloring: ColoringAlgorithm = ColoringAlgorithm.SERIAL,
                  inner_sweeps: int = 2,
                  clustering: "ClusteringAlgorithm" = None,
-                 cluster_inner_sweeps: int = 3):
+                 cluster_inner_sweeps: int = 3,
+                 compact_form: bool = False):
         self.algorithm = algorithm
         self.coloring_algorithm = coloring
         self.inner_sweeps = inner_sweeps  # twostage inner Jacobi count
+        self.compact_form = compact_form  # twostage: complement-matrix rhs
         self.clustering = clustering or ClusteringAlgorithm.MIS2
         self.cluster_inner_sweeps = cluster_inner_sweeps
         self.is_symbolic_called = False
@@ -287,12 +289,26 @@ def _point_half_sweep(handle, xp, bp, forward: bool):
 
 def _twostage_half_sweep(handle, x, b, forward: bool):
     """(D + L) z = r (forward) or (D + U) z = r (backward) approximated by
-    inner Jacobi-Richardson sweeps (twostage_gauss_seidel_impl.hpp:120-256)."""
+    inner Jacobi-Richardson sweeps (twostage_gauss_seidel_impl.hpp:120-256).
+
+    compact_form (the isCompactForm() option, same file :120): the rhs is
+    built from the COMPLEMENT matrix only — rhs = b - U x (forward) — and
+    the inner solve returns the new iterate directly, skipping the full-A
+    residual SpMV.  With an exact inner solve the two forms coincide at
+    omega=1 ((D+L)^{-1}(b-Ux) = x + (D+L)^{-1}(b-Ax)); with truncated inner
+    sweeps they differ by the truncation, exactly as in the reference."""
     tw = handle._tw
     omega = handle.omega
-    r = b - tw["A"](x)
     invD = tw["inv_diag"]
     T = tw["L"] if forward else tw["U"]
+    if getattr(handle, "compact_form", False):
+        C = tw["U"] if forward else tw["L"]       # complement of (T + D)
+        rhs = b - C(x)
+        z = invD * rhs
+        for _ in range(handle.inner_sweeps):
+            z = invD * (rhs - T(z))
+        return (1.0 - omega) * x + omega * z
+    r = b - tw["A"](x)
     z = invD * r
     for _ in range(handle.inner_sweeps):
         z = invD * (r - T(z))

@@ -20,7 +20,8 @@ from ..common import check
 from ..common.tracing import annotate
 from ..containers import CsrMatrix
 
-__all__ = ["SpaddHandle", "spadd_symbolic", "spadd_numeric", "spadd"]
+__all__ = ["SpaddHandle", "spadd_symbolic", "spadd_numeric", "spadd",
+           "bspadd"]
 
 
 class SpaddHandle:
@@ -100,3 +101,51 @@ def spadd(alpha, A: CsrMatrix, beta, B: CsrMatrix, sorted_input: bool = True) ->
     h = SpaddHandle(sorted_input)
     spadd_symbolic(h, A, B)
     return spadd_numeric(h, alpha, A, beta, B)
+
+
+@annotate("bspadd")
+def bspadd(alpha, A, beta, B):
+    """Block SpADD: C = alpha*A + beta*B over BsrMatrix operands with equal
+    block size — the block variant the reference exercises in
+    sparse/unit_test/Test_BlockSparse.hpp (spadd over BsrMatrix).  Symbolic
+    is the union of the BLOCK patterns; numeric gathers whole (b,b) value
+    blocks through the same slot-sort plan as the scalar path (each slot
+    carries b*b values)."""
+    from ..containers import BsrMatrix
+
+    check(isinstance(A, BsrMatrix) and isinstance(B, BsrMatrix),
+          "bspadd: BsrMatrix operands required")
+    check(A.shape == B.shape and A.block_size == B.block_size,
+          "bspadd: shape/block mismatch")
+    b = A.block_size
+    nbr, nbc = A.n_block_rows, A.n_block_cols
+    arm = np.asarray(A.row_map, np.int64)
+    brm = np.asarray(B.row_map, np.int64)
+    aent = np.asarray(A.entries, np.int64)
+    bent = np.asarray(B.entries, np.int64)
+    a_rows = np.repeat(np.arange(nbr, dtype=np.int64), arm[1:] - arm[:-1])
+    b_rows = np.repeat(np.arange(nbr, dtype=np.int64), brm[1:] - brm[:-1])
+    a_keys = a_rows * nbc + aent
+    b_keys = b_rows * nbc + bent
+    uniq = np.unique(np.concatenate([a_keys, b_keys]))
+    nnzb_c = uniq.size
+    rows_c = uniq // nbc
+    cols_c = (uniq % nbc).astype(np.int32)
+    row_map_c = np.zeros(nbr + 1, np.int32)
+    np.add.at(row_map_c[1:], rows_c, 1)
+    row_map_c = np.cumsum(row_map_c).astype(np.int32)
+    slot = np.concatenate([2 * np.searchsorted(uniq, a_keys),
+                           2 * np.searchsorted(uniq, b_keys) + 1])
+    used = np.zeros(2 * nnzb_c, bool)
+    used[slot] = True
+    free = np.nonzero(~used)[0]
+    key = jnp.asarray(np.concatenate([slot, free]).astype(np.int32))
+    v = jnp.concatenate([
+        (alpha * A.values).astype(A.dtype).reshape(len(aent), b * b),
+        (beta * B.values).astype(A.dtype).reshape(len(bent), b * b),
+        jnp.zeros((free.size, b * b), A.dtype)], axis=0)
+    _, vs = jax.lax.sort((jnp.broadcast_to(key[:, None], v.shape), v),
+                         num_keys=1, dimension=0)
+    vals = vs.reshape(nnzb_c, 2, b * b).sum(axis=1).reshape(nnzb_c, b, b)
+    return BsrMatrix(jnp.asarray(row_map_c), jnp.asarray(cols_c),
+                     vals.astype(A.dtype), A.nrows, A.ncols, b)
