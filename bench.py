@@ -788,6 +788,26 @@ def bench_dist():
          plan_build_s=round(t_build, 2), n_parts=1,
          baseline_model="single-chip v9 kernel rate (ratio, target 1.0)")
 
+    # multi-part plan accounting (verdict item 6): the padding/traffic
+    # quantities at P=4/8 that predict pod-slice behavior without >1 chip
+    from tpukk.dist import build_dist_gt_plan2, dist_plan_accounting
+
+    accs = {}
+    for P in (4, 8):
+        t0 = time.perf_counter()
+        p2 = build_dist_gt_plan2(A, P)
+        tb = time.perf_counter() - t0
+        if p2 is not None:
+            accs[P] = (dist_plan_accounting(p2), tb)
+    if 4 in accs and 8 in accs:
+        a4, a8 = accs[4][0], accs[8][0]
+        emit("dist_plan2_traffic_lap1000_kb", a8["bytes_exchanged"] / 1e3,
+             "KB", (2.0 * a4["bytes_exchanged"]) / a8["bytes_exchanged"],
+             p4=a4, p8=a8, build_s_p8=round(accs[8][1], 2),
+             baseline_model="vs = 2*bytes(P=4)/bytes(P=8): 1.0 = exactly "
+                            "O(P*H) linear scaling (v2 neighbor exchange); "
+                            "<0.5 would be the all_to_all's O(P^2*H)")
+
     # distributed colored GS (per-color gather-table kernels in shard_map)
     from tpukk.dist import build_dist_gs_gt_plan, dist_gs_sweep
 

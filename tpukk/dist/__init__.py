@@ -6,7 +6,9 @@ from .gauss_seidel import (
     dist_gs_sweep,
     shard_dist_gs_plan,
 )
-from .gt_spmv import DistGtPlan, DistGtPlan2, build_dist_gt_plan, build_dist_gt_plan2, dist_spmv_gt, shard_dist_gt_plan
+from .gt_spmv import (DistGtPlan, DistGtPlan2, build_dist_gt_plan,
+                      build_dist_gt_plan2, dist_plan_accounting,
+                      dist_spmv_gt, shard_dist_gt_plan)
 from .halo import HaloPlan, build_halo_plan, import_lists
 from .partition import RowPartition, partition_rows
 from .spgemm import (
