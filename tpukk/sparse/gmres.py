@@ -70,19 +70,32 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
     V = V.at[0].set(z / jnp.where(beta == 0, 1.0, beta))
     H = jnp.zeros((m + 1, m), b.dtype)
 
-    def arnoldi_step(j, VH):
+    def arnoldi_step(j, VH, static_j=False):
         V, H = VH
         w = prec.apply(Ah(V[j]))
         if ortho == Ortho.CGS2:
-            # classical GS twice (CGS2): h = Vᵀw; w -= Vh; correction pass
-            mask = (jnp.arange(m + 1) <= j)[:, None]
-            Vm = V * mask
+            # classical GS twice (CGS2): h = Vᵀw; w -= Vh; correction pass.
+            # With a STATIC j (unrolled cycle) only rows [0, j] stream —
+            # the masked full-(m+1) form read 2x the basis bytes on average
+            # (round-4 bench: vs_baseline 0.573 ~ the model's 4*(m/2)
+            # streams vs the mask's 4*m).
             hp = jax.lax.Precision.HIGHEST
-            h1 = jnp.matmul(jnp.conj(Vm), w, precision=hp)
-            w = w - jnp.matmul(Vm.T, h1, precision=hp)
-            h2 = jnp.matmul(jnp.conj(Vm), w, precision=hp)
-            w = w - jnp.matmul(Vm.T, h2, precision=hp)
-            h = h1 + h2
+            if static_j:
+                Vj = jax.lax.slice_in_dim(V, 0, j + 1, axis=0)
+                h1s = jnp.matmul(jnp.conj(Vj), w, precision=hp)
+                w = w - jnp.matmul(Vj.T, h1s, precision=hp)
+                h2s = jnp.matmul(jnp.conj(Vj), w, precision=hp)
+                w = w - jnp.matmul(Vj.T, h2s, precision=hp)
+                pad = (0, m + 1 - (j + 1))
+                h = jnp.pad(h1s + h2s, pad)
+            else:
+                mask = (jnp.arange(m + 1) <= j)[:, None]
+                Vm = V * mask
+                h1 = jnp.matmul(jnp.conj(Vm), w, precision=hp)
+                w = w - jnp.matmul(Vm.T, h1, precision=hp)
+                h2 = jnp.matmul(jnp.conj(Vm), w, precision=hp)
+                w = w - jnp.matmul(Vm.T, h2, precision=hp)
+                h = h1 + h2
         else:
             def mgs(i, wh):
                 w, h = wh
@@ -95,7 +108,12 @@ def _arnoldi_cycle(Ah, prec, b, x0, m, ortho: Ortho):
         V = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
         return (V, H)
 
-    V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
+    if ortho == Ortho.CGS2 and m <= 64:
+        # unrolled cycle: static per-step slices halve basis traffic
+        for j in range(m):
+            V, H = arnoldi_step(j, (V, H), static_j=True)
+    else:
+        V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
     e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
     # rank-robust small least-squares (handles beta==0 and happy breakdown,
     # where H is singular — the reference's Givens loop exits early instead)

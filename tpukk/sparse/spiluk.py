@@ -216,6 +216,84 @@ class IlukRefreshPlan:
 
         self.mapL = jnp.asarray(amap(sweep.rowL_np, sweep.colL_np, sweep.nnzL))
         self.mapU = jnp.asarray(amap(sweep.rowU_np, sweep.colU_np, sweep.nnzU))
+        self._build_level_schedule(sweep)
+
+    def _build_level_schedule(self, s):
+        """Level-scheduled refresh (round-5): every pattern entry is computed
+        EXACTLY ONCE, at its dependency level, with all inputs already final
+        — total pair work is 1x instead of the Jacobi loop's depth x (the
+        level_sched idea of KokkosSparse_spiluk_symbolic_impl.hpp:37-88
+        applied to the numeric refresh).  Entry levels: 1 + max over the
+        entry's product pairs of its factors' levels; an L entry additionally
+        exceeds its column's U-diagonal level (the scaling divide)."""
+        self.levels = None
+        nnzL_p, nnzU_p = s.nnzL, s.nnzU
+        a_idx = np.asarray(s.a_idx).astype(np.int64)
+        b_idx = np.asarray(s.b_idx).astype(np.int64)
+        slot = np.asarray(s.slot).astype(np.int64)
+        live = slot < nnzL_p + nnzU_p
+        # drop pairs that only feed the trash/miss segments
+        a_idx, b_idx, slot = a_idx[live], b_idx[live], slot[live]
+        nL_t, nU_t = s.nnzL_true, s.nnzU_true
+        diag_pos = np.asarray(s.diag_slot).astype(np.int64)        # (n,)
+        colL = np.asarray(s.colL).astype(np.int64)[:nL_t]
+        levL = np.ones(nnzL_p, np.int64)
+        levU = np.ones(nnzU_p, np.int64)
+        is_L = slot < nnzL_p
+        tgt_local = np.where(is_L, slot, slot - nnzL_p)
+        for _ in range(80):
+            cand = 1 + np.maximum(levL[a_idx], levU[b_idx])
+            nl, nu = levL.copy(), levU.copy()
+            np.maximum.at(nl, tgt_local[is_L], cand[is_L])
+            np.maximum.at(nu, tgt_local[~is_L], cand[~is_L])
+            np.maximum.at(nl, np.arange(nL_t), levU[diag_pos[colL]] + 1)
+            if (nl == levL).all() and (nu == levU).all():
+                break
+            levL, levU = nl, nu
+        else:
+            return                           # deeper than 80: Jacobi path
+        depth = int(max(levL[:nL_t].max(initial=1),
+                        levU[:nU_t].max(initial=1)))
+        if depth > 64:
+            return                           # unrolled loop too deep: Jacobi
+        # pads go to level 0 (before every real level, never touched)
+        levL[nL_t:] = 0
+        levU[nU_t:] = 0
+        permL = np.argsort(levL, kind="stable")
+        permU = np.argsort(levU, kind="stable")
+        invL = np.empty(nnzL_p, np.int64)
+        invL[permL] = np.arange(nnzL_p)
+        invU = np.empty(nnzU_p, np.int64)
+        invU[permU] = np.arange(nnzU_p)
+        cL = np.searchsorted(levL[permL], np.arange(depth + 2))
+        cU = np.searchsorted(levU[permU], np.arange(depth + 2))
+        # pairs sorted by (target level, local slot); per-level local
+        # segment ids [0, nL_l + nU_l)
+        tL = np.minimum(tgt_local, nnzL_p - 1)
+        tU = np.minimum(tgt_local, nnzU_p - 1)
+        t_lev = np.where(is_L, levL[tL], levU[tU])
+        t_new = np.where(is_L, invL[tL], invU[tU])
+        lseg = np.where(is_L, t_new - cL[t_lev],
+                        (cL[t_lev + 1] - cL[t_lev]) + t_new - cU[t_lev])
+        po = np.lexsort((lseg, t_lev))
+        p_off = np.searchsorted(t_lev[po], np.arange(depth + 2))
+        ud_idx = invU[diag_pos[colL]]        # per true L entry, permuted uv pos
+        ud_perm = np.zeros(nnzL_p, np.int64)
+        ud_perm[invL[:nL_t]] = ud_idx
+        self.levels = dict(
+            depth=depth,
+            a_idx=jnp.asarray(invL[a_idx[po]].astype(np.int32)),
+            b_idx=jnp.asarray(invU[b_idx[po]].astype(np.int32)),
+            lseg=jnp.asarray(lseg[po].astype(np.int32)),
+            p_off=tuple(int(x) for x in p_off),
+            cL=tuple(int(x) for x in cL),
+            cU=tuple(int(x) for x in cU),
+            mapLp=jnp.asarray(np.asarray(self.mapL)[permL]),
+            mapUp=jnp.asarray(np.asarray(self.mapU)[permU]),
+            ud=jnp.asarray(ud_perm.astype(np.int32)),
+            keyL=jnp.asarray(permL.astype(np.int32)),  # sort key -> original
+            keyU=jnp.asarray(permU.astype(np.int32)),
+        )
 
 
 @annotate("spiluk.build_iluk_refresh")
@@ -246,6 +324,42 @@ def _device_iluk(a_idx, b_idx, slot, mapL, mapU, diag_slot, colL, avals, *,
     return jax.lax.fori_loop(0, depth, one, (aL, aU))
 
 
+@functools.partial(jax.jit, static_argnames=("p_off", "cL", "cU"))
+def _device_iluk_levels(a_idx, b_idx, lseg, mapLp, mapUp, ud, avals, *,
+                        p_off, cL, cU):
+    """Level-scheduled exact refresh: one pass over the product pairs total.
+    Per level: static pair slice -> gather-product -> local segment_sum ->
+    static-slice update of the level's L/U entries (inputs already final)."""
+    zero = jnp.zeros((), avals.dtype)
+    lv = jnp.where(mapLp >= 0, jnp.take(avals, jnp.maximum(mapLp, 0)), zero)
+    uv = jnp.where(mapUp >= 0, jnp.take(avals, jnp.maximum(mapUp, 0)), zero)
+    depth = len(p_off) - 2
+    for lev in range(1, depth + 1):
+        nL = cL[lev + 1] - cL[lev]
+        nU = cU[lev + 1] - cU[lev]
+        if nL == 0 and nU == 0:
+            continue
+        s0, s1 = p_off[lev], p_off[lev + 1]
+        if s1 > s0:
+            prod = jnp.take(lv, a_idx[s0:s1]) * jnp.take(uv, b_idx[s0:s1])
+            seg = jax.ops.segment_sum(prod, lseg[s0:s1],
+                                      num_segments=nL + nU + 1,
+                                      indices_are_sorted=True)
+        else:
+            seg = jnp.zeros(nL + nU + 1, avals.dtype)
+        if nL:
+            udiag = jnp.take(uv, jax.lax.dynamic_slice(ud, (cL[lev],), (nL,)))
+            udiag = jnp.where(udiag != 0, udiag, 1.0)
+            aLs = jax.lax.dynamic_slice(lv, (cL[lev],), (nL,))
+            lv = jax.lax.dynamic_update_slice(
+                lv, (aLs - seg[:nL]) / udiag, (cL[lev],))
+        if nU:
+            aUs = jax.lax.dynamic_slice(uv, (cU[lev],), (nU,))
+            uv = jax.lax.dynamic_update_slice(
+                uv, aUs - seg[nL:nL + nU], (cU[lev],))
+    return lv, uv
+
+
 @annotate("spiluk.spiluk_refresh")
 def spiluk_refresh(plan: IlukRefreshPlan, a_values):
     """Exact device re-factorization for new A values on the symbolic
@@ -255,6 +369,15 @@ def spiluk_refresh(plan: IlukRefreshPlan, a_values):
     returns (l_values, u_values) DEVICE arrays in the pattern's strict-lower
     / upper CSR entry order (padded tails are zero)."""
     s = plan.sweep
+    L = getattr(plan, "levels", None)
+    if L is not None:
+        lvp, uvp = _device_iluk_levels(
+            L["a_idx"], L["b_idx"], L["lseg"], L["mapLp"], L["mapUp"],
+            L["ud"], jnp.asarray(a_values), p_off=L["p_off"], cL=L["cL"],
+            cU=L["cU"])
+        _, lv = jax.lax.sort((L["keyL"], lvp), num_keys=1)
+        _, uv = jax.lax.sort((L["keyU"], uvp), num_keys=1)
+        return lv, uv
     lv, uv = _device_iluk(
         s.a_idx, s.b_idx, s.slot, plan.mapL, plan.mapU, s.diag_slot, s.colL,
         jnp.asarray(a_values), nnzL=s.nnzL, nnzU=s.nnzU, nmiss=s.nmiss,
