@@ -349,15 +349,11 @@ def bench_spiluk_refresh():
     spiluk_numeric(h, A)
     t_host = time.perf_counter() - t0
 
-    from tpukk.sparse import spiluk as _si
+    from tpukk.sparse.spiluk import spiluk_refresh
 
     def mk(K):
         def body(i, v):
-            lv, uv = _si._device_iluk(
-                plan.sweep.a_idx, plan.sweep.b_idx, plan.sweep.slot,
-                plan.mapL, plan.mapU, plan.sweep.diag_slot, plan.sweep.colL,
-                v, nnzL=plan.sweep.nnzL, nnzU=plan.sweep.nnzU,
-                nmiss=plan.sweep.nmiss, depth=plan.depth)
+            lv, uv = spiluk_refresh(plan, v)
             return v * 0.5 + lv[0] * 1e-20
         return jax.jit(lambda v: jax.lax.fori_loop(0, K, body, v))
 
@@ -365,6 +361,8 @@ def bench_spiluk_refresh():
     emit("spiluk_refresh_20k_us", t_dev * 1e6, "us",
          t_host / t_dev,
          depth=int(plan.depth), pattern_nnz=int(h.pattern.nnz),
+         path="level_sched" if getattr(plan, "levels", None) is not None
+              else "jacobi",
          host_ms=round(t_host * 1e3, 2),
          baseline_model="host C++ IKJ numeric wall time (ratio; >1 = device"
                         " refresh beats the host round-trip)")

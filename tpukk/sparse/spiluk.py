@@ -241,12 +241,23 @@ class IlukRefreshPlan:
         levU = np.ones(nnzU_p, np.int64)
         is_L = slot < nnzL_p
         tgt_local = np.where(is_L, slot, slot - nnzL_p)
+        # fixpoint via presorted grouped max (np.maximum.reduceat beats
+        # ufunc.at ~20x on multi-million pair lists)
+        srt = np.argsort(slot, kind="stable")
+        a_s, b_s, slot_s = a_idx[srt], b_idx[srt], slot[srt]
+        gfirst = np.r_[True, slot_s[1:] != slot_s[:-1]] if len(slot_s) \
+            else np.empty(0, bool)
+        gstart = np.nonzero(gfirst)[0]
+        gtgt = slot_s[gstart]
+        gL = gtgt < nnzL_p
         for _ in range(80):
-            cand = 1 + np.maximum(levL[a_idx], levU[b_idx])
+            cand = 1 + np.maximum(levL[a_s], levU[b_s])
+            gmax = np.maximum.reduceat(cand, gstart) if len(gstart) else cand
             nl, nu = levL.copy(), levU.copy()
-            np.maximum.at(nl, tgt_local[is_L], cand[is_L])
-            np.maximum.at(nu, tgt_local[~is_L], cand[~is_L])
-            np.maximum.at(nl, np.arange(nL_t), levU[diag_pos[colL]] + 1)
+            nl[gtgt[gL]] = np.maximum(levL[gtgt[gL]], gmax[gL])
+            tu = gtgt[~gL] - nnzL_p
+            nu[tu] = np.maximum(levU[tu], gmax[~gL])
+            nl[:nL_t] = np.maximum(nl[:nL_t], levU[diag_pos[colL]] + 1)
             if (nl == levL).all() and (nu == levU).all():
                 break
             levL, levU = nl, nu
