@@ -293,3 +293,35 @@ def test_multipart_accounting_traffic_scales_linearly():
         assert a["stream_pad_ratio"] >= 1.0
         assert a["row_pad_ratio"] >= 1.0
         assert a["padded_rows"] >= a["real_rows"]
+
+
+def test_dist_gs_single_part_degenerates_to_single_chip():
+    """Round-5: at n_parts=1 the gt GS plan embeds the single-chip colored
+    blocks (no stacked streams/shard_map) and must match gauss_seidel_apply
+    bit-for-bit under the same coloring."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from tpukk.containers import generate_structured_laplacian
+    from tpukk.dist import build_dist_gs_gt_plan, dist_gs_sweep
+    from tpukk.graph.coloring import ColoringAlgorithm
+    from tpukk.sparse.gauss_seidel import (GsAlgorithm, GsHandle,
+                                           gauss_seidel_numeric,
+                                           gauss_seidel_symbolic,
+                                           gauss_seidel_apply)
+
+    A = generate_structured_laplacian(24, 24, dtype=np.float32)
+    gp = build_dist_gs_gt_plan(A, 1)
+    assert gp.single is not None and gp.no_remote
+    h = GsHandle(algorithm=GsAlgorithm.POINT,
+                 coloring=ColoringAlgorithm.SERIAL)
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, 1.0)
+    b = np.linspace(0.0, 1.0, A.nrows).astype(np.float32)
+    ref = np.asarray(gauss_seidel_apply(h, A, None, jnp.asarray(b), 2,
+                                        "symmetric"))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("parts",))
+    bpad = jnp.asarray(np.pad(b, (0, gp.padded_rows - A.nrows)))
+    xd = dist_gs_sweep(gp, jnp.zeros(gp.padded_rows, jnp.float32), bpad,
+                       mesh, num_sweeps=2)
+    np.testing.assert_allclose(np.asarray(xd)[:A.nrows], ref,
+                               rtol=1e-6, atol=1e-6)

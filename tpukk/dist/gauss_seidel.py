@@ -151,20 +151,28 @@ class DistGsGtPlan:
     ncols_ext: int
     omega: float
     no_remote: bool = False  # no part imports anything: skip the exchange
+    # n_parts == 1: the partitioner degenerates to the single-chip colored
+    # GS (per-color (cols, vals, inv_diag, oh_plan) blocks) — the dist
+    # machinery (stacked SPMD streams, exchange, shard_map) is pure
+    # overhead with one part (measured round 5: 100-117 us vs 36 us)
+    single: Any = None
+    single_starts: tuple = ()
 
     def tree_flatten(self):
         children = (self.send_idx, self.color_streams, self.color_mask,
                     self.color_invd, self.color_last, self.to_perm_idx,
-                    self.from_perm_idx)
+                    self.from_perm_idx, self.single)
         aux = (self.layouts, self.n_sss, self.batches, self.groups,
                self.rcs, self.offs, self.nrows, self.n_parts,
                self.rows_per_part, self.rpp_perm, self.halo,
-               self.ncols_ext, self.omega, self.no_remote)
+               self.ncols_ext, self.omega, self.no_remote,
+               self.single_starts)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:7], *aux[:14], single=children[7],
+                   single_starts=aux[14])
 
     @property
     def padded_rows(self):
@@ -176,6 +184,8 @@ class DistGsGtPlan:
 
     @property
     def num_colors(self):
+        if self.single is not None:
+            return len(self.single)
         return len(self.color_streams)
 
     # -- layout converters (outside the sweep hot loop) -----------------
@@ -191,6 +201,70 @@ class DistGsGtPlan:
     def to_natural(self, x_perm):
         xe = jnp.concatenate([x_perm, jnp.zeros(1, x_perm.dtype)])
         return jnp.take(xe, self.from_perm_idx)
+
+
+def _build_single_chip_gs_plan(A, omega, row_block, coloring):
+    """n_parts == 1 degenerate case: embed the single-chip colored-GS
+    blocks (the reference would not spin up its MPI machinery for one rank
+    either).  The plan's internal layout IS the single-chip permuted space,
+    so chained sweeps and the to_internal/to_natural converters keep the
+    same contract as the multi-part plan."""
+    from ..sparse.gauss_seidel import (GsAlgorithm, GsHandle,
+                                      gauss_seidel_numeric,
+                                      gauss_seidel_symbolic)
+
+    # SERIAL greedy coloring (the single-chip GS default): VB's tiny
+    # trailing color classes fall under the one-hot plan's nnz gate and
+    # would run the slow jnp.take fallback (measured 2.7 ms vs 40 us)
+    h = GsHandle(algorithm=GsAlgorithm.POINT,
+                 coloring=ColoringAlgorithm.SERIAL)
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A, omega)
+    n = A.nrows
+    rpp = round_up(n, row_block)
+    rpp_perm = round_up(n, 1024)
+    order = np.asarray(h.order).astype(np.int64)
+    to_perm = np.full(rpp_perm, rpp, np.int64)       # pads -> appended zero
+    to_perm[:n] = order
+    from_perm = np.full(rpp, rpp_perm, np.int64)
+    from_perm[:n] = np.asarray(h.inv_order).astype(np.int64)
+    blocks = tuple((b.cols, b.vals, b.inv_diag, b.oh_plan)
+                   for b in h.blocks)
+    starts = tuple(int(b.start) for b in h.blocks)
+    return DistGsGtPlan(
+        send_idx=jnp.zeros((1, 1, 0), jnp.int32), color_streams=(),
+        color_mask=(), color_invd=(), color_last=(),
+        to_perm_idx=jnp.asarray(to_perm.astype(np.int32)),
+        from_perm_idx=jnp.asarray(from_perm.astype(np.int32)),
+        layouts=(), n_sss=(), batches=(), groups=(), rcs=(), offs=(),
+        nrows=n, n_parts=1, rows_per_part=rpp, rpp_perm=rpp_perm,
+        halo=0, ncols_ext=rpp, omega=float(omega), no_remote=True,
+        single=blocks, single_starts=starts)
+
+
+def _single_chip_half_sweep(plan, xp, bp, forward: bool):
+    """One direction over the embedded single-chip color blocks (the
+    _point_half_sweep recurrence on the plan's permuted space)."""
+    from ..sparse.spmv_pallas import onehot_spmv
+
+    omega = plan.omega
+    idx = range(len(plan.single))
+    if not forward:
+        idx = reversed(idx)
+    for c in idx:
+        cols, vals, invd, ohp = plan.single[c]
+        start = plan.single_starts[c]
+        nrc = invd.shape[0]
+        bb = jax.lax.dynamic_slice_in_dim(bp, start, nrc)
+        xb = jax.lax.dynamic_slice_in_dim(xp, start, nrc)
+        if ohp is not None:
+            ax = onehot_spmv(ohp, xp)
+        else:
+            ax = jnp.sum(vals * jnp.take(xp, cols, axis=0), axis=1)
+        xnew = (1.0 - omega) * xb + omega * invd * (bb - ax)
+        xp = jax.lax.dynamic_update_slice_in_dim(
+            xp, xnew.astype(xp.dtype), start, 0)
+    return xp
 
 
 @annotate("dist.build_dist_gs_gt_plan")
@@ -210,6 +284,8 @@ def build_dist_gs_gt_plan(A: CsrMatrix, n_parts: int, omega: float = 1.0,
     from .halo import import_index
 
     assert A.nrows == A.ncols
+    if n_parts == 1:
+        return _build_single_chip_gs_plan(A, omega, row_block, coloring)
     rm = A.host_row_map().astype(np.int64)
     ent = A.host_entries().astype(np.int64)
     vals = np.asarray(A.host_values(), np.float32)
@@ -494,11 +570,46 @@ def dist_gs_sweep(plan, x_padded, b_padded, mesh: Mesh,
 
         if interpret is None:
             interpret = not spmv_pallas.supports_pallas()
+        if plan.single is not None:
+            # single-chip degenerate plan: sweep the embedded color blocks
+            # directly on the flat permuted vector
+            n = plan.nrows
+            R2 = plan.rpp_perm // 128
+            x = x_padded if permuted else plan.to_internal(x_padded)
+            b = b_padded if permuted else plan.to_internal(b_padded)
+            was_2d = getattr(x, "ndim", 1) == 3
+            xp = jnp.asarray(x).reshape(-1)[:n]
+            bp = jnp.asarray(b).reshape(-1)[:n]
+            for _ in range(num_sweeps):
+                if direction in ("forward", "symmetric"):
+                    xp = _single_chip_half_sweep(plan, xp, bp, True)
+                if direction in ("backward", "symmetric"):
+                    xp = _single_chip_half_sweep(plan, xp, bp, False)
+            out = jnp.pad(xp, (0, plan.rpp_perm - n))
+            if was_2d:
+                return out.reshape(1, R2, 128)
+            return out if permuted else plan.to_natural(out)
         ns = max(1, -(-plan.ncols_ext // spmv_pallas._OH_SRC))
-        key = (mesh, axis, plan.rpp_perm, plan.n_parts, plan.omega,
-               plan.layouts, plan.n_sss, plan.batches, plan.groups,
-               plan.rcs, plan.offs, ns, plan.no_remote)
-        fn = lambda fwd: _sweep_fn_gt(*key, fwd, interpret)
+        if plan.n_parts == 1 and plan.no_remote:
+            # single-part, nothing imported: the shard_map wrapper is pure
+            # overhead (~30 us/sweep measured round 5) — run the local body
+            # directly; semantics are identical
+            def fn(fwd):
+                def run(p, x2, b2):
+                    return _local_sweep_gt(
+                        p.send_idx, p.color_streams, p.color_mask,
+                        p.color_invd, p.color_last, x2, b2,
+                        axis=axis, omega=p.omega, reverse=not fwd,
+                        layouts=p.layouts, n_sss=p.n_sss, batches=p.batches,
+                        groups=p.groups, rcs=p.rcs, offs=p.offs, ns=ns,
+                        rpp_perm=p.rpp_perm, no_remote=True,
+                        interpret=interpret)
+                return run
+        else:
+            key = (mesh, axis, plan.rpp_perm, plan.n_parts, plan.omega,
+                   plan.layouts, plan.n_sss, plan.batches, plan.groups,
+                   plan.rcs, plan.offs, ns, plan.no_remote)
+            fn = lambda fwd: _sweep_fn_gt(*key, fwd, interpret)
         x = x_padded if permuted else plan.to_internal(x_padded)
         b = b_padded if permuted else plan.to_internal(b_padded)
         # the sweep runs in the 2-D kernel-table row layout; 3-D inputs
