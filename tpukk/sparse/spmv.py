@@ -119,6 +119,26 @@ class SpmvHandle:
             p = spmv_impl.build_segsum_plan(A)
         elif key == "dense":
             p = jnp.asarray(A.to_dense())
+        elif key == "rcm":
+            from .. import native
+            from ..containers import CsrMatrix as _Csr
+
+            sp = A.to_scipy().tocsr()
+            perm = native.rcm(sp.indptr, sp.indices, A.nrows)
+            if perm is None:
+                import scipy.sparse.csgraph as csg
+
+                perm = csg.reverse_cuthill_mckee(sp, symmetric_mode=False)
+            pm = np.asarray(perm, np.int64)
+            spp = sp[pm][:, pm].tocsr()
+            spp.sort_indices()
+            perm_h = SpmvHandle(_Csr.from_scipy(spp, value_dtype=A.dtype))
+            inv = np.empty(A.nrows, np.int64)
+            inv[pm] = np.arange(A.nrows)
+            # permute_via_sort(x, key): out[i] = x[argsort(key)[i]];
+            # to-permuted wants out[i] = x[pm[i]] -> key = inv; back: key = pm
+            p = (perm_h, jnp.asarray(inv.astype(np.int32)),
+                 jnp.asarray(pm.astype(np.int32)))
         elif key == "ds":
             from . import spmv_pallas
 
@@ -242,7 +262,28 @@ class SpmvHandle:
             from . import spmv_pallas
 
             return spmv_pallas.apply(self, x)
+        if alg == SpmvAlgorithm.RCM:
+            perm_h, key_in, key_out = self._plan("rcm")
+            from ..common import permute_via_sort
+
+            xp = permute_via_sort(x, key_in)
+            yp = perm_h.matvec(xp)
+            return permute_via_sort(yp, key_out)
         raise NotImplementedError(alg)
+
+    # -- RCM permuted-space interface (solver fast path) ----------------
+    def rcm_permuted(self):
+        """(handle_on_PAPt, to_permuted, from_permuted): the RCM route's
+        kernel handle plus converters.  Iterative solvers should convert
+        once, iterate in permuted space (measured fem2d30k: 10.5 us/spmv
+        permuted vs 16.3 direct; the two runtime permutes of the public
+        RCM matvec cost ~15 us EACH at 30k rows, so the one-shot route
+        only wins when vectors stay permuted)."""
+        perm_h, key_in, key_out = self._plan("rcm")
+        from ..common import permute_via_sort
+
+        return (perm_h, lambda v: permute_via_sort(v, key_in),
+                lambda v: permute_via_sort(v, key_out))
 
     # -- f64 double-single path (x64-free) ------------------------------
     def _narrowed_f64(self) -> bool:

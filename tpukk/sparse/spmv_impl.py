@@ -61,6 +61,12 @@ class SpmvAlgorithm(enum.Enum):
     DS = "ds"              # double-single f64 (two-f32 planes; DIA or
                            # gather-table by pattern) — the x64-free f64
                            # fast path (reference default scalar = double)
+    RCM = "rcm"            # RCM-reorder route: kernel on P·A·Pᵀ (window-
+                           # local gathers), explicit x/y permutes — the
+                           # structure-exploiting reorder the reference's
+                           # heuristics model (KokkosSparse_spmv_impl.hpp:
+                           # 221-377); fastest when vectors stay in
+                           # permuted space across a solver iteration
 
 
 # ----------------------------------------------------------------------

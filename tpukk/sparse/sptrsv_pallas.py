@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spmv_pallas import _bf16_planes3, _sublane_gather
+from .spmv_pallas import _bf16_planes3, _pk_gather, _sublane_gather
 
 __all__ = ["build_fused_sptrsv_plan", "fused_sptrsv_solve", "FusedSptrsvPlan"]
 
@@ -63,7 +63,10 @@ class FusedSptrsvPlan:
 
     def __init__(self, cols, vals, invd, wb, sort_key_b, sort_key_x,
                  n, n_pad, W, slot_src, slot_row, wide=False, gt=None,
-                 LB=1, pb=None, px=None, n_in=None, n_out=None):
+                 LB=1, pb=None, px=None, n_in=None, n_out=None,
+                 pk=None, wcnt=None):
+        self.pk = pk                # packed gt*128+lo (S,W,8,128) or None
+        self.wcnt = wcnt            # (S,) real slot count per level unit
         self.cols = cols            # deep: (S,8,W,128); wide: lo (S,W,8,128)
         self.vals = vals            # same layout as cols, f32
         self.invd = invd            # (S,8,128) f32 (0 on pad rows)
@@ -313,9 +316,26 @@ def _perm_plans(pos, n, n_pad, ext_in=None, ext_out=None):
 def build_fused_dag_plan(rm, ent, vals, n, levels, ext_in, ext_out):
     """Wide fused plan over an arbitrary unit-diagonal lower DAG system with
     external b/x maps (the supernodal reduction's entry point) — wide layout
-    only; returns None outside its gates."""
-    return _build_wide(rm, ent, vals, n, levels, True,
-                       ext_in=ext_in, ext_out=ext_out, wmax=64)
+    only; returns None outside its gates.  DAG plans use the packed kernel:
+    one gt*128+lo table instead of two (-33% stream bytes) and a per-unit
+    slot count that predicates away padding slots (relay-DAG units vary
+    2..W in real slots; uniform W wasted ~55%% of the compute)."""
+    p = _build_wide(rm, ent, vals, n, levels, True,
+                    ext_in=ext_in, ext_out=ext_out, wmax=64)
+    if p is not None and p.wide:
+        gt = np.asarray(p.gt)
+        lo = np.asarray(p.cols)
+        p.pk = jnp.asarray((gt * 128 + lo).astype(np.int32))
+        # per-unit real slot count: a slot is live if any val is nonzero OR
+        # any table cell set; derive from the stored vals/gt tables
+        live = (np.asarray(p.vals) != 0) | (gt != 0) | (lo != 0)
+        wcnt = live.any(axis=(2, 3)).astype(np.int32)       # (S, W)
+        cnt = np.zeros(p.num_steps, np.int32)
+        nz = np.nonzero(wcnt)
+        if len(nz[0]):
+            np.maximum.at(cnt, nz[0], (nz[1] + 1).astype(np.int32))
+        p.wcnt = jnp.asarray(cnt)
+    return p
 
 
 def build_fused_sptrsv_plan(rm, ent, vals, n, levels, lower: bool):
@@ -430,6 +450,64 @@ def build_fused_sptrsv_plan(rm, ent, vals, n, levels, lower: bool):
         sort_key_x=jnp.asarray(key_x.astype(np.int32)),
         n=n, n_pad=n_pad, W=W, pb=pb, px=px,
         slot_src=slot_src.reshape(-1), slot_row=slot_row)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "SR", "W", "LB",
+                                             "interpret"))
+def _fused_call_wide_pk(wb, wcnt, pk, vals, invd, b2, *, S, SR, W, LB,
+                        interpret):
+    """Packed/predicated wide kernel (DAG plans): ONE gt*128+lo stream per
+    slot (the _pk_gather trick: gt rides the source-lane position, lo the
+    target-lane position of the same (8,128) word) and a per-unit slot
+    count that branches away the uniform-W padding slots — on the lap100
+    supernodal DAG the real per-unit slot counts sum to 1619 vs 224x17
+    streamed."""
+    SB = S // LB
+
+    def kernel(wb_ref, wcnt_ref, pk_ref, vals_ref, invd_ref, b_ref, out_ref,
+               x_scr):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            x_scr[:, :] = jnp.zeros_like(x_scr)
+
+        for j in range(LB):
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for w in range(W):
+                base = wb_ref[g * LB + j, w]
+                xwin = x_scr[pl.ds(base, 32), :]
+                xg = _pk_gather(xwin, pk_ref[0, j, w], 32)
+                acc = acc + vals_ref[0, j, w] * xg
+            xs = (b_ref[pl.ds(j * 8, 8), :] - acc) * invd_ref[0, j]
+            x_scr[pl.ds((g * LB + j) * 8, 8), :] = xs
+            out_ref[pl.ds(j * 8, 8), :] = xs
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(SB,),
+        in_specs=[
+            pl.BlockSpec((1, LB, W, 8, 128), lambda g, wb, wc: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LB, W, 8, 128), lambda g, wb, wc: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LB, 8, 128), lambda g, wb, wc: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB * 8, 128), lambda g, wb, wc: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LB * 8, 128), lambda g, wb, wc: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SR, 128), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        name="tpukk_sptrsv_fused_wide_pk",
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SR, 128), jnp.float32),
+        interpret=interpret,
+    )(wb, wcnt, pk.reshape(SB, LB, W, 8, 128),
+      vals.reshape(SB, LB, W, 8, 128), invd.reshape(SB, LB, 8, 128), b2)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "SR", "W", "LB",
@@ -577,7 +655,12 @@ def fused_sptrsv_solve(plan: FusedSptrsvPlan, b, interpret: bool = False):
     else:
         _, bp = jax.lax.sort((plan.sort_key_b, bfull), num_keys=1)
     b2 = bp.reshape(plan.n_pad // 128, 128)
-    if plan.wide:
+    if plan.wide and plan.pk is not None:
+        x2 = _fused_call_wide_pk(plan.wb, plan.wcnt, plan.pk, plan.vals,
+                                 plan.invd, b2, S=plan.num_steps,
+                                 SR=plan.n_pad // 128, W=plan.W, LB=plan.LB,
+                                 interpret=interpret)
+    elif plan.wide:
         x2 = _fused_call_wide(plan.wb, plan.gt, plan.cols, plan.vals,
                               plan.invd, b2, S=plan.num_steps,
                               SR=plan.n_pad // 128, W=plan.W, LB=plan.LB,
