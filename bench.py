@@ -120,10 +120,29 @@ def bench_spmv_unstructured():
         k1 = 50 if A.nnz > 1_000_000 else 300
         t = _chain_onehot(plan, A, k1=k1, k2=5 * k1)
         gbps = csr_bytes(A, 4) / t / 1e9
+        extra = {}
+        if "fem2d" in name:
+            # RCM-reorder route (round-5 verdict item 3): the permuted-
+            # space kernel rate (what a solver iterating in RCM space
+            # pays) vs the direct kernel.  The public one-shot RCM matvec
+            # adds two ~15 us permutes at this size, so AUTO keeps the
+            # direct route for one-shot calls — decision documented in
+            # docs/PERF_NOTES.md.
+            from tpukk.sparse.spmv import SpmvHandle
+            from tpukk.sparse.spmv_impl import SpmvAlgorithm
+
+            hr = SpmvHandle(A, SpmvAlgorithm.RCM)
+            ph, _, _ = hr.rcm_permuted()
+            pplan = build_onehot_spmv_plan(ph.A)
+            t_rcm = _chain_onehot(pplan, ph.A, k1=k1, k2=5 * k1)
+            extra = dict(rcm_permuted_us=round(t_rcm * 1e6, 1),
+                         rcm_permuted_gnnz=round(A.nnz / t_rcm / 1e9, 2),
+                         rcm_vs_direct=round(t / t_rcm, 2))
         emit(name, A.nnz / t / 1e9, "Gnnz/s", gbps / target,
              gbps=round(gbps, 1), time_us=round(t * 1e6, 1),
              layout=getattr(plan, "layout", type(plan).__name__),
-             pad=round(getattr(plan, "pad_ratio", 0), 2), nnz=A.nnz)
+             pad=round(getattr(plan, "pad_ratio", 0), 2), nnz=A.nnz,
+             **extra)
 
 
 def bench_spmv_f64():

@@ -400,3 +400,32 @@ def test_spmv_bf16_modes_and_coefficients():
     gt = np.asarray(spmv(Ab, jnp.asarray(xt), mode="T")).astype(np.float32)
     reft = Abf.T @ xt
     assert np.abs(gt - reft).max() <= 2e-2 * np.abs(reft).max()
+
+
+def test_rcm_reorder_route():
+    """RCM-reorder SpMV route (round-5: the structure-exploiting reorder of
+    KokkosSparse_spmv_impl.hpp:221-377's heuristics): exact vs scipy both
+    through the public matvec (permutes folded) and the permuted-space
+    interface solvers use."""
+    import jax.numpy as jnp
+    from tpukk.containers import generate_fem2d_csr, CsrMatrix
+    from tpukk.sparse.spmv import SpmvHandle
+    from tpukk.sparse.spmv_impl import SpmvAlgorithm
+
+    A = CsrMatrix.from_scipy(
+        generate_fem2d_csr(800, seed=3).to_scipy().astype(np.float32))
+    h = SpmvHandle(A, SpmvAlgorithm.RCM)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.ncols).astype(np.float32)
+    ref = A.to_scipy() @ x
+    y = np.asarray(h.matvec(jnp.asarray(x)))
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    ph, to_p, from_p = h.rcm_permuted()
+    yp = np.asarray(from_p(ph.matvec(to_p(jnp.asarray(x)))))
+    assert np.abs(yp - ref).max() / np.abs(ref).max() < 1e-5
+    # the reordered matrix really is banded-ized (bandwidth shrinks)
+    sp = A.to_scipy().tocsr()
+    bw = lambda s: int(np.abs(np.repeat(np.arange(s.shape[0]),
+                                        np.diff(s.indptr))
+                              - s.indices).max())
+    assert bw(ph.A.to_scipy().tocsr()) < bw(sp) // 2
