@@ -666,7 +666,15 @@ def bench_gs_gmres():
     from tpukk.sparse.spmv import SpmvHandle
 
     F = read_mtx("data/fem2d_30k.mtx.gz", value_dtype=np.float32)
-    Fh = SpmvHandle(F)
+    # round 5: gmres(reorder="auto") runs the whole Krylov loop in
+    # RCM-permuted space on re-bandable matrices (fem2d qualifies; the
+    # permutes are once-per-solve, not per-iteration) — bench the cycle the
+    # solver actually runs
+    from tpukk.sparse.gmres import _rcm_reorder
+
+    Fh0 = SpmvHandle(F)
+    sel = _rcm_reorder(Fh0)
+    Fh = sel[0] if sel is not None else Fh0
     mdim = 30
 
     class _Ident:
@@ -693,7 +701,10 @@ def bench_gs_gmres():
     vs = (model / t_it / 1e9) / target
     emit("gmres30_cgs2_iter_us", t_it * 1e6, "us", vs, n=F.nrows, nnz=F.nnz,
          cycle_ms=round(t_cyc * 1e3, 2),
-         baseline_model="(A-pass + 4*(m/2) basis streams) / 0.7*HBM")
+         reorder="rcm" if sel is not None else "none",
+         baseline_model="(A-pass + 4*(m/2) basis streams) / 0.7*HBM; "
+                        "cycle in RCM-permuted space when the matrix "
+                        "re-bands (gmres reorder='auto')")
 
 
 def bench_bsr_banded():

@@ -526,3 +526,26 @@ class TestFusedSupernodal:
         ref = spla.spsolve_triangular(T.astype(np.float64),
                                       b.astype(np.float64), lower=True)
         assert np.abs(x - ref).max() / np.abs(ref).max() < 5e-5
+
+
+def test_gmres_rcm_reorder_matches_direct():
+    """gmres(reorder) runs the Krylov loop in RCM space; orthogonal
+    invariance makes the iterates identical — the returned solution must
+    match the non-reordered solve to solver tolerance."""
+    import jax.numpy as jnp
+    from tpukk.containers import CsrMatrix, generate_fem2d_csr
+    from tpukk.sparse.gmres import GmresHandle, gmres
+
+    sp = generate_fem2d_csr(900, seed=7).to_scipy().tocsr()
+    sp = sp + 4.0 * __import__("scipy.sparse", fromlist=["eye"]).eye(
+        sp.shape[0], format="csr")          # SPD-ish, well conditioned
+    A = CsrMatrix.from_scipy(sp.astype(np.float32))
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(A.nrows).astype(np.float32))
+    x_d, st_d = gmres(GmresHandle(m=40, tol=1e-6, reorder="none"), A, b)
+    x_r, st_r = gmres(GmresHandle(m=40, tol=1e-6, reorder="rcm"), A, b)
+    assert st_d.converged and st_r.converged
+    r = sp @ np.asarray(x_r, np.float64) - np.asarray(b, np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-5
+    np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_d),
+                               rtol=2e-3, atol=2e-4)
