@@ -235,3 +235,24 @@ def test_twostage_compact_form():
     # and it actually reduces the residual
     r = A.to_scipy() @ xs[True] - b
     assert np.linalg.norm(r) < 0.5 * np.linalg.norm(b)
+
+
+def test_point_apply_permuted_space():
+    """permuted=True contract (round 5): chained smoother applications stay
+    in the handle's color-permuted space; converting once outside matches
+    the natural-space result."""
+    from tpukk.common import permute_via_sort
+
+    A = generate_diag_dominant_csr(80, 4, dtype=np.float64, seed=3)
+    h = GsHandle()
+    gauss_seidel_symbolic(h, A)
+    gauss_seidel_numeric(h, A)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(80))
+    x_nat = np.asarray(gauss_seidel_apply(h, A, None, b, 3, "symmetric"))
+    inv = jnp.asarray(h.inv_order)
+    bp = permute_via_sort(b, inv)
+    xp = gauss_seidel_apply(h, A, jnp.zeros_like(b), bp, 3, "symmetric",
+                            permuted=True)
+    x_back = np.asarray(permute_via_sort(xp, jnp.asarray(h.order)))
+    np.testing.assert_allclose(x_back, x_nat, rtol=1e-12, atol=1e-12)

@@ -332,12 +332,20 @@ def symmetric_sweep(handle: GsHandle, A: CsrMatrix, x, b, num_sweeps: int = 1):
 
 @annotate("gauss_seidel_apply")
 def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
-                       num_sweeps: int = 1, direction: str = "symmetric"):
+                       num_sweeps: int = 1, direction: str = "symmetric",
+                       permuted: bool = False):
     """x may be None (zero initial guess, the init_zero_x_vector flag).
     Rank-2 x/b (multivector, the reference's batched apply —
     cluster_gauss_seidel_impl.hpp 16-wide) sweeps all columns in ONE traced
     computation via vmap over the column axis (every sweep flavor is built
-    from SpMVs/gathers that batch cleanly), not a per-column Python loop."""
+    from SpMVs/gathers that batch cleanly), not a per-column Python loop.
+
+    permuted=True (POINT/CLUSTER only): x/b are already in the handle's
+    color-permuted space and the result stays there — the convention for
+    chained smoother applications (multigrid, preconditioner sweeps), the
+    same contract as dist_gs_sweep(permuted=True).  The two
+    permute_via_sort conversions cost ~10-16 us per call at 160k rows;
+    convert once with handle.order/inv_order keys instead."""
     check(handle.is_numeric_called, "gauss_seidel_apply: numeric first")
     if b.ndim == 2:
         fn = lambda xj, bj: gauss_seidel_apply(
@@ -366,16 +374,20 @@ def gauss_seidel_apply(handle: GsHandle, A: CsrMatrix, x, b,
     # precomputed keys (~4.6x faster than jnp.take on TPU for large vectors;
     # see common.utils.permute_via_sort) — the inverse permutation IS the
     # forward sort key and vice versa.
-    order = jnp.asarray(handle.order)
-    inv_order = jnp.asarray(handle.inv_order)
-    xp = permute_via_sort(x, inv_order)
-    bp = permute_via_sort(b, inv_order)
+    if permuted:
+        xp, bp = x, b
+    else:
+        inv_order = jnp.asarray(handle.inv_order)
+        xp = permute_via_sort(x, inv_order)
+        bp = permute_via_sort(b, inv_order)
     for _ in range(num_sweeps):
         if direction in ("forward", "symmetric"):
             xp = _point_half_sweep(handle, xp, bp, True)
         if direction in ("backward", "symmetric"):
             xp = _point_half_sweep(handle, xp, bp, False)
-    return permute_via_sort(xp, order)
+    if permuted:
+        return xp
+    return permute_via_sort(xp, jnp.asarray(handle.order))
 
 
 # ---------------------------------------------------------------------------
