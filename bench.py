@@ -20,6 +20,9 @@ import traceback
 import numpy as np
 
 RESULTS = []
+_DEFER = None     # when a list: emit() records without printing (flagship
+                  # runs FIRST so a driver timeout cannot lose the headline;
+                  # its line is printed LAST — also from the SIGTERM handler)
 
 
 def peak_hbm_gbps(kind: str) -> float:
@@ -41,7 +44,10 @@ def emit(metric, value, unit, vs_baseline, **extra):
     rec = {"metric": metric, "value": round(float(value), 3), "unit": unit,
            "vs_baseline": round(float(vs_baseline), 3), "extra": extra}
     RESULTS.append(rec)
-    print(json.dumps(rec), flush=True)
+    if _DEFER is not None:
+        _DEFER.append(rec)
+    else:
+        print(json.dumps(rec), flush=True)
     return rec
 
 
@@ -945,18 +951,32 @@ def bench_flagship():
 
 
 def main():
+    import signal
+
     t_start = time.time()
+    global _DEFER
+    _DEFER = []
+    family(bench_flagship)        # computed FIRST, printed LAST
+    deferred, _DEFER = _DEFER, None
+
+    def _finish(*_sig):
+        for rec in deferred:
+            print(json.dumps(rec), flush=True)
+        try:
+            with open("BENCH_FULL.json", "w") as f:
+                json.dump({"wall_s": round(time.time() - t_start, 1),
+                           "results": RESULTS}, f, indent=1)
+        except OSError:
+            pass
+        if _sig:                  # killed by the driver timeout: headline
+            sys.exit(0)           # is already on stdout as the last line
+
+    signal.signal(signal.SIGTERM, _finish)
     for fn in (bench_spmv_unstructured, bench_spmv_f64, bench_spgemm,
                bench_sptrsv, bench_spiluk_refresh, bench_solvers, bench_graph, bench_spmm_blas,
                bench_gs_gmres, bench_bsr_banded, bench_dist):
         family(fn)
-    family(bench_flagship)  # LAST line = headline
-    try:
-        with open("BENCH_FULL.json", "w") as f:
-            json.dump({"wall_s": round(time.time() - t_start, 1),
-                       "results": RESULTS}, f, indent=1)
-    except OSError:
-        pass
+    _finish()
 
 
 if __name__ == "__main__":
